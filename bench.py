@@ -1,0 +1,61 @@
+"""Per-round benchmark: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}. Each query is forced end-to-end with a
+noop write (full computation, no driver collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from parallel_mapreduce_spark.registry import QUERIES, _load_all, headline_names
+from parallel_mapreduce_spark.session import get_spark
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def run_query(spark, name: str, sf_dir: str) -> float:
+    df = QUERIES[name].fn(spark, sf_dir)
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    _load_all()
+    spark = get_spark("bench")
+    names = headline_names()
+    # Warm the JVM/session on the smallest sf so first-query JIT/session cost
+    # doesn't land on the first measured query.
+    run_query(spark, names[0], "/root/testdata/sf0.001")
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(run_query(spark, name, sf_dir), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": _sf_of(sf_dir),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,231 @@
+"""Deduplication operators: exact, shingle-Jaccard, MinHash-LSH, SimHash.
+
+The driver's north star adds training-data-pipeline dedup as a first-class
+capability (SURVEY.md §2.3 "LLM-pipeline ops"). Structurally, every algorithm
+here is one-or-two MapReduce rounds — the same shuffle shape the reference's
+engine executes (hash-partition by key, grouped reduce, ``src/mapreduce.c:
+110-138, 215-238``) — expressed as DataFrame plans:
+
+- exact dedup: hash-groupBy on content (one shuffle on md5(text));
+- shingle-Jaccard near-dup: inverted index on 3-token shingles -> candidate
+  pair generation -> exact Jaccard verify. The shingle join is the published
+  MapReduce similarity-join pattern (cf. PAPERS.md: "Parallel Top-K Similarity
+  Join Algorithms Using MapReduce", ICDE 2012);
+- MinHash-LSH: 16 xxhash64 permutations -> 4 bands of 4 -> band-bucket join;
+  candidates only, no exact verify (the verified path is the shingle join, so
+  the two queries cross-check each other in tests);
+- SimHash: 64-bit sign-aggregated token hashes per doc.
+
+Scale posture: at 100 TB the shingle inverted index is the dominant shuffle;
+it is keyed by shingle (high cardinality => well spread), distinct-ed before
+the self-join to bound pair fan-out, and the per-doc size table is broadcast.
+Hot shingles (boilerplate) would need a frequency cap — noted inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.functions.text import tokens
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.sources import load_table, register_views
+
+JACCARD_THRESHOLD = 0.5
+N_PERMUTATIONS = 16
+N_BANDS = 4  # 4 rows per band
+
+
+def shingles3(toks: Column) -> Column:
+    """Distinct 3-token shingles; empty array when fewer than 3 tokens."""
+    return F.when(
+        F.size(toks) >= 3,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 3),
+                lambda i: F.concat_ws(
+                    " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
+                ),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_SQL_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+)
+
+
+def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", shingles3(tokens("text")).alias("sh"))
+
+
+# --------------------------------------------------------------------------
+# Exact dedup: group by content hash, keep the smallest doc_id.
+# --------------------------------------------------------------------------
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY text
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
+    ).select(F.md5("text").alias("text_hash"), "keep_id", "n_copies")
+
+
+# --------------------------------------------------------------------------
+# Near-dup via exact 3-shingle Jaccard over an inverted index. This is the
+# verified (oracle-checked) near-dup path; MinHash below is its scale
+# approximation.
+# --------------------------------------------------------------------------
+@query(
+    "neardup_jaccard_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t WHERE len(toks) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 4) AS jaccard
+    FROM pairs
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= {JACCARD_THRESHOLD}
+    """,
+    headline=True,
+)
+def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    sh = _doc_shingles(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    # At 100 TB, add a shingle-frequency cap here (drop shingles appearing in
+    # > K docs) to bound the self-join fan-out on boilerplate; the synthetic
+    # corpus has no such hot shingles, so the exact form stays oracle-equal.
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("shared") * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
+    return (
+        pairs.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash-LSH candidates: 16 permutations (xxhash64 with seed-salted input),
+# banded 4x4; pairs sharing >= 1 band bucket are candidates. Rows-only check
+# (the randomness of xxhash64 is not portable to DuckDB); recall against the
+# exact Jaccard pairs is asserted in tests/test_dedup.py.
+# --------------------------------------------------------------------------
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sig: array<long>[N_PERMUTATIONS]) — min over shingles of
+    xxhash64(perm_index, shingle) per permutation; one shuffle on doc_id."""
+    sh = _doc_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    mins = [
+        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        for i in range(N_PERMUTATIONS)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"h{i}") for i in range(N_PERMUTATIONS)]).alias("sig")
+    )
+
+
+@query("minhash_lsh_candidates")
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs with the number of matching LSH bands."""
+    register_views(spark, sf_dir)
+    sig = minhash_signatures(spark, sf_dir)
+    rows_per_band = N_PERMUTATIONS // N_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(band).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.get(F.col("sig"), band * rows_per_band + r)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for band in range(N_BANDS)
+                ]
+            )
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_idx", "bh.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_bands"))
+    )
+
+
+# --------------------------------------------------------------------------
+# SimHash: 64-bit signature; bit b is the sign of sum over tokens of
+# tf * (+/-1 per bit of xxhash64(token)). Rows-only (JVM hash not portable).
+# --------------------------------------------------------------------------
+@query("simhash_signatures")
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+    tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
+    h = F.xxhash64("word")
+    # One row per (doc, word, bit): contrib = tf if bit set else -tf.
+    bits = tf.select(
+        "doc_id",
+        "tf",
+        h.alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+    ).select(
+        "doc_id",
+        "bit",
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, F.col("tf"))
+        .otherwise(-F.col("tf"))
+        .alias("contrib"),
+    )
+    bit_sums = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
+    # Assemble the signature: sum of set bits' place values (wraps to negative
+    # for bit 63 — it's an opaque 64-bit signature, sign is meaningless).
+    return bit_sums.groupBy("doc_id").agg(
+        F.sum(
+            F.when(
+                F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
+            ).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )

@@ -1,0 +1,126 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+North-star operator class (SURVEY.md §2.3): treat image/audio/video as opaque
+``binary`` columns with typed metadata, with decode / feature-extraction /
+resize / frame-sample as Arrow-batched Pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio libraries and the testdata has no real media,
+so per the driver contract the *decode* step is a clearly-marked deterministic
+stub (``FAKE_DECODE``) — but the Spark-side plumbing is real and tested:
+binary column handling, schema declaration, ``mapInPandas`` batch iteration,
+and partition-preserving feature extraction. Swapping ``_fake_decode`` for a
+real ``PIL.Image.open`` is the only change needed when the codec libs exist.
+
+Scale posture: media blobs dominate bytes at 100 TB — feature extraction is a
+narrow map (no shuffle), Arrow-batched, with the blob column pruned away
+immediately after decode so downstream stages carry only features.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.sources import load_table, register_views
+
+# Marker: the decode stage is a deterministic fake (no codec libs in env).
+FAKE_DECODE = True
+
+FEATURE_SCHEMA = (
+    "doc_id bigint, n_bytes bigint, width int, height int, channels int, "
+    "sha_prefix string"
+)
+
+
+def with_blob(docs: DataFrame) -> DataFrame:
+    """Attach the opaque binary payload column (UTF-8 bytes of `text` stand in
+    for real media bytes; schema-wise this is exactly an image column)."""
+    return docs.withColumn("blob", F.encode(F.col("text"), "UTF-8"))
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, int]:
+    """STUB decode: derive deterministic (width, height, channels) from a
+    sha256 of the payload. Replace with a real decoder when codec libs exist.
+    Raises on empty payload like a real decoder would."""
+    if not blob:
+        raise ValueError("empty payload")
+    h = hashlib.sha256(blob).digest()
+    return 16 + h[0] % 240, 16 + h[1] % 240, 1 + h[2] % 3
+
+
+def decode_features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: (doc_id, blob) batches -> feature rows.
+
+    Arrow-batched, one pass, no shuffle; the blob column is dropped on yield.
+    """
+    for pdf in batches:
+        blobs = pdf["blob"]
+        dims = [_fake_decode(b) for b in blobs]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "n_bytes": [len(b) for b in blobs],
+                "width": [d[0] for d in dims],
+                "height": [d[1] for d in dims],
+                "channels": [d[2] for d in dims],
+                "sha_prefix": [hashlib.sha256(b).hexdigest()[:8] for b in blobs],
+            }
+        )
+
+
+def extract_features(docs: DataFrame) -> DataFrame:
+    """The full multimodal plumbing: attach blob -> prune to (id, blob) ->
+    Arrow-batched decode -> typed feature frame."""
+    return with_blob(docs).select("doc_id", "blob").mapInPandas(
+        decode_features, schema=FEATURE_SCHEMA
+    )
+
+
+def frame_sample(docs: DataFrame, every_n_bytes: int = 64) -> DataFrame:
+    """'Frame sampling' stand-in: one row per sampled offset of each payload —
+    the video-frame-sampling plumbing (explode over a computed index range),
+    all JVM-side."""
+    blobs = with_blob(docs).select("doc_id", "blob", F.octet_length("blob").alias("nb"))
+    return blobs.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest((F.col("nb") - 1) / every_n_bytes, F.lit(0)))
+        ).alias("frame_idx"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Oracle-checked metadata query: binary length + head bytes, built-ins only.
+# --------------------------------------------------------------------------
+@query(
+    "multimodal_meta",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           lower(hex(encode(substr(text, 1, 8)))) AS head_hex
+    FROM documents
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.octet_length("text").cast("long").alias("n_bytes"),
+        F.lower(F.hex(F.encode(F.substring("text", 1, 8), "UTF-8"))).alias("head_hex"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Feature-extraction query through the real mapInPandas path (rows-only:
+# the fake decode is Python-side by definition).
+# --------------------------------------------------------------------------
+@query("multimodal_features")
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return extract_features(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,402 @@
+"""Text analysis: the reference's word-count surface, generalized.
+
+The reference's only application is whitespace word-count + point lookup
+(``src/main.c:10-40``): tokenize lines on whitespace, emit ``(token, "1")``,
+count per key, probe one key. Queries here re-express that as DataFrame plans
+(D1 tokenize, D2 count-per-key, D3 keyed lookup, D4 distinct, D5 sort — see
+SURVEY.md §2.2) and extend it with the text-pipeline operators a training-data
+pipeline needs: per-language stats, n-grams, tf-idf, language-ID heuristic,
+quality scoring, document fingerprinting.
+
+Scale posture: everything is built-in-function only (whole-stage codegen, no
+Python UDFs); token explosion happens after a columnar scan that prunes to the
+needed columns; counts are partial-aggregated map-side by Catalyst — the
+headline asymptotic win over the reference, whose every emitted pair crosses
+the shuffle (``src/main.c:22``, SURVEY.md §4.2).
+
+NOTE on intended semantics: the reference's tokenizer silently drops the rest
+of a line at the first empty token (bug, ``src/main.c:20-21``); per SURVEY.md
+§2.4 we implement the *intended* semantics — split on whitespace, drop empty
+tokens — and the DuckDB oracle defines truth.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.sources import load_table, register_views
+
+# Shared stopword/marker vocabulary (tiny on purpose: the oracle must use the
+# exact same lists, inlined into the SQL strings below).
+STOPWORDS = ("the", "a", "of", "and")
+EN_MARKERS = ("the", "a", "and", "of")
+ES_MARKERS = ("el", "la", "de", "y")
+
+# The word-count lookup term (reference: last CLI arg, ``src/main.c:51-52``).
+LOOKUP_TERM = "data"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of a text column, empty tokens dropped (intended D1)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.filter(F.split(c, " "), lambda t: t != F.lit(""))
+
+
+def bigrams(toks: Column) -> Column:
+    """Adjacent-token bigrams; empty array when fewer than two tokens."""
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents exploded to one row per token — the engine's `MR_Emit` stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", F.explode(tokens("text")).alias("word"))
+
+
+# DuckDB fragment for the same tokenization (kept in lockstep with tokens()).
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+# --------------------------------------------------------------------------
+# D1+D2: word count — the reference's flagship query.
+# --------------------------------------------------------------------------
+@query(
+    "wordcount",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+    GROUP BY word
+    """,
+    headline=True,
+)
+def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT word, COUNT(*) FROM tokens GROUP BY word.
+
+    Plan shape: parquet scan (pruned to `text`) -> generate(explode) ->
+    partial hash-agg -> exchange -> final hash-agg. The partial aggregation
+    is what the reference lacks (every ("w","1") pair crosses its shuffle,
+    ``src/main.c:22``).
+    """
+    register_views(spark, sf_dir)
+    return token_df(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+
+
+# --------------------------------------------------------------------------
+# D3: keyed point lookup. Catalyst pushes the filter below the aggregate —
+# the reference aggregates everything then probes a hashmap (main.c:55-58).
+# --------------------------------------------------------------------------
+@query(
+    "wordcount_lookup",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+    WHERE word = '{LOOKUP_TERM}'
+    GROUP BY word
+    """,
+)
+def wordcount_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    wc = token_df(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+    return wc.filter(F.col("word") == LOOKUP_TERM)
+
+
+# --------------------------------------------------------------------------
+# D4: distinct keys (the engine's prev-dedupe walk, mapreduce.c:225-233).
+# --------------------------------------------------------------------------
+@query(
+    "distinct_tokens",
+    oracle=f"""
+    SELECT DISTINCT unnest({_SQL_TOKS}) AS word FROM documents
+    """,
+)
+def distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return token_df(spark, sf_dir).select("word").distinct()
+
+
+# --------------------------------------------------------------------------
+# D5 + top-k: global sort + limit (Spark executes as TakeOrderedAndProject —
+# no global shuffle-sort materialization).
+# --------------------------------------------------------------------------
+@query(
+    "top_terms",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+    GROUP BY word
+    ORDER BY cnt DESC, word
+    LIMIT 20
+    """,
+    headline=True,
+)
+def top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    wc = token_df(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+    return wc.orderBy(F.col("cnt").desc(), F.col("word")).limit(20)
+
+
+# --------------------------------------------------------------------------
+# Per-document token stats (token counting for pipeline budgeting).
+# --------------------------------------------------------------------------
+@query(
+    "token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           ROUND(list_avg(list_transform(toks, t -> CAST(strlen(t) AS DOUBLE))), 4)
+             AS avg_token_len
+    FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    """,
+)
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    lens = F.transform(toks, lambda t: F.octet_length(t).cast("double"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+        F.round(
+            F.aggregate(lens, F.lit(0.0), lambda acc, x: acc + x) / F.size(toks),
+            4,
+        ).alias("avg_token_len"),
+    )
+
+
+# --------------------------------------------------------------------------
+# n-grams: bigram counts (top 20, deterministic tie-break).
+# --------------------------------------------------------------------------
+@query(
+    "bigram_counts",
+    oracle=f"""
+    WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents)
+    SELECT bigram, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t WHERE len(toks) >= 2
+    )
+    GROUP BY bigram
+    ORDER BY cnt DESC, bigram
+    LIMIT 20
+    """,
+)
+def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    bg = docs.select(F.explode(bigrams(tokens("text"))).alias("bigram"))
+    return (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("bigram"))
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-language corpus stats.
+# --------------------------------------------------------------------------
+@query(
+    "lang_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.sum(F.size(tokens("text"))).cast("long").alias("total_tokens"),
+    )
+
+
+# --------------------------------------------------------------------------
+# tf-idf: top term per document. tf * ln(N/df), rounded for cross-engine
+# rank stability (libm vs JVM ln differ in the last ulp).
+# --------------------------------------------------------------------------
+@query(
+    "tfidf_top_term",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * LN(n.n_docs * 1.0 / dfreq.df), 6) AS tfidf6
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, ROUND(tfidf6, 4) AS tfidf
+    FROM (SELECT doc_id, term, tfidf6,
+                 ROW_NUMBER() OVER (PARTITION BY doc_id
+                                    ORDER BY tfidf6 DESC, term) AS rk
+          FROM scored)
+    WHERE rk = 1
+    """,
+)
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    ndocs = docs.agg(F.count("*").alias("n_docs"))
+    # dfreq and ndocs are tiny (vocab-sized / single row): broadcast both so
+    # the big tf stream never shuffles for these joins.
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(ndocs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
+            ).alias("tfidf6"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.col("tfidf6").desc(), F.col("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf6", 4).alias("tfidf"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Quality scoring: length + stopword-ratio heuristic (pipeline filtering).
+# --------------------------------------------------------------------------
+_SQL_STOP = "['" + "', '".join(STOPWORDS) + "']"
+
+
+@query(
+    "quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ROUND(len(list_filter(toks, x -> list_contains({_SQL_STOP}, x)))
+                 * 1.0 / len(toks), 4) AS stop_ratio,
+           ROUND(0.6 * least(len(toks) / 100.0, 1.0)
+                 + 0.4 * (1.0 - len(list_filter(toks, x -> list_contains({_SQL_STOP}, x)))
+                                * 1.0 / len(toks)), 4) AS quality
+    FROM t
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_tok = F.size(toks)
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    stop_ratio = stop_cnt * F.lit(1.0) / n_tok
+    quality = F.lit(0.6) * F.least(n_tok / F.lit(100.0), F.lit(1.0)) + F.lit(0.4) * (
+        F.lit(1.0) - stop_ratio
+    )
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(stop_ratio, 4).alias("stop_ratio"),
+        F.round(quality, 4).alias("quality"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Language-ID heuristic: marker-word voting (confusion matrix vs true lang).
+# --------------------------------------------------------------------------
+_SQL_EN = "['" + "', '".join(EN_MARKERS) + "']"
+_SQL_ES = "['" + "', '".join(ES_MARKERS) + "']"
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH t AS (
+      SELECT lang,
+             len(list_filter({_SQL_TOKS}, x -> list_contains({_SQL_EN}, x))) AS en_hits,
+             len(list_filter({_SQL_TOKS}, x -> list_contains({_SQL_ES}, x))) AS es_hits
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN en_hits > es_hits THEN 'en'
+                WHEN es_hits > en_hits THEN 'es'
+                WHEN en_hits > 0 THEN 'tie'
+                ELSE 'unknown' END AS guess,
+           COUNT(*) AS n_docs
+    FROM t
+    GROUP BY 1, 2
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    en_arr = F.array(*[F.lit(s) for s in EN_MARKERS])
+    es_arr = F.array(*[F.lit(s) for s in ES_MARKERS])
+    en_hits = F.size(F.filter(toks, lambda t: F.array_contains(en_arr, t)))
+    es_hits = F.size(F.filter(toks, lambda t: F.array_contains(es_arr, t)))
+    guess = (
+        F.when(en_hits > es_hits, F.lit("en"))
+        .when(es_hits > en_hits, F.lit("es"))
+        .when(en_hits > 0, F.lit("tie"))
+        .otherwise(F.lit("unknown"))
+    )
+    return (
+        docs.select("lang", guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Document fingerprinting: md5 over the sorted distinct token set (set
+# fingerprint) + a rolling polynomial hash over token lengths (order
+# fingerprint) — both portable across engines.
+# --------------------------------------------------------------------------
+@query(
+    "doc_fingerprint",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS set_fp,
+           list_reduce(list_transform(toks, x -> CAST(strlen(x) AS BIGINT)),
+                       (acc, x) -> (acc * 31 + x) % 1000000007) AS roll_fp
+    FROM t
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    lens = F.transform(toks, lambda t: F.octet_length(t).cast("long"))
+    # DuckDB's list_reduce seeds the fold with the first element; mirror that:
+    # init = lens[0], fold over the tail.
+    roll = F.aggregate(
+        F.slice(lens, 2, F.greatest(F.size(lens) - 1, F.lit(0))),
+        F.get(lens, 0),
+        lambda acc, x: (acc * 31 + x) % 1000000007,
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("set_fp"),
+        roll.alias("roll_fp"),
+    )

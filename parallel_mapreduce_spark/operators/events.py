@@ -1,0 +1,179 @@
+"""Event-time operators over the `events` table (batch plans).
+
+The reference is strictly batch with no time notion (one `MR_Run` per process,
+``src/mapreduce.c:316-322``); these queries cover the event-time category from
+SURVEY.md §2.3: tumbling + sliding windows, gap-based sessionization, and JSON
+property extraction. The streaming twins (same window logic under Structured
+Streaming with watermarks) live in ``parallel_mapreduce_spark.streaming``; the
+batch path is the oracle-checked one, per SURVEY.md §7 step 6.
+
+Timestamps cross the oracle comparison as epoch seconds (BIGINT) — never raw
+timestamp objects — so engine formatting/timezone differences can't bite; the
+session timezone is pinned to UTC in sources.register_views.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.sources import load_table, register_views
+
+SESSION_GAP_S = 1800
+
+
+# --------------------------------------------------------------------------
+# Tumbling window: hourly counts + sums per event type.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    headline=True,
+)
+def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Sliding window: 1 hour window, 30 min slide (each event lands in exactly
+# two windows). Spark's window() is epoch-aligned; the oracle enumerates the
+# same two slide starts arithmetically.
+# --------------------------------------------------------------------------
+@query(
+    "events_sliding_window",
+    oracle="""
+    SELECT win_start, COUNT(*) AS cnt, ROUND(SUM(value), 4) AS sum_value
+    FROM (
+      SELECT unnest([CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+                     CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)]) AS win_start,
+             value
+      FROM events
+    )
+    GROUP BY win_start
+    """,
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"), "cnt", "sum_value"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-based sessionization: a new session starts after >30 min of silence.
+# Classic two-window formulation (lag -> boundary flag -> running sum), all
+# JVM-side; at scale this is one shuffle on user_id reused by both windows.
+# --------------------------------------------------------------------------
+@query(
+    "events_sessionize",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS start_epoch,
+           CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+    FROM s GROUP BY 1, 2
+    """,
+)
+def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts"))
+    prev_sec = F.lag(sec).over(w_order)
+    is_new = F.when(
+        prev_sec.isNull() | ((sec - prev_sec) > SESSION_GAP_S), 1
+    ).otherwise(0)
+    with_session = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count("*").alias("n_events"),
+        F.unix_timestamp(F.min("ts")).alias("start_epoch"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts")))
+        .cast("long")
+        .alias("duration_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured props: JSON extraction + aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "events_json_props",
+    oracle="""
+    SELECT event_type, COUNT(*) AS cnt,
+           ROUND(AVG(CAST(json_extract_string(props, '$.k') AS DOUBLE)), 4) AS avg_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"), F.round(F.avg(k), 4).alias("avg_k")
+    )
+
+
+# --------------------------------------------------------------------------
+# Share-of-total via an unpartitioned window over a pre-aggregated frame
+# (the window input is |event_type| rows, so the empty partition is fine).
+# --------------------------------------------------------------------------
+@query(
+    "events_type_share",
+    oracle="""
+    SELECT event_type, cnt,
+           ROUND(cnt * 1.0 / SUM(cnt) OVER (), 4) AS share
+    FROM (SELECT event_type, COUNT(*) AS cnt FROM events GROUP BY 1)
+    """,
+)
+def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type").agg(F.count("*").alias("cnt"))
+    w = W.partitionBy()
+    return counts.select(
+        "event_type",
+        "cnt",
+        F.round(F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(w), 4).alias("share"),
+    )

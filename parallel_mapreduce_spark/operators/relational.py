@@ -1,0 +1,575 @@
+"""Core relational operators, declared as Catalyst-optimizable DataFrame plans.
+
+The reference can express any single MapReduce round via its Mapper/Reducer
+function slots (``src/mapreduce.h:11-14``); everything here is the canonical
+relational derivation of that capability surface (SURVEY.md §2.2/§2.3), built
+on DataFrame ops so Catalyst supplies pushdown, pruning, join selection, and
+partial aggregation — the optimizations the reference lacks entirely
+(SURVEY.md §4.1).
+
+Scale notes (100 TB posture), validated by plan tests in tests/test_plans.py:
+- dimension tables (region/nation/supplier, literal band tables) are
+  explicitly broadcast: no shuffle of the fact side for those joins;
+- fact-fact joins (orders x lineitem) shuffle on the join key and rely on AQE
+  for skew splitting + partition coalescing;
+- top-k is orderBy().limit(k) => TakeOrderedAndProject, never a global sort
+  materialization;
+- aggregates are partial (map-side combine) by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.sources import load_table, register_views
+
+_SHIP_CUTOFF = "1998-09-02 00:00:00"
+
+
+def _ts(lit: str):
+    return F.to_timestamp(F.lit(lit))
+
+
+# --------------------------------------------------------------------------
+# Projection + filter (pushdown demo: both reach the parquet scan).
+# --------------------------------------------------------------------------
+@query(
+    "filter_project",
+    oracle="""
+    SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 4) AS total
+    FROM orders
+    WHERE o_orderstatus = 'O' AND o_totalprice > 400000
+    """,
+)
+def filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter((F.col("o_orderstatus") == "O") & (F.col("o_totalprice") > 400000))
+        .select("o_orderkey", "o_custkey", F.round("o_totalprice", 4).alias("total"))
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary: the full scalar-aggregate set with partial
+# aggregation (the reference's COUNT-only reducer, main.c:30-40, generalized).
+# --------------------------------------------------------------------------
+@query(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    headline=True,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= _ts(_SHIP_CUTOFF))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 4).alias("sum_disc_price"),
+            F.round(F.sum(charge), 4).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregate breadth: min/max/avg/sum + exact distinct counts.
+# --------------------------------------------------------------------------
+@query(
+    "agg_stats",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(DISTINCT l_partkey) AS n_parts,
+           ROUND(SUM(l_quantity), 4) AS sum_qty,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.min("l_extendedprice"), 4).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 4).alias("max_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q3-style: customer x orders x lineitem, revenue top-10.
+# customer->orders and orders->lineitem are fact joins (shuffle on key);
+# the final top-k is TakeOrdered, not a global sort.
+# --------------------------------------------------------------------------
+@query(
+    "q3_top_revenue",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS orderdate
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    headline=True,
+)
+def q3_top_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < _ts("1998-01-01 00:00:00")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > _ts("1998-01-01 00:00:00")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust.select("c_custkey"), orders.o_custkey == F.col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5-style: six-table join; all dimension sides broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "q5_region_revenue",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    headline=True,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01 00:00:00"))
+        & (F.col("o_orderdate") < _ts("2000-01-01 00:00:00"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti joins (EXISTS / NOT EXISTS).
+# --------------------------------------------------------------------------
+@query(
+    "semi_join_big_spenders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+)
+def semi_join_big_spenders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    big = load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(
+        big, cust.c_custkey == big.o_custkey, "left_semi"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "anti_join_no_f_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+    """,
+)
+def anti_join_no_f_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    f_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    return cust.join(
+        f_orders, cust.c_custkey == f_orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+# --------------------------------------------------------------------------
+# Outer join + null-safe aggregation.
+# --------------------------------------------------------------------------
+@query(
+    "left_join_open_orders",
+    oracle="""
+    SELECT c_custkey,
+           COUNT(o_orderkey) AS n_open,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 4) AS open_total
+    FROM customer
+    LEFT JOIN (SELECT * FROM orders WHERE o_orderstatus = 'O') o
+      ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+)
+def left_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    open_orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    return (
+        cust.join(open_orders, cust.c_custkey == open_orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_open"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 4).alias("open_total"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Range (non-equi) join against a literal band table — broadcast nested loop
+# on a 3-row side, i.e. free at any scale.
+# --------------------------------------------------------------------------
+_BANDS = [("low", 0.0, 15.0), ("mid", 15.0, 35.0), ("high", 35.0, 51.0)]
+
+
+@query(
+    "range_join_quantity_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+      VALUES ('low', 0.0, 15.0), ('mid', 15.0, 35.0), ('high', 35.0, 51.0)
+    )
+    SELECT band, COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem JOIN bands ON l_quantity >= lo AND l_quantity < hi
+    GROUP BY band
+    """,
+)
+def range_join_quantity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(_BANDS, "band string, lo double, hi double")
+    cond = (F.col("l_quantity") >= F.col("lo")) & (F.col("l_quantity") < F.col("hi"))
+    return (
+        li.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Windows: ranking, running aggregate, lag.
+# --------------------------------------------------------------------------
+@query(
+    "window_top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 4) AS total,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                 ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                    ORDER BY o_totalprice DESC, o_orderkey) AS rk
+          FROM orders)
+    WHERE rk <= 3
+    """,
+    headline=True,
+)
+def window_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        orders.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 4).alias("total"),
+            F.col("rk").cast("long").alias("rk"),
+        )
+    )
+
+
+@query(
+    "window_running_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey
+                                         ORDER BY o_orderdate, o_orderkey
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW), 4) AS running_total
+    FROM orders
+    """,
+)
+def window_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("running_total"),
+    )
+
+
+@query(
+    "window_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(COALESCE(date_diff('day', prev_date, o_orderdate), -1) AS BIGINT)
+             AS days_since_prev
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+                 LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey) AS prev_date
+          FROM orders)
+    """,
+)
+def window_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.coalesce(F.datediff(F.col("o_orderdate"), prev), F.lit(-1))
+        .cast("long")
+        .alias("days_since_prev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (union / intersect / except), D7 generalized.
+# --------------------------------------------------------------------------
+_BUILDING = "SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'"
+_BIG_ORDER = "SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 450000"
+
+
+def _setop_sides(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    a = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    b = orders.filter(F.col("o_totalprice") > 450000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return a, b
+
+
+@query("set_union", oracle=f"{_BUILDING} UNION {_BIG_ORDER}")
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b).distinct()
+
+
+@query("set_intersect", oracle=f"{_BUILDING} INTERSECT {_BIG_ORDER}")
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    a, b = _setop_sides(spark, sf_dir)
+    return a.intersect(b)
+
+
+@query("set_except", oracle=f"{_BUILDING} EXCEPT {_BIG_ORDER}")
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    a, b = _setop_sides(spark, sf_dir)
+    return a.exceptAll(b).distinct()
+
+
+# --------------------------------------------------------------------------
+# Multi-dimensional aggregation: rollup / cube / grouping sets.
+# --------------------------------------------------------------------------
+@query(
+    "rollup_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS cnt, ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def rollup_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_qty",
+        )
+    )
+
+
+@query(
+    "cube_flag_status",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           COUNT(*) AS cnt, ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
+@query(
+    "grouping_sets_segment_status",
+    oracle="""
+    SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           COUNT(*) AS cnt
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+    """,
+)
+def grouping_sets_segment_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT COALESCE(c_mktsegment, 'ALL') AS segment,
+               COALESCE(o_orderstatus, 'ALL') AS status,
+               COUNT(*) AS cnt
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY GROUPING SETS ((c_mktsegment), (o_orderstatus))
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Global top-k: TakeOrderedAndProject (no full sort).
+# --------------------------------------------------------------------------
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, ROUND(o_totalprice, 4) AS total
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 15
+    """,
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", F.round("o_totalprice", 4).alias("total"))
+        .limit(15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot (wide conditional aggregation).
+# --------------------------------------------------------------------------
+@query(
+    "pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    joined = cust.join(orders, cust.c_custkey == orders.o_custkey)
+    pivoted = (
+        joined.groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["O", "F", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return pivoted.select(
+        "c_mktsegment",
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+    )

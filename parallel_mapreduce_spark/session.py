@@ -1,0 +1,96 @@
+"""SparkSession factory tuned for this engine.
+
+Local testing runs on ``local[N]`` (one JVM); the conf below is written so the
+same code is correct on a multi-executor cluster at 100 TB:
+
+- AQE on (runtime partition coalescing, skew-join splitting) — replaces the
+  reference's fixed ``MAPS_NUM=100`` partition cap (reference
+  ``src/mapreduce.h:8``) with runtime-adaptive shuffle parallelism;
+- shuffle partitions sized to cores locally; on a real cluster AQE's
+  ``advisoryPartitionSizeInBytes`` governs post-shuffle sizing;
+- Arrow enabled so the Pandas-UDF slow path is batch-vectorized;
+- session timezone pinned to UTC so event-time results are stable across
+  environments (and match the DuckDB oracle, which uses naive timestamps).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def default_parallelism() -> int:
+    return int(os.environ.get("SPARK_GRAFT_CPUS", "0") or 0) or (os.cpu_count() or 8)
+
+
+def get_spark(
+    app_name: str = "parallel-mapreduce-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's tuning applied."""
+    cpus = cpus or default_parallelism()
+    shuffle_partitions = shuffle_partitions or max(cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.default.parallelism", str(cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def apply_runtime_conf(spark: SparkSession) -> None:
+    """Set the runtime-mutable confs this engine's queries rely on.
+
+    Called by the view-registration path so correctness holds even when the
+    caller (e.g. the verification driver) built its own SparkSession without
+    :func:`get_spark`. Only runtime-settable keys belong here.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # events.parquet stores TIMESTAMP(NANOS), illegal for Spark 4's reader;
+    # read as int64 nanos and convert in sources.load_table.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ensure_package_on_workers(spark.sparkContext)
+
+
+_SHIPPED: set[str] = set()
+
+
+def ensure_package_on_workers(sc) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``.
+
+    Worker processes unpickle functions defined in this package by module
+    reference; unless the package is on their import path, any RDD closure or
+    Pandas UDF from here fails with ModuleNotFoundError. Zipping the package
+    once per SparkContext makes the engine self-contained no matter how the
+    calling session was created (driver harness, tests, bench).
+    """
+    import shutil
+    import tempfile
+
+    app_id = sc.applicationId
+    if app_id in _SHIPPED:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    stem = os.path.join(tempfile.gettempdir(), f"pmr_spark_pkg_{os.getpid()}")
+    if not os.path.exists(stem + ".zip"):
+        shutil.make_archive(
+            stem,
+            "zip",
+            root_dir=os.path.dirname(pkg_dir),
+            base_dir=os.path.basename(pkg_dir),
+        )
+    sc.addPyFile(stem + ".zip")
+    _SHIPPED.add(app_id)

@@ -1,0 +1,81 @@
+"""Sources: the engine's scan layer.
+
+The reference's only source is "text files, one map task per file" (reference
+``src/main.c:11``, wave scheduler ``src/mapreduce.c:181-212``). Here the scan
+layer is Spark's: columnar Parquet with predicate pushdown + column pruning
+(checked in tests via the physical plan), plus ``spark.read.text`` for the
+raw-line surface the reference consumed. Spark's task scheduler replaces the
+reference's thread-wave logic (SURVEY.md P1).
+
+At 100 TB the same code holds: Parquet scans split by row-group, filters and
+projections reach the reader, and AQE sizes post-shuffle partitions — none of
+that is hand-scheduled here.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# (session id, sf_dir) pairs whose views are already registered.
+_REGISTERED: set[tuple[int, str]] = set()
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Columnar scan of one test table (schema comes from the Parquet footer).
+
+    `events.ts` is Parquet TIMESTAMP(NANOS), which Spark 4 refuses outright;
+    we read nanos as int64 (legacy conf, set in apply_runtime_conf) and
+    convert to TimestampType (microseconds) in the scan layer. Integer `div`
+    keeps full precision — float division would lose it at ns-epoch scale.
+    """
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every test table as a temp view named by its file stem.
+
+    Idempotent per (session, sf_dir); re-registering for a different sf_dir
+    repoints the views. Also pins the runtime conf (UTC session timezone)
+    that the oracle comparison depends on.
+    """
+    apply_runtime_conf(spark)
+    key = (id(spark), sf_dir)
+    if key in _REGISTERED:
+        return
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    # Any previously registered sf_dir for this session is now stale.
+    _REGISTERED.difference_update({k for k in _REGISTERED if k[0] == id(spark)})
+    _REGISTERED.add(key)
+
+
+def read_text_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """The reference's source surface: text files as one `value: string` column.
+
+    Multi-file union semantics (SURVEY.md D7): all paths feed one keyspace,
+    exactly like the reference's argv loop (``src/mapreduce.c:186-208``) but
+    scheduled by Spark with one partition per file split.
+    """
+    if isinstance(paths, str):
+        paths = [paths]
+    return spark.read.text(paths)

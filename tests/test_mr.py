@@ -1,0 +1,88 @@
+"""Contract tests for the MapReduce veneer (SURVEY.md §2.4 semantics)."""
+
+from __future__ import annotations
+
+from parallel_mapreduce_spark.mr import djb2, mr_run_rdd
+
+
+def _wc_map(line):
+    return [(t, "1") for t in line.split(" ") if t]
+
+
+def _count(key, values):
+    return sum(1 for _ in values)
+
+
+def test_djb2_matches_reference_algorithm():
+    # hash = 5381; hash = hash * 33 + c  over bytes, 64-bit wrapping
+    # (reference src/mapreduce.c:129-138). Independently computed values:
+    h = 5381
+    for b in b"bee":
+        h = (h * 33 + b) % (1 << 64)
+    assert djb2("bee") == h
+    assert djb2("") == 5381
+
+
+def test_wordcount_via_veneer(spark):
+    lines = spark.sparkContext.parallelize(
+        ["the bee the", "  bee   movie ", "", "the"], 3
+    )
+    out = dict(mr_run_rdd(lines, _wc_map, _count, num_reducers=4).collect())
+    assert out == {"the": 3, "bee": 2, "movie": 1}
+
+
+def test_keys_sorted_within_partition(spark):
+    lines = spark.sparkContext.parallelize(["d c b a a c d b e f g"], 1)
+    result = mr_run_rdd(lines, _wc_map, _count, num_reducers=3)
+    for part in result.glom().collect():
+        keys = [k for k, _ in part]
+        assert keys == sorted(keys)  # ascending within partition (not global)
+
+
+def test_partitioner_routes_keys(spark):
+    lines = spark.sparkContext.parallelize(["a b c d e f"], 2)
+    r = 4
+    result = mr_run_rdd(lines, _wc_map, _count, num_reducers=r)
+    parts = result.glom().collect()
+    assert len(parts) == r
+    for idx, part in enumerate(parts):
+        for key, _ in part:
+            assert djb2(key) % r == idx
+
+
+def test_custom_partitioner(spark):
+    lines = spark.sparkContext.parallelize(["a b c d"], 2)
+    everything_to_zero = lambda key: 0  # noqa: E731
+    parts = (
+        mr_run_rdd(lines, _wc_map, _count, num_reducers=3, partitioner=everything_to_zero)
+        .glom()
+        .collect()
+    )
+    assert len(parts[0]) == 4 and not parts[1] and not parts[2]
+
+
+def test_partition_count_invariance(spark):
+    """Results identical for any reducer count (SURVEY.md §5.2 property)."""
+    lines = spark.sparkContext.parallelize(
+        ["x y z x y x", "w x", "y z w q"], 3
+    )
+    expected = {"x": 4, "y": 3, "z": 2, "w": 2, "q": 1}
+    for r in (1, 2, 7, 100):
+        out = dict(mr_run_rdd(lines, _wc_map, _count, num_reducers=r).collect())
+        assert out == expected, f"num_reducers={r}"
+
+
+def test_reducer_sees_value_stream(spark):
+    """The value iterator streams all values of one key (Getter contract)."""
+    lines = spark.sparkContext.parallelize(["k k k"], 1)
+
+    def concat(key, values):
+        return ",".join(values)
+
+    out = dict(mr_run_rdd(lines, _wc_map, concat, num_reducers=2).collect())
+    assert out == {"k": "1,1,1"}
+
+
+def test_empty_input(spark):
+    lines = spark.sparkContext.parallelize([], 2)
+    assert mr_run_rdd(lines, _wc_map, _count, num_reducers=3).collect() == []
