@@ -37,18 +37,26 @@ N_BANDS = 4  # 4 rows per band
 
 
 def shingles3(toks: Column) -> Column:
-    """Distinct 3-token shingles; empty array when fewer than 3 tokens."""
-    return F.when(
-        F.size(toks) >= 3,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), F.size(toks) - 3),
-                lambda i: F.concat_ws(
-                    " ", F.get(toks, i), F.get(toks, i + 1), F.get(toks, i + 2)
-                ),
-            )
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Distinct 3-token shingles; empty array when fewer than 3 tokens.
+
+    Built with slice + zip_with (NOT indexed access inside a transform
+    lambda): higher-order functions run interpreted, so an expression like
+    ``get(toks, i)`` re-evaluates the whole tokenization per element access —
+    O(n^2) re-parsing per document. With slices, the token array is evaluated
+    a constant number of times per row and each lambda touches only its
+    lambda variables. (Found via .explain + bench: 35s -> sub-second at
+    sf0.1.)
+    """
+    n = F.size(toks)
+    cnt = F.greatest(n - 2, F.lit(0))
+    a = F.slice(toks, 1, cnt)
+    b = F.slice(toks, 2, cnt)
+    c = F.slice(toks, 3, cnt)
+    ab = F.zip_with(a, b, lambda x, y: F.concat_ws(" ", x, y))
+    abc = F.zip_with(ab, c, lambda x, y: F.concat_ws(" ", x, y))
+    return F.when(n >= 3, F.array_distinct(abc)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 _SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
@@ -59,8 +67,17 @@ _SQL_SHINGLES = (
 
 
 def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Shingling is CPU-heavy per row (interpreted higher-order exprs) and a
+    # small parquet file scans as ONE split — spread the parse across cores
+    # before the projection. Partitioning by doc_id also pre-aligns the
+    # downstream per-doc aggregations. (At 100 TB the scan itself yields
+    # enough splits; the explicit repartition is then a cheap no-op-ish
+    # rebalance that still bounds skew.)
     docs = load_table(spark, sf_dir, "documents")
-    return docs.select("doc_id", shingles3(tokens("text")).alias("sh"))
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    return docs.repartition(n, "doc_id").select(
+        "doc_id", shingles3(tokens("text")).alias("sh")
+    )
 
 
 # --------------------------------------------------------------------------

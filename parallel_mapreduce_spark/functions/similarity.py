@@ -77,17 +77,31 @@ def cosine(a: Column, b: Column) -> Column:
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms are computed ONCE per vector (narrow pass), not per pair — at N
+    # candidates x Q queries that's the difference between O(N+Q) and O(NQ)
+    # norm work. The candidate side is repartitioned: a small parquet file
+    # scans as one split, and the per-pair dot products are the CPU-heavy
+    # part worth spreading across all cores.
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), as_double("embedding").alias("qv")
+        F.col("vec_id").alias("q_id"),
+        as_double("embedding").alias("qv"),
+        l2_norm(as_double("embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("c_id"), as_double("embedding").alias("cv"))
+    c = emb.repartition(n_parts).select(
+        F.col("vec_id").alias("c_id"),
+        as_double("embedding").alias("cv"),
+        l2_norm(as_double("embedding")).alias("cn"),
+    )
     sims = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("q_id") != F.col("c_id"))
         .select(
             "q_id",
             "c_id",
-            F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim6"),
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim6"),
         )
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))

@@ -45,14 +45,20 @@ def tokens(col: Column | str) -> Column:
 
 
 def bigrams(toks: Column) -> Column:
-    """Adjacent-token bigrams; empty array when fewer than two tokens."""
-    return F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    """Adjacent-token bigrams; empty array when fewer than two tokens.
+
+    slice + zip_with, not indexed access in a transform lambda: indexed
+    access re-evaluates the token expression per element in interpreted
+    higher-order functions (see shingles3 in functions/dedup.py).
+    """
+    n = F.size(toks)
+    cnt = F.greatest(n - 1, F.lit(0))
+    ab = F.zip_with(
+        F.slice(toks, 1, cnt),
+        F.slice(toks, 2, cnt),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return F.when(n >= 2, ab).otherwise(F.array().cast("array<string>"))
 
 
 def token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
