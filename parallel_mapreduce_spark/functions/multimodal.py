@@ -86,11 +86,10 @@ def frame_sample(docs: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     the video-frame-sampling plumbing (explode over a computed index range),
     all JVM-side."""
     blobs = with_blob(docs).select("doc_id", "blob", F.octet_length("blob").alias("nb"))
+    last_idx = F.greatest(F.expr(f"(nb - 1) div {every_n_bytes}"), F.lit(0).cast("long"))
     return blobs.select(
         "doc_id",
-        F.explode(
-            F.sequence(F.lit(0), F.greatest((F.col("nb") - 1) / every_n_bytes, F.lit(0)))
-        ).alias("frame_idx"),
+        F.explode(F.sequence(F.lit(0).cast("long"), last_idx)).alias("frame_idx"),
     )
 
 

@@ -25,7 +25,8 @@ from parallel_mapreduce_spark.sources import load_table, register_views
 
 N_QUERY_VECS = 10  # vec_id < 10 are the query vectors
 TOP_K = 5
-N_PLANES = 8
+N_TABLES = 4  # independent LSH tables (multi-table raises recall)
+N_PLANES = 4  # sign bits per table => 16 buckets/table
 
 
 def as_double(vec: Column) -> Column:
@@ -113,44 +114,74 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# LSH-bucketed ANN (scale path, rows-only).
-# Deterministic pseudo-random hyperplanes: plane p, dim i ->
-# ((i * 1103515245 + p * 12345 + 12345) mod 2048) / 1024 - 1  in [-1, 1).
+# LSH-bucketed ANN (scale path, rows-only): multi-table random-hyperplane
+# LSH. Each of N_TABLES tables buckets vectors by N_PLANES sign bits; a
+# candidate is any vector sharing a bucket with the query in ANY table
+# (multi-table union is the standard recall lever). Deterministic
+# pseudo-random planes: table t, plane p, dim i ->
+# ((i * 1103515245 + (t * N_PLANES + p) * 12345 + 12345) mod 2048)/1024 - 1.
 # --------------------------------------------------------------------------
 def _plane(p: int, dim: int) -> list[float]:
     return [((i * 1103515245 + p * 12345 + 12345) % 2048) / 1024.0 - 1.0 for i in range(dim)]
 
 
-def lsh_bucket(vec: Column, dim: int) -> Column:
-    """Bucket id = concatenated sign bits of dot(vec, plane_p), p < N_PLANES."""
-    bucket = F.lit(0)
-    for p in range(N_PLANES):
-        plane = F.array(*[F.lit(v) for v in _plane(p, dim)])
-        bit = F.when(dot(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0))
-        bucket = bucket * 2 + bit
-    return bucket
+def lsh_table_buckets(vec: Column, dim: int) -> Column:
+    """array<struct<table:int, bucket:int>> — one bucket id per LSH table."""
+    entries = []
+    for t in range(N_TABLES):
+        bucket = F.lit(0)
+        for p in range(N_PLANES):
+            plane = F.array(*[F.lit(v) for v in _plane(t * N_PLANES + p, dim)])
+            bit = F.when(dot(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0))
+            bucket = bucket * 2 + bit
+        entries.append(
+            F.struct(F.lit(t).alias("table"), bucket.alias("bucket"))
+        )
+    return F.array(*entries)
 
 
 @query("ann_lsh_topk")
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k per query vector among candidates sharing its LSH bucket."""
+    """Top-k per query among candidates sharing any LSH table bucket.
+
+    Scale shape: candidate generation is an equi-join on (table, bucket) —
+    at 1000 executors the full O(Q x N) cross product never materializes;
+    each table contributes ~N / 2^N_PLANES candidates per query.
+    """
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
-    vecs = emb.select(
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.repartition(n_parts).select(
         "vec_id",
         as_double("embedding").alias("v"),
-    ).withColumn("bucket", lsh_bucket(F.col("v"), dim))
-    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"), "bucket"
+        l2_norm(as_double("embedding")).alias("nrm"),
     )
-    c = vecs.select(F.col("vec_id").alias("c_id"), F.col("v").alias("cv"), "bucket")
-    sims = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("q_id") != F.col("c_id"))
-        .select(
-            "q_id", "c_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("sim6")
-        )
+    buckets = vecs.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(lsh_table_buckets(F.col("v"), dim)).alias("tb"),
+    ).select("vec_id", "v", "nrm", "tb.table", "tb.bucket")
+    q = buckets.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        "table",
+        "bucket",
+    )
+    cand = (
+        buckets.join(F.broadcast(q), ["table", "bucket"])
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "qv", "qn", F.col("vec_id").alias("c_id"), "v", "nrm")
+        .dropDuplicates(["q_id", "c_id"])  # union of tables, score once
+    )
+    sims = cand.select(
+        "q_id",
+        "c_id",
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            "sim6"
+        ),
     )
     w = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
     return (
@@ -179,4 +210,52 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
         F.round(F.avg(l2_norm(as_double(F.col("embedding")))), 4).alias("avg_norm"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup (dedup by embedding): all pairs above a cosine
+# threshold within a bounded id range — the oracle-checked exact form of
+# embedding dedup; the unbounded scale path is the LSH bucket join above.
+# --------------------------------------------------------------------------
+EMB_DEDUP_MAX_ID = 500
+EMB_DEDUP_THRESHOLD = 0.4  # calibrated to the synthetic corpus (max pair ~0.51-0.6)
+
+
+@query(
+    "emb_neardup_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < {EMB_DEDUP_MAX_ID}
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(ROUND(list_cosine_similarity(a.e, b.e), 6), 4) AS cosine
+    FROM v a JOIN v b ON a.vec_id < b.vec_id
+    WHERE ROUND(list_cosine_similarity(a.e, b.e), 6) >= {EMB_DEDUP_THRESHOLD}
+    """,
+)
+def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < EMB_DEDUP_MAX_ID
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    withn = emb.select(
+        "vec_id",
+        as_double("embedding").alias("e"),
+        l2_norm(as_double("embedding")).alias("nrm"),
+    )
+    a = withn.repartition(n_parts).select(
+        F.col("vec_id").alias("id_a"), F.col("e").alias("ea"), F.col("nrm").alias("na")
+    )
+    b = withn.select(
+        F.col("vec_id").alias("id_b"), F.col("e").alias("eb"), F.col("nrm").alias("nb")
+    )
+    sim6 = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    return (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", sim6.alias("sim6"))
+        .filter(F.col("sim6") >= EMB_DEDUP_THRESHOLD)
+        .select("id_a", "id_b", F.round("sim6", 4).alias("cosine"))
     )

@@ -573,3 +573,117 @@ def pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
         F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
     )
+
+
+# --------------------------------------------------------------------------
+# Scalar function library (string / date / math), SURVEY.md §2.3: the
+# reference's only scalar op is strsep tokenization.
+# --------------------------------------------------------------------------
+@query(
+    "scalar_functions",
+    oracle="""
+    SELECT o_orderkey,
+           upper(substr(o_orderpriority, 1, 3)) AS pri3,
+           CAST(strlen(o_orderstatus) AS BIGINT) AS status_len,
+           CAST(year(o_orderdate) AS BIGINT) AS yr,
+           CAST(month(o_orderdate) AS BIGINT) AS mo,
+           ROUND(sqrt(o_totalprice), 4) AS sqrt_total,
+           ROUND(abs(o_totalprice - 250000.0), 4) AS dev
+    FROM orders
+    WHERE o_orderkey < 200
+    """,
+)
+def scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.filter(F.col("o_orderkey") < 200).select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 3)).alias("pri3"),
+        F.length("o_orderstatus").cast("long").alias("status_len"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+        F.round(F.sqrt("o_totalprice"), 4).alias("sqrt_total"),
+        F.round(F.abs(F.col("o_totalprice") - 250000.0), 4).alias("dev"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-series rollup: monthly revenue (date_format group key).
+# --------------------------------------------------------------------------
+@query(
+    "monthly_revenue",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+
+
+# --------------------------------------------------------------------------
+# Fact-dimension join with explicit broadcast (part is the dimension).
+# --------------------------------------------------------------------------
+@query(
+    "brand_volume",
+    oracle="""
+    SELECT p_brand,
+           COUNT(*) AS n_lines,
+           ROUND(SUM(l_quantity), 4) AS sum_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
+    )
+
+
+# --------------------------------------------------------------------------
+# HAVING (post-aggregation filter).
+# --------------------------------------------------------------------------
+@query(
+    "having_frequent_customers",
+    oracle="""
+    SELECT o_custkey, COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    """,
+)
+def having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= 15)
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch aggregation: approx_count_distinct (HLL). Rows-only — DuckDB's
+# approx_count_distinct uses a different sketch, values can't hash-match;
+# accuracy vs exact is asserted in tests/test_plans.py.
+# --------------------------------------------------------------------------
+@query("approx_distinct_parts")
+def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )

@@ -1,0 +1,79 @@
+"""Structured Streaming surface over the events table.
+
+The reference is strictly batch (SURVEY.md §2.3 "Streaming: none"); this is
+the engine's streaming extension (§7 step 6): the same hourly windowed
+aggregation as operators/events.events_hourly, expressed as a streaming query
+with a watermark for late data. The batch path is the oracle-checked one; the
+streaming twin is asserted against it in tests/test_streaming.py (same
+result, file source + availableNow trigger).
+
+At scale this is the standard Kafka/file-stream topology: source ->
+event-time window + watermark -> stateful aggregation -> sink; state is keyed
+by (window, event_type) and bounded by the watermark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from parallel_mapreduce_spark.session import apply_runtime_conf
+
+# Explicit schema: a streaming file source cannot infer, and events.ts is
+# Parquet TIMESTAMP(NANOS) which arrives as int64 under the nanosAsLong conf.
+EVENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def hourly_events_stream(
+    spark: SparkSession, sf_dir: str, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming hourly (window, event_type) counts/sums with a watermark."""
+    apply_runtime_conf(spark)
+    # The file source requires a directory; select just the events file via
+    # a glob filter over the sf_dir.
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        src.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+def run_hourly_stream_to_memory(
+    spark: SparkSession, sf_dir: str, table_name: str = "hourly_stream"
+) -> DataFrame:
+    """Run the stream to completion (availableNow) into a memory sink and
+    return the materialized result. Complete output mode: with a one-shot
+    batch the watermark never advances past the data, so append mode would
+    hold every window open and emit nothing."""
+    q = (
+        hourly_events_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

@@ -1,0 +1,67 @@
+"""Dedup quality: MinHash-LSH candidates vs exact shingle-Jaccard truth."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def _exact_pairs(spark, sf_dir, threshold):
+    from parallel_mapreduce_spark.functions.dedup import neardup_jaccard_pairs
+
+    return {
+        (r.doc_a, r.doc_b)
+        for r in neardup_jaccard_pairs(spark, sf_dir).collect()
+        if r.jaccard >= threshold
+    }
+
+
+def test_minhash_recall_on_strong_pairs(spark, sf_dir):
+    """Pairs with true Jaccard >= 0.8 should be LSH candidates (16 perms,
+    4x4 bands => P(candidate | J=0.8) ~ 0.87 per pair; the fixture's planted
+    near-dups are J ~ 0.9+, so recall must be high)."""
+    from parallel_mapreduce_spark.functions.dedup import minhash_lsh_candidates
+
+    strong = _exact_pairs(spark, sf_dir, 0.8)
+    assert strong, "fixture should contain planted near-duplicates"
+    candidates = {
+        (r.doc_a, r.doc_b) for r in minhash_lsh_candidates(spark, sf_dir).collect()
+    }
+    recall = len(strong & candidates) / len(strong)
+    assert recall >= 0.7, f"recall {recall:.2f} over {len(strong)} strong pairs"
+
+
+def test_minhash_candidates_not_degenerate(spark, sf_dir):
+    """LSH must actually prune: candidate count far below all-pairs."""
+    from parallel_mapreduce_spark.functions.dedup import minhash_lsh_candidates
+    from parallel_mapreduce_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    n_cand = minhash_lsh_candidates(spark, sf_dir).count()
+    assert n_cand < n_docs * (n_docs - 1) / 20
+
+
+def test_exact_dedup_partitions_corpus(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.dedup import dedup_exact
+    from parallel_mapreduce_spark.sources import load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    agg = dedup_exact(spark, sf_dir).agg(F.sum("n_copies")).first()[0]
+    assert agg == n_docs  # every doc accounted for exactly once
+
+
+def test_simhash_similar_docs_have_close_signatures(spark, sf_dir):
+    """For planted near-dup pairs, SimHash Hamming distance should be small
+    relative to random pairs."""
+    from parallel_mapreduce_spark.functions.dedup import simhash_signatures
+
+    sig = {r.doc_id: r.simhash for r in simhash_signatures(spark, sf_dir).collect()}
+    strong = _exact_pairs(spark, sf_dir, 0.8)
+    assert strong
+
+    def hamming(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = [hamming(sig[a], sig[b]) for a, b in strong]
+    ids = sorted(sig)
+    far = [hamming(sig[ids[i]], sig[ids[i + 1]]) for i in range(0, 50, 2)]
+    assert sum(near) / len(near) < sum(far) / len(far)

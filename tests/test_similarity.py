@@ -1,0 +1,44 @@
+"""Similarity search quality: ANN recall vs brute force; vector math sanity."""
+
+from __future__ import annotations
+
+
+def test_ann_results_subset_of_bucket_and_scored_like_brute(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.similarity import ann_lsh_topk, cosine_topk
+
+    brute = {
+        (r.q_id, r.c_id): r.cosine for r in cosine_topk(spark, sf_dir).collect()
+    }
+    ann = {(r.q_id, r.c_id): r.cosine for r in ann_lsh_topk(spark, sf_dir).collect()}
+    assert ann, "ANN should return neighbors"
+    # Scores for pairs found by both paths must be identical (same math).
+    common = set(brute) & set(ann)
+    for pair in common:
+        assert abs(brute[pair] - ann[pair]) < 1e-9
+    # LSH bucketing should still find a meaningful share of true neighbors.
+    recall = len(common) / len(brute)
+    assert recall >= 0.2, f"ANN recall {recall:.2f}"
+
+
+def test_topk_scores_are_sorted_and_bounded(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.similarity import TOP_K, cosine_topk
+
+    rows = cosine_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.q_id, []).append(r.cosine)
+        assert -1.0001 <= r.cosine <= 1.0001
+    for q, scores in by_q.items():
+        assert len(scores) == TOP_K
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_neardup_threshold_respected(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.similarity import (
+        EMB_DEDUP_THRESHOLD,
+        emb_neardup_pairs,
+    )
+
+    for r in emb_neardup_pairs(spark, sf_dir).collect():
+        assert r.cosine >= EMB_DEDUP_THRESHOLD
+        assert r.id_a < r.id_b

@@ -1,0 +1,80 @@
+"""Word-count differential test on the reference's own fixture (bee.txt).
+
+The reference's only data file is the Bee Movie script; SURVEY.md §5.1
+measured golden counts from the reference binary *under its buggy tokenizer*
+(line-abort on empty token, src/main.c:20-21). Our engine implements the
+intended semantics (split on whitespace, drop empties; SURVEY.md §2.4), so
+the assertion is differential: Spark's counts must equal an independent
+pure-Python tokenization of the same file, and the known golden keys must
+match where the reference bug doesn't bite (tokens on clean lines).
+"""
+
+from __future__ import annotations
+
+import collections
+import os
+
+import pytest
+
+BEE = "/root/reference/bee.txt"
+
+pytestmark = pytest.mark.skipif(not os.path.exists(BEE), reason="fixture absent")
+
+
+def _python_counts() -> dict[str, int]:
+    import re
+
+    counts: collections.Counter[str] = collections.Counter()
+    with open(BEE, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            counts.update(
+                t for t in re.split(r"[ \t\r]+", line.rstrip("\n")) if t
+            )
+    return dict(counts)
+
+
+def test_wordcount_matches_independent_tokenizer(spark):
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.sources import read_text_lines
+
+    lines = read_text_lines(spark, BEE)
+    toks = F.filter(
+        F.split(F.col("value"), "[ \\t\\r]+"), lambda t: t != F.lit("")
+    )
+    counts = (
+        lines.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    got = {r.word: r.cnt for r in counts.collect()}
+    want = _python_counts()
+    assert got == want
+
+
+def test_golden_keys_from_survey(spark):
+    """Intended-semantics counts for the survey's golden words (these words
+    never follow an empty token mid-line, so buggy and intended semantics
+    agree on them — SURVEY.md §5.1: the=516, Barry=89, honey=38, bee=35,
+    flowers=11)."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.sources import read_text_lines
+
+    lines = read_text_lines(spark, BEE)
+    toks = F.filter(
+        F.split(F.col("value"), "[ \\t\\r]+"), lambda t: t != F.lit("")
+    )
+    counts = {
+        r.word: r.cnt
+        for r in lines.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("word").isin("the", "Barry", "honey", "bee", "flowers"))
+        .collect()
+    }
+    assert counts["the"] == 516
+    assert counts["Barry"] == 89
+    assert counts["honey"] == 38
+    assert counts["bee"] == 35
+    assert counts["flowers"] == 11
