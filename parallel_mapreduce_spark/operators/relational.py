@@ -687,3 +687,119 @@ def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact percentiles (Spark `percentile` == DuckDB `quantile_cont`, both
+# linear-interpolated). The approximate scale path is percentile_approx.
+# --------------------------------------------------------------------------
+@query(
+    "price_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+           ROUND(quantile_cont(l_extendedprice, 0.99), 4) AS p99
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias("p90"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 4).alias("p99"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UNION ALL (bag semantics, contrast with set_union).
+# --------------------------------------------------------------------------
+@query(
+    "set_union_all",
+    oracle=f"{_BUILDING} UNION ALL {_BIG_ORDER}",
+)
+def set_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    a, b = _setop_sides(spark, sf_dir)
+    return a.union(b)
+
+
+# --------------------------------------------------------------------------
+# Correlated-scalar-subquery pattern: customers above their nation's average
+# balance (expressed as a broadcast join against the per-group aggregate —
+# the scalable decorrelated form).
+# --------------------------------------------------------------------------
+@query(
+    "cust_above_nation_avg",
+    oracle="""
+    SELECT c_custkey, ROUND(c_acctbal, 4) AS acctbal
+    FROM customer c
+    JOIN (SELECT c_nationkey, AVG(c_acctbal) AS nav
+          FROM customer GROUP BY c_nationkey) n
+      ON c.c_nationkey = n.c_nationkey
+    WHERE c.c_acctbal > n.nav
+    """,
+)
+def cust_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nation_avg = cust.groupBy("c_nationkey").agg(F.avg("c_acctbal").alias("nav"))
+    return (
+        cust.join(F.broadcast(nation_avg), "c_nationkey")
+        .filter(F.col("c_acctbal") > F.col("nav"))
+        .select("c_custkey", F.round("c_acctbal", 4).alias("acctbal"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-column dedup (dropDuplicates on a key subset).
+# --------------------------------------------------------------------------
+@query(
+    "orders_status_priority_dedup",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, MIN(o_orderkey) AS first_orderkey,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_orderstatus, o_orderpriority
+    """,
+)
+def orders_status_priority_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.min("o_orderkey").alias("first_orderkey"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Fact-fact join + date arithmetic: shipping latency per order month.
+# --------------------------------------------------------------------------
+@query(
+    "ship_latency_by_month",
+    oracle="""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           COUNT(*) AS n_lines,
+           ROUND(AVG(CAST(date_diff('day', o_orderdate, l_shipdate) AS DOUBLE)), 4)
+             AS avg_latency_days
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY 1
+    """,
+)
+def ship_latency_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(
+                F.avg(F.datediff("l_shipdate", "o_orderdate").cast("double")), 4
+            ).alias("avg_latency_days"),
+        )
+    )
