@@ -39,8 +39,10 @@ def main() -> None:
     spark = get_spark("bench")
     names = headline_names()
     # Warm the JVM/session on the smallest sf so first-query JIT/session cost
-    # doesn't land on the first measured query.
-    run_query(spark, names[0], "/root/testdata/sf0.001")
+    # doesn't land on the measured runs — codegen is per-plan, so every
+    # headline plan gets one warm pass.
+    for name in names:
+        run_query(spark, name, "/root/testdata/sf0.001")
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(run_query(spark, name, sf_dir), 3)

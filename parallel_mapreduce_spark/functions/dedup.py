@@ -128,28 +128,32 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
+    # The per-doc shingle-set size rides along with each exploded row
+    # (shingles3 output is already distinct, so sz = size(sh)) instead of a
+    # separate groupBy + broadcast-join per side: the whole query is 2 scans
+    # of documents (join probe + build) rather than 4, and the Jaccard
+    # denominator is available directly at pair-aggregation time.
     sh = _doc_shingles(spark, sf_dir).select(
-        "doc_id", F.explode("sh").alias("s")
+        "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
     # At 100 TB, add a shingle-frequency cap here (drop shingles appearing in
     # > K docs) to bound the self-join fan-out on boilerplate; the synthetic
     # corpus has no such hot shingles, so the exact form stays oracle-equal.
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (
         a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(F.count("*").alias("shared"))
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     jac = F.col("shared") * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - F.col("shared"))
-    return (
-        pairs.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
     )
 
 
