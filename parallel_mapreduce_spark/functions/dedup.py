@@ -220,9 +220,9 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # SimHash: 64-bit signature; bit b is the sign of sum over tokens of
 # tf * (+/-1 per bit of xxhash64(token)). Rows-only (JVM hash not portable).
 # --------------------------------------------------------------------------
-@query("simhash_signatures")
-def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash: long) — shared by the signature query and the
+    near-dup band join below."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
@@ -249,4 +249,67 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")
             ).otherwise(F.lit(0).cast("long"))
         ).alias("simhash")
+    )
+
+
+@query("simhash_signatures")
+def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return simhash_df(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# SimHash near-dup pairs: pigeonhole band join + exact Hamming verify.
+# Splitting the 64-bit signature into 4 16-bit bands guarantees that any
+# pair with Hamming distance <= 3 shares at least one exact band (<= 3 bit
+# flips can dirty at most 3 of the 4 bands) — so the candidate join is an
+# EQUI-join on (band_idx, band_value): one shuffle, no all-pairs product,
+# the same index-join shape as MinHash-LSH. Rows-only check (xxhash64 is
+# not portable to DuckDB); exact-duplicate texts are asserted to collide at
+# Hamming 0 in tests/test_dedup.py.
+# --------------------------------------------------------------------------
+SIMHASH_N_BANDS = 4  # 16 bits per band
+SIMHASH_MAX_HAMMING = 3  # pigeonhole-complete for 4 bands
+
+
+@query("simhash_neardup_pairs")
+def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    sig = simhash_df(spark, sf_dir)
+    bands = sig.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.expr(f"(simhash >> {16 * b}) & 65535").alias("band_val"),
+                    )
+                    for b in range(SIMHASH_N_BANDS)
+                ]
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", "bv.band_idx", "bv.band_val")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    # A pair sharing k bands appears k times in the join; the groupBy both
+    # dedupes candidates and carries the signatures for the Hamming verify.
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+        .filter(hamming <= SIMHASH_MAX_HAMMING)
+        .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )

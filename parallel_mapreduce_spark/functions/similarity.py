@@ -192,6 +192,117 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# IVF ANN (inverted-file index): the second scale path beside LSH.
+# Index build = distributed k-means-style partitioning: deterministic seed
+# centroids -> one Lloyd refinement (assign + per-dimension mean via
+# posexplode/groupBy — the classic distributed k-means iteration) -> every
+# vector assigned to its nearest cell. Search = probe the IVF_NPROBE nearest
+# cells per query, brute-force cosine only within those cells.
+#
+# Scale shape: centroids are O(K x dim) — always broadcast; the index build
+# is two narrow passes over the vectors plus one K-sized shuffle; search
+# touches ~IVF_NPROBE/K of the corpus instead of all of it. Rows-only check
+# (the centroid refinement is not reasonably expressible in portable SQL);
+# score agreement with brute force on common pairs is asserted in
+# tests/test_similarity.py.
+# --------------------------------------------------------------------------
+IVF_K = 16  # inverted-file cells
+IVF_NPROBE = 6  # cells probed per query
+
+
+def _argmin_cell(vecs: DataFrame, cents: DataFrame, keep: list[str]) -> DataFrame:
+    """Assign each vector to its nearest centroid by cosine (deterministic
+    tie-break on cell id); `keep` columns ride along inside the min-struct."""
+    sim6 = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
+    scored = vecs.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.struct(
+            (-sim6).alias("neg_sim"),
+            F.col("cid").alias("cid"),
+            *[F.col(c).alias(c) for c in keep],
+        ).alias("cand"),
+    )
+    best = scored.groupBy("vec_id").agg(F.min("cand").alias("best"))
+    return best.select(
+        "vec_id",
+        F.col("best.cid").alias("cid"),
+        *[F.col(f"best.{c}").alias(c) for c in keep],
+    )
+
+
+def ivf_centroids(vecs: DataFrame) -> DataFrame:
+    """(cid, cv, cn) — seeds are the first IVF_K non-query vectors, refined by
+    one Lloyd step (per-dimension mean of each seed's Voronoi cell)."""
+    seeds = vecs.filter(
+        (F.col("vec_id") >= N_QUERY_VECS) & (F.col("vec_id") < N_QUERY_VECS + IVF_K)
+    ).select(
+        (F.col("vec_id") - N_QUERY_VECS).cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
+    assigned = _argmin_cell(vecs, seeds, keep=["v"])
+    dims = assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+    means = dims.groupBy("cid", "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy("cid")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "cid",
+            F.transform("pm", lambda s: s.getField("m")).alias("cv"),
+        )
+        .withColumn("cn", l2_norm(F.col("cv")))
+    )
+
+
+@query("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per query among vectors in the query's IVF_NPROBE nearest cells."""
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.repartition(n_parts).select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        l2_norm(as_double("embedding")).alias("nrm"),
+    )
+    cents = ivf_centroids(vecs)
+    index = _argmin_cell(vecs, cents, keep=["v", "nrm"])  # (vec_id, cid, v, nrm)
+    # Query side: rank ALL cells per query, keep the IVF_NPROBE nearest.
+    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS)
+    q_sim6 = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cn")), 6)
+    wq = W.partitionBy("q_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            "cid",
+            q_sim6.alias("csim"),
+        )
+        .withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= IVF_NPROBE)
+        .select("q_id", "qv", "qn", "cid")
+    )
+    cand = index.join(F.broadcast(probes), "cid").filter(
+        F.col("q_id") != F.col("vec_id")
+    )
+    sims = cand.select(
+        "q_id",
+        F.col("vec_id").alias("c_id"),
+        F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+            "sim6"
+        ),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", F.round("sim6", 4).alias("cosine"))
+    )
+
+
+# --------------------------------------------------------------------------
 # Per-label embedding stats (oracle-checked vector math sanity).
 # --------------------------------------------------------------------------
 @query(

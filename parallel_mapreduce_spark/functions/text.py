@@ -180,6 +180,53 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# BPE-ish regex token counting: pieces are letter runs, digit runs, or single
+# non-alphanumeric marks — the coarse pre-tokenization most BPE vocabularies
+# apply before merges (GPT-2-style), so piece count tracks LLM token budget
+# far better than whitespace count. Same RE in Spark (Java regex) and DuckDB
+# (RE2); the character classes used are identical in both dialects.
+# --------------------------------------------------------------------------
+_BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@query(
+    "regex_token_stats",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, regexp_extract_all(text, '{_BPE_RE}') AS pieces,
+             {_SQL_TOKS} AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(ws) AS BIGINT) AS n_ws_tokens,
+           CAST(len(pieces) AS BIGINT) AS n_pieces,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[A-Za-z]')))
+                AS BIGINT) AS n_alpha,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[0-9]')))
+                AS BIGINT) AS n_digit,
+           CAST(len(list_filter(pieces, x -> regexp_matches(x, '^[^A-Za-z0-9]')))
+                AS BIGINT) AS n_punct
+    FROM p
+    """,
+)
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
+    n_of = lambda pat: F.size(  # noqa: E731
+        F.filter(pieces, lambda x: x.rlike(pat))
+    ).cast("long")
+    return docs.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("n_ws_tokens"),
+        F.size(pieces).cast("long").alias("n_pieces"),
+        n_of("^[A-Za-z]").alias("n_alpha"),
+        n_of("^[0-9]").alias("n_digit"),
+        n_of("^[^A-Za-z0-9]").alias("n_punct"),
+    )
+
+
+# --------------------------------------------------------------------------
 # n-grams: bigram counts (top 20, deterministic tie-break).
 # --------------------------------------------------------------------------
 @query(

@@ -1,8 +1,19 @@
 from parallel_mapreduce_spark.sources.tables import (  # noqa: F401
     TABLES,
     load_table,
+    read_csv,
+    read_json,
     read_text_lines,
     register_views,
+    write_table,
 )
 
-__all__ = ["TABLES", "load_table", "read_text_lines", "register_views"]
+__all__ = [
+    "TABLES",
+    "load_table",
+    "read_csv",
+    "read_json",
+    "read_text_lines",
+    "register_views",
+    "write_table",
+]

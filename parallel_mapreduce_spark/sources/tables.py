@@ -69,6 +69,48 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     _REGISTERED.add(key)
 
 
+def read_csv(
+    spark: SparkSession, paths: list[str] | str, schema: str | None = None
+) -> DataFrame:
+    """CSV scan. An explicit schema string skips the inference pass (which
+    reads the data twice) — at 100 TB always pass one."""
+    apply_runtime_conf(spark)
+    reader = spark.read.option("header", "true")
+    reader = reader.schema(schema) if schema else reader.option("inferSchema", "true")
+    return reader.csv(paths)
+
+
+def read_json(
+    spark: SparkSession, paths: list[str] | str, schema: str | None = None
+) -> DataFrame:
+    """JSON-lines scan; same explicit-schema rule as read_csv."""
+    apply_runtime_conf(spark)
+    reader = spark.read
+    reader = reader.schema(schema) if schema else reader
+    return reader.json(paths)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Sink: write a result as parquet/csv/json, optionally hive-partitioned.
+
+    Partitioning by a low-cardinality column gives downstream readers
+    partition pruning for free; at 100 TB that plus parquet row-group stats
+    is the difference between a full scan and a pruned one.
+    """
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.format(fmt).save(path)
+
+
 def read_text_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """The reference's source surface: text files as one `value: string` column.
 

@@ -65,3 +65,27 @@ def test_simhash_similar_docs_have_close_signatures(spark, sf_dir):
     ids = sorted(sig)
     far = [hamming(sig[ids[i]], sig[ids[i + 1]]) for i in range(0, 50, 2)]
     assert sum(near) / len(near) < sum(far) / len(far)
+
+
+def test_simhash_neardup_pairs_verified_and_complete_for_exact_dups(spark, sf_dir):
+    """Exact duplicate texts have identical signatures -> the band join MUST
+    surface them at Hamming 0; and every returned pair respects the max
+    Hamming threshold."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        SIMHASH_MAX_HAMMING,
+        dedup_exact,
+        simhash_neardup_pairs,
+    )
+    from parallel_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    dup_groups = dedup_exact(spark, sf_dir).filter(F.col("n_copies") > 1).count()
+    pairs = simhash_neardup_pairs(spark, sf_dir).collect()
+    for r in pairs:
+        assert r.doc_a < r.doc_b
+        assert 0 <= r.hamming <= SIMHASH_MAX_HAMMING
+    if dup_groups:
+        assert any(r.hamming == 0 for r in pairs)
+    # Band join must prune: far below all-pairs.
+    n_docs = docs.count()
+    assert len(pairs) < n_docs * (n_docs - 1) / 20

@@ -42,3 +42,27 @@ def test_neardup_threshold_respected(spark, sf_dir):
     for r in emb_neardup_pairs(spark, sf_dir).collect():
         assert r.cosine >= EMB_DEDUP_THRESHOLD
         assert r.id_a < r.id_b
+
+
+def test_ivf_results_scored_like_brute_with_meaningful_recall(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.similarity import (
+        TOP_K,
+        ann_ivf_topk,
+        cosine_topk,
+    )
+
+    brute = {(r.q_id, r.c_id): r.cosine for r in cosine_topk(spark, sf_dir).collect()}
+    ivf_rows = ann_ivf_topk(spark, sf_dir).collect()
+    ivf = {(r.q_id, r.c_id): r.cosine for r in ivf_rows}
+    assert ivf, "IVF should return neighbors"
+    by_q = {}
+    for r in ivf_rows:
+        by_q.setdefault(r.q_id, []).append(r.cosine)
+    for scores in by_q.values():
+        assert len(scores) <= TOP_K
+        assert scores == sorted(scores, reverse=True)
+    common = set(brute) & set(ivf)
+    for pair in common:
+        assert abs(brute[pair] - ivf[pair]) < 1e-9
+    recall = len(common) / len(brute)
+    assert recall >= 0.2, f"IVF recall {recall:.2f}"

@@ -23,3 +23,23 @@ def test_stream_is_streaming_df(spark, sf_dir):
 
     df = hourly_events_stream(spark, sf_dir)
     assert df.isStreaming
+
+
+def test_stateful_stream_totals_match_batch(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.sources import load_table
+    from parallel_mapreduce_spark.streaming.stateful import stream_user_totals
+
+    batch = {
+        r.user_id: (r.n, round(r.total, 4))
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("total"))
+        .collect()
+    }
+    streamed = {
+        r.user_id: (r.n_events, round(r.total_value, 4))
+        for r in stream_user_totals(spark, sf_dir).collect()
+    }
+    assert streamed == batch
