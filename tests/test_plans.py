@@ -96,3 +96,70 @@ def test_approx_distinct_accuracy(spark, sf_dir):
     assert rows
     for r in rows:
         assert abs(r.approx_parts - r.exact_parts) <= 0.1 * r.exact_parts
+
+
+def test_q6_filters_pushed_no_row_shuffle(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.relational import q6_forecast_revenue
+
+    plan = _plan(q6_forecast_revenue(spark, sf_dir))
+    assert "PushedFilters" in plan and "l_shipdate" in plan
+    # Only the one-row partial aggregates cross an exchange.
+    assert "partial_sum" in plan or "partial" in plan
+
+
+def test_q14_q19_broadcast_part_dimension(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.relational import (
+        q14_promo_share,
+        q19_disjunctive_revenue,
+    )
+
+    for q in (q14_promo_share, q19_disjunctive_revenue):
+        plan = _plan(q(spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, q.__name__
+        # The disjunctive predicate must NOT degrade to a nested-loop join.
+        assert "NestedLoop" not in plan, q.__name__
+
+
+def test_q18_aggregates_before_joining(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.relational import (
+        q18_large_volume_customers,
+    )
+
+    # Aggregate-then-join: in the optimized tree the quantity aggregate is a
+    # descendant of the joins (runs first), so the join input is HAVING-sized.
+    plan = _optimized(q18_large_volume_customers(spark, sf_dir))
+    assert plan.index("Join") < plan.index("Aggregate")
+
+
+def test_asof_join_avoids_nested_loop(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.timeseries import (
+        asof_purchase_attribution,
+    )
+
+    # The tagged-union formulation must compile to window-over-exchange, not
+    # a range cross join.
+    plan = _plan(asof_purchase_attribution(spark, sf_dir))
+    assert "NestedLoop" not in plan
+    assert "Window" in plan
+
+
+def test_simhash_neardup_is_equi_join(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.dedup import simhash_neardup_pairs
+
+    plan = _plan(simhash_neardup_pairs(spark, sf_dir))
+    assert "NestedLoop" not in plan  # band join is an equi-join
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.operators.skew import salted_join
+    from parallel_mapreduce_spark.sources import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    dim = ev.select("user_id").distinct().withColumn(
+        "flag", (F.col("user_id") % 2 == 0)
+    )
+    plain = ev.join(dim, "user_id").groupBy("flag").count().collect()
+    salted = salted_join(ev, dim, "user_id", salt=4).groupBy("flag").count().collect()
+    assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
