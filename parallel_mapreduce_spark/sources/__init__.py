@@ -5,6 +5,7 @@ from parallel_mapreduce_spark.sources.tables import (  # noqa: F401
     read_json,
     read_text_lines,
     register_views,
+    write_bucketed,
     write_table,
 )
 
@@ -15,5 +16,6 @@ __all__ = [
     "read_json",
     "read_text_lines",
     "register_views",
+    "write_bucketed",
     "write_table",
 ]

@@ -111,6 +111,33 @@ def write_table(
     writer.format(fmt).save(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    name: str,
+    path: str,
+    key: str,
+    buckets: int = 8,
+) -> None:
+    """Sink a table bucketed + sorted by `key` (hash(key) % buckets files per
+    partition, rows sorted within each bucket file).
+
+    This is the co-located-join primitive: two tables bucketed by the same
+    key with the same bucket count join with NO exchange and NO sort — the
+    scan itself provides the distribution Spark's sort-merge join needs. At
+    100 TB, bucketing the fact tables on their join key once at ingest
+    removes the dominant shuffle from every subsequent join
+    (tests/test_sources.py pins the exchange-free plan).
+    """
+    (
+        df.write.format("parquet")
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .mode("overwrite")
+        .saveAsTable(name)
+    )
+
+
 def read_text_lines(spark: SparkSession, paths: list[str] | str) -> DataFrame:
     """The reference's source surface: text files as one `value: string` column.
 

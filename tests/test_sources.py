@@ -46,3 +46,41 @@ def test_partitioned_parquet_sink_prunes(spark, sf_dir, tmp_path):
     plan = one._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters: [" in plan and "lang" in plan.split("PartitionFilters")[1][:200]
     assert one.count() == df.filter(F.col("lang") == "en").count()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.sources import load_table, write_bucketed
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    write_bucketed(li, "li_b", str(tmp_path / "li_b"), "l_orderkey", buckets=4)
+    write_bucketed(
+        orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+        "orders_b",
+        str(tmp_path / "orders_b"),
+        "l_orderkey",
+        buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", None)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("li_b").join(spark.table("orders_b"), "l_orderkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # Co-located: the bucketed scans satisfy the join's distribution —
+        # no shuffle, no broadcast.
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # And it computes the right thing.
+        n = joined.count()
+        assert n == li.join(
+            orders, li.l_orderkey == orders.o_orderkey
+        ).count()
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS orders_b")
