@@ -313,3 +313,97 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
+
+
+# --------------------------------------------------------------------------
+# Near-dup clustering: connected components over the verified Jaccard pair
+# graph — the step that turns pairwise near-dup hits into "keep one doc per
+# cluster" decisions. Implemented as distributed min-label propagation: every
+# doc starts labeled with its own id; each round, a doc takes the minimum
+# label among itself and its neighbors; fixpoint = components. Each round is
+# one shuffle on doc_id; rounds needed = graph diameter (near-dup clusters
+# are tiny and dense, so a handful). The driver loop only orchestrates —
+# all data stays distributed; localCheckpoint truncates the growing lineage
+# so round N doesn't replay rounds 1..N-1.
+#
+# Oracle: DuckDB recursive CTE computing min reachable id per node — the
+# same fixpoint, derived declaratively.
+# --------------------------------------------------------------------------
+_CLUSTER_PAIRS_SQL = f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t WHERE len(toks) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b
+    FROM pairs
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "neardup_clusters",
+    oracle=f"""
+    WITH RECURSIVE pairs AS ({_CLUSTER_PAIRS_SQL}),
+    nodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      )
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY doc_id
+    """,
+)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
+    # Materialize the pair graph once: every propagation round reads it, and
+    # it is tiny relative to the corpus (near-dup pairs only).
+    edges = edges.localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+    )
+    for _ in range(32):  # diameter cap; near-dup clusters are shallow
+        neighbor_min = (
+            edges.join(labels, edges.src == labels.doc_id)
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            .filter(F.col("label") != F.col("old"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
