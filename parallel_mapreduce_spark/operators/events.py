@@ -177,3 +177,84 @@ def events_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         F.round(F.col("cnt") * F.lit(1.0) / F.sum("cnt").over(w), 4).alias("share"),
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured props as a real MapType (SURVEY.md §1.2: events.props JSON
+# -> MapType via from_json) — keys exploded and aggregated. Unlike the
+# get_json_object path above, this handles arbitrary/unknown key sets.
+# --------------------------------------------------------------------------
+@query(
+    "events_props_map",
+    oracle="""
+    WITH kv AS (
+      SELECT unnest(json_keys(props)) AS prop_key, props FROM events
+    )
+    SELECT prop_key,
+           COUNT(*) AS n_events,
+           ROUND(AVG(CAST(json_extract_string(props, '$.' || prop_key)
+                          AS DOUBLE)), 4) AS avg_value
+    FROM kv GROUP BY prop_key
+    """,
+)
+def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    props = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(F.explode(props).alias("prop_key", "prop_val"))
+        .groupBy("prop_key")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg(F.col("prop_val").cast("double")), 4).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Native session windows: the same 30-min-gap sessionization as
+# events_sessionize, but via Spark's built-in session_window operator (one
+# hash-agg with merging session state instead of two analytic windows). The
+# oracle is the identical recursive formulation — proving the built-in
+# operator and the window composition agree.
+# --------------------------------------------------------------------------
+@query(
+    "events_session_window",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    )
+    SELECT user_id,
+           CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )

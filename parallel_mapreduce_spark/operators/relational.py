@@ -1013,3 +1013,34 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_lines"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE-frame window: trailing-7-day spend per customer — a value-based
+# frame (range on event-time seconds), complementing the row-based frames in
+# window_running_spend. One shuffle on custkey serves the whole analytic.
+# --------------------------------------------------------------------------
+@query(
+    "window_trailing_7d_spend",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+             RANGE BETWEEN 604800 PRECEDING AND CURRENT ROW
+           ), 4) AS trailing_7d
+    FROM orders
+    """,
+)
+def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-604800, 0)
+    )
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.sum("o_totalprice").over(w), 4).alias("trailing_7d"),
+    )
