@@ -18,7 +18,13 @@ from parallel_mapreduce_spark.registry import QUERIES, _load_all
 _load_all()
 
 # Queries whose plan is legitimately Python-backed (documented slow paths).
-PYTHON_SURFACE = {"multimodal_features", "mr_wordcount", "stream_user_totals"}
+PYTHON_SURFACE = {
+    "multimodal_features",
+    "mr_wordcount",
+    "stream_user_totals",
+    "pandas_udf_vowel_ratio",
+    "pandas_grouped_zscore",
+}
 # Queries that execute eagerly on construction (stream run / iterative loop);
 # their returned frame's plan is a result scan, still audited for the flags.
 EAGER = {"stream_user_totals", "neardup_clusters"}
