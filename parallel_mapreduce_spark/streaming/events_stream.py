@@ -77,3 +77,29 @@ def run_hourly_stream_to_memory(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+def run_hourly_stream_to_parquet(
+    spark: SparkSession, sf_dir: str, out_path: str
+) -> DataFrame:
+    """Stream -> foreachBatch -> parquet: the production sink escape hatch.
+
+    foreachBatch hands each micro-batch to arbitrary batch-writer code (here
+    an overwrite snapshot of the complete aggregation state; real pipelines
+    do merges/upserts the same way). availableNow drains the source and
+    terminates, so the final snapshot equals the batch aggregation — asserted
+    in tests/test_streaming.py.
+    """
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(out_path)
+
+    q = (
+        hourly_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(out_path)

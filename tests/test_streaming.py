@@ -43,3 +43,21 @@ def test_stateful_stream_totals_match_batch(spark, sf_dir):
         for r in stream_user_totals(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_stream_foreachbatch_parquet_sink_matches_batch(spark, sf_dir, tmp_path):
+    from parallel_mapreduce_spark.operators.events import events_hourly
+    from parallel_mapreduce_spark.streaming.events_stream import (
+        run_hourly_stream_to_parquet,
+    )
+
+    out = str(tmp_path / "hourly_parquet")
+    got = {
+        (r.hour_epoch, r.event_type): (r.cnt, round(r.sum_value, 4))
+        for r in run_hourly_stream_to_parquet(spark, sf_dir, out).collect()
+    }
+    want = {
+        (r.hour_epoch, r.event_type): (r.cnt, round(r.sum_value, 4))
+        for r in events_hourly(spark, sf_dir).collect()
+    }
+    assert got == want
