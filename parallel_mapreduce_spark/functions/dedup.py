@@ -128,12 +128,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    # The per-doc shingle-set size rides along with each exploded row
-    # (shingles3 output is already distinct, so sz = size(sh)) instead of a
-    # separate groupBy + broadcast-join per side: the whole query is 2 scans
-    # of documents (join probe + build) rather than 4, and the Jaccard
-    # denominator is available directly at pair-aggregation time.
-    sh = _doc_shingles(spark, sf_dir).select(
+    return jaccard_pairs(_doc_shingles(spark, sf_dir))
+
+
+def jaccard_pairs(shingled: DataFrame) -> DataFrame:
+    """(doc_id, sh: array<string>) -> (doc_a, doc_b, jaccard >= threshold).
+
+    The per-doc shingle-set size rides along with each exploded row
+    (shingles3 output is already distinct, so sz = size(sh)) instead of a
+    separate groupBy + broadcast-join per side: the whole query is 2 scans
+    of the input (join probe + build) rather than 4, and the Jaccard
+    denominator is available directly at pair-aggregation time.
+    """
+    sh = shingled.select(
         "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
     # At 100 TB, add a shingle-frequency cap here (drop shingles appearing in
@@ -372,6 +379,13 @@ _CLUSTER_PAIRS_SQL = f"""
 def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     pairs = neardup_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    return connected_components(pairs)
+
+
+def connected_components(pairs: DataFrame) -> DataFrame:
+    """(doc_id, cluster_id) for every node in the (doc_a, doc_b) pair graph;
+    cluster_id = min doc_id reachable. Distributed min-label propagation —
+    see the block comment above for the scale argument."""
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     # Materialize the pair graph once: every propagation round reads it, and
     # it is tiny relative to the corpus (near-dup pairs only).

@@ -1,0 +1,115 @@
+"""End-to-end training-data cleaning pipeline (the capstone composition).
+
+Chains the engine's LLM-pipeline operators the way a real corpus-prep job
+does — quality gate -> exact dedup -> near-dup clustering with keep-one —
+and stays fully oracle-checked: every stage has an exact SQL twin, so the
+composed pipeline does too (recursive CTE for the clustering fixpoint).
+
+Stage order matters and is part of the contract: the quality gate runs first
+(cheapest, narrow), exact dedup second (one shuffle on text hash), near-dup
+clustering last over the smallest surviving set (the expensive inverted-index
+join). At 100 TB this ordering is the difference between shingling the whole
+corpus and shingling what survives the cheap gates.
+
+Shuffle census for the whole pipeline: 1 (exact dedup groupBy) + 1 (survivor
+join) + 2 (shingle index join + pair agg) + O(diameter) label-propagation
+rounds over the pair graph (orders of magnitude smaller than the corpus) +
+1 (keep-one anti-join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.functions.dedup import (
+    JACCARD_THRESHOLD,
+    connected_components,
+    jaccard_pairs,
+    shingles3,
+)
+from parallel_mapreduce_spark.functions.text import quality_expr, tokens
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.sources import load_table, register_views
+
+PIPELINE_QUALITY_MIN = 0.5
+
+# SQL fragments kept in lockstep with the Spark expressions.
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+_STOP = "['the', 'a', 'of', 'and']"
+_QUALITY = (
+    "0.6 * least(len(toks) / 100.0, 1.0) "
+    f"+ 0.4 * (1.0 - len(list_filter(toks, x -> list_contains({_STOP}, x)))"
+    " * 1.0 / len(toks))"
+)
+_SHINGLES = (
+    "list_distinct(list_transform(range(1, len(toks) - 1), "
+    "i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]))"
+)
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    t AS (SELECT doc_id, lang, text, {_TOKS} AS toks FROM documents),
+    q AS (SELECT * FROM t WHERE {_QUALITY} >= {PIPELINE_QUALITY_MIN}),
+    keep_e AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY text),
+    s AS (SELECT q.* FROM q JOIN keep_e USING (doc_id)),
+    sh AS (SELECT doc_id, unnest({_SHINGLES}) AS s
+           FROM s WHERE len(toks) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    jp AS (
+      SELECT doc_a, doc_b FROM cand
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= {JACCARD_THRESHOLD}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM jp
+      UNION ALL SELECT doc_b, doc_a FROM jp
+    ),
+    nodes AS (SELECT DISTINCT src AS doc_id FROM edges),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM nodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.doc_id
+    ),
+    clus AS (SELECT doc_id, MIN(label) AS cluster_id FROM reach GROUP BY doc_id),
+    dropped AS (SELECT doc_id FROM clus WHERE cluster_id <> doc_id)
+    SELECT s.doc_id, s.lang, CAST(len(s.toks) AS BIGINT) AS n_tokens
+    FROM s LEFT JOIN dropped d USING (doc_id)
+    WHERE d.doc_id IS NULL
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kept documents (doc_id, lang, n_tokens) after the full cleaning chain."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # Stage 0: tokenize once; every later stage reuses the array column.
+    t = docs.repartition(n_parts, "doc_id").select(
+        "doc_id", "lang", "text", tokens("text").alias("toks")
+    )
+    # Stage 1: quality gate (narrow).
+    q = t.filter(quality_expr(F.col("toks")) >= PIPELINE_QUALITY_MIN)
+    # Stage 2: exact dedup — smallest doc_id survives per identical text.
+    keep_e = q.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    s = q.join(keep_e.select("doc_id"), "doc_id")
+    # Stage 3: near-dup clustering over survivors; keep cluster representatives.
+    shingled = s.select("doc_id", shingles3(F.col("toks")).alias("sh"))
+    pairs = jaccard_pairs(shingled).select("doc_a", "doc_b")
+    dropped = (
+        connected_components(pairs)
+        .filter(F.col("cluster_id") != F.col("doc_id"))
+        .select("doc_id")
+    )
+    kept = s.join(dropped, "doc_id", "left_anti")
+    return kept.select(
+        "doc_id", "lang", F.size("toks").cast("long").alias("n_tokens")
+    )

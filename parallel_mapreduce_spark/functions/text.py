@@ -340,6 +340,21 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SQL_STOP = "['" + "', '".join(STOPWORDS) + "']"
 
 
+def stop_ratio_expr(toks: Column) -> Column:
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return stop_cnt * F.lit(1.0) / F.size(toks)
+
+
+def quality_expr(toks: Column) -> Column:
+    """0.6 * min(n_tokens/100, 1) + 0.4 * (1 - stopword_ratio); null for
+    empty docs (division by zero -> null, filters drop them)."""
+    n_tok = F.size(toks)
+    return F.lit(0.6) * F.least(n_tok / F.lit(100.0), F.lit(1.0)) + F.lit(0.4) * (
+        F.lit(1.0) - stop_ratio_expr(toks)
+    )
+
+
 @query(
     "quality_score",
     oracle=f"""
@@ -358,18 +373,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
-    n_tok = F.size(toks)
-    stop_cnt = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
-    stop_ratio = stop_cnt * F.lit(1.0) / n_tok
-    quality = F.lit(0.6) * F.least(n_tok / F.lit(100.0), F.lit(1.0)) + F.lit(0.4) * (
-        F.lit(1.0) - stop_ratio
-    )
     return docs.select(
         "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(stop_ratio, 4).alias("stop_ratio"),
-        F.round(quality, 4).alias("quality"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(stop_ratio_expr(toks), 4).alias("stop_ratio"),
+        F.round(quality_expr(toks), 4).alias("quality"),
     )
 
 

@@ -72,6 +72,7 @@ def _load_all() -> None:
         return
     import parallel_mapreduce_spark.functions.dedup  # noqa: F401
     import parallel_mapreduce_spark.functions.multimodal  # noqa: F401
+    import parallel_mapreduce_spark.functions.pipeline  # noqa: F401
     import parallel_mapreduce_spark.functions.python_slots  # noqa: F401
     import parallel_mapreduce_spark.functions.similarity  # noqa: F401
     import parallel_mapreduce_spark.functions.text  # noqa: F401

@@ -27,7 +27,7 @@ PYTHON_SURFACE = {
 }
 # Queries that execute eagerly on construction (stream run / iterative loop);
 # their returned frame's plan is a result scan, still audited for the flags.
-EAGER = {"stream_user_totals", "neardup_clusters"}
+EAGER = {"stream_user_totals", "neardup_clusters", "pipeline_clean_corpus"}
 
 
 def _plan(df) -> str:
