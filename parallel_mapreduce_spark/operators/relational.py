@@ -1044,3 +1044,89 @@ def window_trailing_7d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         F.round(F.sum("o_totalprice").over(w), 4).alias("trailing_7d"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity-aware,
+# implemented by Spark as an aggregate of per-side counts — one shuffle, no
+# join explosion.
+# --------------------------------------------------------------------------
+@query("set_intersect_all", oracle=f"{_BUILDING} INTERSECT ALL {_BIG_ORDER}")
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    a, b = _setop_sides(spark, sf_dir)
+    return a.intersectAll(b)
+
+
+@query("set_except_all", oracle=f"{_BUILDING} EXCEPT ALL {_BIG_ORDER}")
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    a, b = _setop_sides(spark, sf_dir)
+    return a.exceptAll(b)
+
+
+# --------------------------------------------------------------------------
+# Remaining analytic functions: ntile deciles + nth_value + cume_dist over
+# one customer-partitioned window (one exchange serves all three).
+# --------------------------------------------------------------------------
+@query(
+    "window_ntile_nth",
+    oracle="""
+    SELECT o_orderkey,
+           ntile(4) OVER w AS spend_quartile,
+           ROUND(nth_value(o_totalprice, 2) OVER
+                 (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING), 4)
+             AS second_highest,
+           ROUND(cume_dist() OVER w, 4) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ntile_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return orders.select(
+        "o_orderkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.round(F.nth_value("o_totalprice", 2).over(w_full), 4).alias(
+            "second_highest"
+        ),
+        F.round(F.cume_dist().over(w), 4).alias("cdist"),
+    )
+
+
+# --------------------------------------------------------------------------
+# The pure-SQL surface: the engine's queries are equally expressible through
+# spark.sql over the registered views (same Catalyst plans as the DataFrame
+# API). TPC-H Q10-style returned-item revenue per customer, top 20.
+# --------------------------------------------------------------------------
+_Q10_SQL = """
+SELECT c.c_custkey,
+       c.c_name,
+       ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS revenue,
+       n.n_name
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE o.o_orderdate >= TIMESTAMP '1995-10-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l.l_returnflag = 'R'
+GROUP BY c.c_custkey, c.c_name, n.n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+@query("q10_returned_items_sql", oracle=_Q10_SQL)
+def q10_returned_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Submitted as SQL text (spark.sql) — IDENTICAL string to the oracle;
+    Catalyst plans it like the DataFrame queries (broadcast nation, pushed
+    date/returnflag filters, TakeOrdered top-k)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_Q10_SQL)
