@@ -123,3 +123,64 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return extract_features(load_table(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------
+# Frame sampling as a registered query (oracle-checked): the video-frame
+# plumbing is pure JVM (explode over a computed index range), so the index
+# arithmetic gets an exact SQL twin.
+# --------------------------------------------------------------------------
+FRAME_STRIDE = 64
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    SELECT doc_id,
+           unnest(range(0, greatest((strlen(text) - 1) // {FRAME_STRIDE} + 1, 1)))
+             AS frame_idx
+    FROM documents
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(docs, every_n_bytes=FRAME_STRIDE)
+
+
+# --------------------------------------------------------------------------
+# Resize stub through the Arrow batch path (rows-only): decode dims via the
+# deterministic fake, then compute the letterboxed target size — the real
+# thing swaps _fake_decode for a codec and adds the pixel op.
+# --------------------------------------------------------------------------
+RESIZE_TARGET = 128
+
+RESIZE_SCHEMA = (
+    "doc_id bigint, width int, height int, new_width int, new_height int, "
+    "scale double"
+)
+
+
+def resize_plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas kernel: longest side scaled to RESIZE_TARGET, aspect kept."""
+    for pdf in batches:
+        out = {k: [] for k in ("doc_id", "width", "height", "new_width", "new_height", "scale")}
+        for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+            w, h, _ = _fake_decode(blob)
+            scale = RESIZE_TARGET / max(w, h)
+            out["doc_id"].append(doc_id)
+            out["width"].append(w)
+            out["height"].append(h)
+            out["new_width"].append(max(1, round(w * scale)))
+            out["new_height"].append(max(1, round(h * scale)))
+            out["scale"].append(round(scale, 6))
+        yield pd.DataFrame(out)
+
+
+@query("multimodal_resize")
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return with_blob(docs).select("doc_id", "blob").mapInPandas(
+        resize_plan, schema=RESIZE_SCHEMA
+    )

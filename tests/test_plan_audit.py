@@ -24,6 +24,7 @@ PYTHON_SURFACE = {
     "stream_user_totals",
     "pandas_udf_vowel_ratio",
     "pandas_grouped_zscore",
+    "multimodal_resize",
 }
 # Queries that execute eagerly on construction (stream run / iterative loop);
 # their returned frame's plan is a result scan, still audited for the flags.
