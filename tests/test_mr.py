@@ -86,3 +86,36 @@ def test_reducer_sees_value_stream(spark):
 def test_empty_input(spark):
     lines = spark.sparkContext.parallelize([], 2)
     assert mr_run_rdd(lines, _wc_map, _count, num_reducers=3).collect() == []
+
+
+def test_mr_run_file_api_on_reference_fixture(spark):
+    """MR_Run file surface end-to-end on the reference's own bee.txt: the
+    veneer's counts must equal an independent pure-Python tokenization
+    (intended semantics — the reference's line-abort bug is not replicated,
+    SURVEY.md §2.4)."""
+    import collections
+    import os
+
+    import pytest
+
+    bee = "/root/reference/bee.txt"
+    if not os.path.exists(bee):
+        pytest.skip("fixture absent")
+
+    from parallel_mapreduce_spark.mr import mr_run
+
+    def map_fn(line):
+        return [(t, "1") for t in line.split(" ") if t]
+
+    def reduce_fn(key, values):
+        return sum(1 for _ in values)
+
+    got = dict(mr_run(spark, bee, map_fn, reduce_fn, num_reducers=4).collect())
+
+    want: collections.Counter[str] = collections.Counter()
+    with open(bee, encoding="utf-8", errors="replace") as f:
+        for line in f:
+            want.update(t for t in line.rstrip("\n").split(" ") if t)
+    assert got == dict(want)
+    # Reference golden keys (SURVEY.md §5.1) under intended semantics:
+    assert got["Barry"] == 89 and got["bee"] == 35
