@@ -66,20 +66,6 @@ _SQL_SHINGLES = (
 )
 
 
-def _doc_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Shingling is CPU-heavy per row (interpreted higher-order exprs) and a
-    # small parquet file scans as ONE split — spread the parse across cores
-    # before the projection. Partitioning by doc_id also pre-aligns the
-    # downstream per-doc aggregations. (At 100 TB the scan itself yields
-    # enough splits; the explicit repartition is then a cheap no-op-ish
-    # rebalance that still bounds skew.)
-    docs = load_table(spark, sf_dir, "documents")
-    n = max(spark.sparkContext.defaultParallelism, 8)
-    return docs.repartition(n, "doc_id").select(
-        "doc_id", shingles3(tokens("text")).alias("sh")
-    )
-
-
 # --------------------------------------------------------------------------
 # Exact dedup: group by content hash, keep the smallest doc_id.
 # --------------------------------------------------------------------------
@@ -99,6 +85,67 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("text").agg(
         F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
     ).select(F.md5("text").alias("text_hash"), "keep_id", "n_copies")
+
+
+def exact_dup_members(docs: DataFrame) -> DataFrame:
+    """(rep, doc_id, text): every doc mapped to the min-doc_id representative
+    of its exact-text group. One shuffle on text. Shared by every near-dup
+    path: identical texts have identical shingles/signatures, so all
+    signature computation and index joins run on representatives only and
+    expand back to members afterwards (quadratic fan-out on duplicate-heavy
+    corpora collapses to the distinct-text case). collect_list is bounded by
+    per-text multiplicity."""
+    return (
+        docs.groupBy("text")
+        .agg(F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("ids"))
+        .select("rep", F.explode("ids").alias("doc_id"), "text")
+    )
+
+
+def _rep_texts(members: DataFrame, n_parts: int) -> DataFrame:
+    """(doc_id, text) of group representatives, spread across n_parts."""
+    return (
+        members.filter(F.col("doc_id") == F.col("rep"))
+        .repartition(n_parts, "rep")
+        .select(F.col("rep").alias("doc_id"), "text")
+    )
+
+
+def expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, payload: str
+) -> DataFrame:
+    """Expand representative-level pairs (doc_a, doc_b, <payload>) to all
+    member combinations; identical texts carry their group's payload."""
+    m = members.select("rep", "doc_id")
+    ma = m.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ida"))
+    mb = m.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("idb"))
+    return (
+        rep_pairs.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .select(
+            F.least("ida", "idb").alias("doc_a"),
+            F.greatest("ida", "idb").alias("doc_b"),
+            payload,
+        )
+    )
+
+
+def within_group_pairs(
+    members: DataFrame, eligible_reps: DataFrame, payload_col
+) -> DataFrame:
+    """All (doc_a < doc_b) pairs of copies of the same eligible text, with a
+    constant payload (identical texts: Jaccard 1.0 / Hamming 0 / all bands)."""
+    g = members.select("rep", "doc_id").join(eligible_reps, "rep")
+    a, b = g.alias("a"), g.alias("b")
+    return a.join(
+        b,
+        (F.col("a.rep") == F.col("b.rep"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        payload_col,
+    )
 
 
 # --------------------------------------------------------------------------
@@ -138,44 +185,13 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # identical. collect_list is bounded by per-text multiplicity (the only
     # unbounded case is one text with a corpus-sized copy count — cap it
     # there).
-    members = (
-        docs.groupBy("text")
-        .agg(F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("ids"))
-        .select("rep", F.explode("ids").alias("doc_id"), "text")
-    )
-    reps = members.filter(F.col("doc_id") == F.col("rep")).repartition(n, "rep")
-    shingled = reps.select(
-        F.col("rep").alias("doc_id"), shingles3(tokens("text")).alias("sh")
-    )
+    members = exact_dup_members(docs)
+    reps = _rep_texts(members, n)
+    shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
     eligible = shingled.filter(F.size("sh") > 0).select(F.col("doc_id").alias("rep"))
     rep_pairs = jaccard_pairs(shingled)
-    m = members.select("rep", "doc_id")
-    # Cross-group expansion: a representative pair stands for every member
-    # combination (identical texts => identical shingle sets => same Jaccard).
-    ma = m.select(F.col("rep").alias("doc_a"), F.col("doc_id").alias("ida"))
-    mb = m.select(F.col("rep").alias("doc_b"), F.col("doc_id").alias("idb"))
-    cross = (
-        rep_pairs.join(ma, "doc_a")
-        .join(mb, "doc_b")
-        .select(
-            F.least("ida", "idb").alias("doc_a"),
-            F.greatest("ida", "idb").alias("doc_b"),
-            "jaccard",
-        )
-    )
-    # Within-group pairs: copies of the same (shingle-bearing) text are
-    # Jaccard 1.0 by definition.
-    g1 = m.join(eligible, "rep")
-    a, b = g1.alias("a"), g1.alias("b")
-    within = a.join(
-        b,
-        (F.col("a.rep") == F.col("b.rep"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.lit(1.0).alias("jaccard"),
-    )
+    cross = expand_rep_pairs(rep_pairs, members, "jaccard")
+    within = within_group_pairs(members, eligible, F.lit(1.0).alias("jaccard"))
     return cross.unionByName(within)
 
 
@@ -218,10 +234,12 @@ def jaccard_pairs(shingled: DataFrame) -> DataFrame:
 # (the randomness of xxhash64 is not portable to DuckDB); recall against the
 # exact Jaccard pairs is asserted in tests/test_dedup.py.
 # --------------------------------------------------------------------------
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _minhash_of(texts: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>[N_PERMUTATIONS]) — min over shingles of
     xxhash64(perm_index, shingle) per permutation; one shuffle on doc_id."""
-    sh = _doc_shingles(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    sh = texts.select(
+        "doc_id", F.explode(shingles3(tokens("text"))).alias("s")
+    )
     mins = [
         F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
         for i in range(N_PERMUTATIONS)
@@ -232,13 +250,23 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("minhash_lsh_candidates")
-def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate near-dup pairs with the number of matching LSH bands."""
-    register_views(spark, sf_dir)
-    sig = minhash_signatures(spark, sf_dir)
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Signatures for every doc — computed on distinct texts, expanded to
+    members (identical texts have identical signatures by construction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    members = exact_dup_members(docs)
+    rep_sigs = _minhash_of(_rep_texts(members, n))
+    return (
+        members.select("rep", "doc_id")
+        .join(rep_sigs.withColumnRenamed("doc_id", "rep"), "rep")
+        .select("doc_id", "sig")
+    )
+
+
+def _lsh_bands(sig: DataFrame) -> DataFrame:
     rows_per_band = N_PERMUTATIONS // N_BANDS
-    bands = sig.select(
+    return sig.select(
         "doc_id",
         F.explode(
             F.array(
@@ -257,9 +285,24 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("bh"),
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
+
+
+@query("minhash_lsh_candidates")
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs with the number of matching LSH bands.
+
+    Band join runs on distinct-text representatives only (exact copies share
+    every band by construction), then expands to member pairs — same
+    collapse-first shape as the Jaccard path."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    members = exact_dup_members(docs)
+    rep_sigs = _minhash_of(_rep_texts(members, n))
+    bands = _lsh_bands(rep_sigs)
     a = bands.alias("a")
     b = bands.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -269,17 +312,21 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("n_bands"))
     )
+    eligible = rep_sigs.select(F.col("doc_id").alias("rep"))
+    cross = expand_rep_pairs(rep_pairs, members, "n_bands")
+    within = within_group_pairs(
+        members, eligible, F.lit(N_BANDS).cast("long").alias("n_bands")
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
 # SimHash: 64-bit signature; bit b is the sign of sum over tokens of
 # tf * (+/-1 per bit of xxhash64(token)). Rows-only (JVM hash not portable).
 # --------------------------------------------------------------------------
-def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, simhash: long) — shared by the signature query and the
-    near-dup band join below."""
-    docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+def _simhash_of(texts: DataFrame) -> DataFrame:
+    """(doc_id, simhash: long) over a (doc_id, text) frame."""
+    tok = texts.select("doc_id", F.explode(tokens("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
     h = F.xxhash64("word")
     # One row per (doc, word, bit): contrib = tf if bit set else -tf.
@@ -307,6 +354,20 @@ def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) for every doc — computed on distinct texts, expanded
+    to members."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    members = exact_dup_members(docs)
+    rep_sigs = _simhash_of(_rep_texts(members, n))
+    return (
+        members.select("rep", "doc_id")
+        .join(rep_sigs.withColumnRenamed("doc_id", "rep"), "rep")
+        .select("doc_id", "simhash")
+    )
+
+
 @query("simhash_signatures")
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -330,7 +391,10 @@ SIMHASH_MAX_HAMMING = 3  # pigeonhole-complete for 4 bands
 @query("simhash_neardup_pairs")
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    sig = simhash_df(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    members = exact_dup_members(docs)
+    sig = _simhash_of(_rep_texts(members, n))
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -351,7 +415,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A pair sharing k bands appears k times in the join; the groupBy both
     # dedupes candidates and carries the signatures for the Hamming verify.
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -368,6 +432,12 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(hamming <= SIMHASH_MAX_HAMMING)
         .select("doc_a", "doc_b", hamming.cast("long").alias("hamming"))
     )
+    eligible = sig.select(F.col("doc_id").alias("rep"))
+    cross = expand_rep_pairs(rep_pairs, members, "hamming")
+    within = within_group_pairs(
+        members, eligible, F.lit(0).cast("long").alias("hamming")
+    )
+    return cross.unionByName(within)
 
 
 # --------------------------------------------------------------------------
