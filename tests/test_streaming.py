@@ -61,3 +61,49 @@ def test_stream_foreachbatch_parquet_sink_matches_batch(spark, sf_dir, tmp_path)
         for r in events_hourly(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_sliding_window_matches_batch(spark, sf_dir):
+    """Second windowed twin: the 1h/30min sliding aggregation under
+    availableNow must equal the oracle-checked batch plan."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.operators.events import events_sliding_window
+    from parallel_mapreduce_spark.streaming.events_stream import (
+        hourly_events_stream,
+    )
+    from parallel_mapreduce_spark.session import apply_runtime_conf
+    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    apply_runtime_conf(spark)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    stream = (
+        src.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("win_start"), "cnt", "sum_value"
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_sliding")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.win_start): (r.cnt, r.sum_value)
+        for r in spark.table("t_sliding").collect()
+    }
+    want = {
+        (r.win_start): (r.cnt, r.sum_value)
+        for r in events_sliding_window(spark, sf_dir).collect()
+    }
+    assert got == want
