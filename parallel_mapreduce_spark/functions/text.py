@@ -307,11 +307,30 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
+    from parallel_mapreduce_spark.functions.dedup import exact_dup_members
+
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    # Collapse-first (same shape as the dedup paths): identical texts have
+    # identical term vectors, so tf runs per distinct text; document
+    # frequency weights each representative by its copy count; the top term
+    # per representative expands to every member unchanged.
+    members = exact_dup_members(docs).select("rep", "doc_id")
+    group_sz = members.groupBy("rep").agg(F.count("*").alias("copies"))
+    reps = (
+        members.filter(F.col("doc_id") == F.col("rep"))
+        .join(docs, "doc_id")
+        .repartition(n, "rep")
+        .select("rep", "text")
+    )
+    toks = reps.select("rep", F.explode(tokens("text")).alias("term"))
+    tf = toks.groupBy("rep", "term").agg(F.count("*").alias("tf"))
+    dfreq = (
+        tf.join(F.broadcast(group_sz), "rep")
+        .groupBy("term")
+        .agg(F.sum("copies").alias("df"))
+    )
     ndocs = docs.agg(F.count("*").alias("n_docs"))
     # dfreq and ndocs are tiny (vocab-sized / single row): broadcast both so
     # the big tf stream never shuffles for these joins.
@@ -319,18 +338,23 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         tf.join(F.broadcast(dfreq), "term")
         .crossJoin(F.broadcast(ndocs))
         .select(
-            "doc_id",
+            "rep",
             "term",
             F.round(
                 F.col("tf") * F.log(F.col("n_docs") * F.lit(1.0) / F.col("df")), 6
             ).alias("tfidf6"),
         )
     )
-    w = W.partitionBy("doc_id").orderBy(F.col("tfidf6").desc(), F.col("term"))
-    return (
+    w = W.partitionBy("rep").orderBy(F.col("tfidf6").desc(), F.col("term"))
+    rep_top = (
         scored.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") == 1)
-        .select("doc_id", F.col("term").alias("top_term"), F.round("tfidf6", 4).alias("tfidf"))
+        .select("rep", "term", "tfidf6")
+    )
+    return members.join(rep_top, "rep").select(
+        "doc_id",
+        F.col("term").alias("top_term"),
+        F.round("tfidf6", 4).alias("tfidf"),
     )
 
 

@@ -1130,3 +1130,27 @@ def q10_returned_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     date/returnflag filters, TakeOrdered top-k)."""
     register_views(spark, sf_dir)
     return spark.sql(_Q10_SQL)
+
+
+# --------------------------------------------------------------------------
+# Sketch path for percentiles: percentile_approx (t-digest-style bounded
+# memory, mergeable partials — the scale substitute for the exact sort-based
+# `price_percentiles`). Rows-only (DuckDB's approx_quantile uses a different
+# sketch); closeness to the exact values is asserted in tests/test_plans.py.
+# --------------------------------------------------------------------------
+@query("price_percentiles_approx")
+def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    acc = F.lit(10000)  # 1/accuracy relative error bound
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), acc), 4
+        ).alias("p50"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.9), acc), 4
+        ).alias("p90"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.99), acc), 4
+        ).alias("p99"),
+    )

@@ -163,3 +163,20 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     plain = ev.join(dim, "user_id").groupBy("flag").count().collect()
     salted = salted_join(ev, dim, "user_id", salt=4).groupBy("flag").count().collect()
     assert sorted(map(tuple, plain)) == sorted(map(tuple, salted))
+
+
+def test_approx_percentiles_close_to_exact(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.relational import (
+        price_percentiles,
+        price_percentiles_approx,
+    )
+
+    exact = {r.l_returnflag: (r.p50, r.p90, r.p99)
+             for r in price_percentiles(spark, sf_dir).collect()}
+    approx = {r.l_returnflag: (r.p50, r.p90, r.p99)
+              for r in price_percentiles_approx(spark, sf_dir).collect()}
+    assert exact.keys() == approx.keys()
+    for flag, (e50, e90, e99) in exact.items():
+        a50, a90, a99 = approx[flag]
+        for e, a in ((e50, a50), (e90, a90), (e99, a99)):
+            assert abs(e - a) <= 0.02 * abs(e) + 1e-6, (flag, e, a)
