@@ -107,3 +107,39 @@ def test_streaming_sliding_window_matches_batch(spark, sf_dir):
         for r in events_sliding_window(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_streaming_exact_dedup_matches_batch(spark, sf_dir):
+    """Streaming dropDuplicates (state bounded by the watermark) — the
+    streaming twin of exact dedup; on a drained source it equals the batch
+    distinct count."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.session import apply_runtime_conf
+    from parallel_mapreduce_spark.sources import load_table
+    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    apply_runtime_conf(spark)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    # user_id has duplicates in any events slice; dedup on it exercises state.
+    deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["user_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("t_dedup_stream").select("user_id").distinct().count()
+    want = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert got == want
+    # Each user appears exactly once in the deduped stream output.
+    assert spark.table("t_dedup_stream").count() == want
