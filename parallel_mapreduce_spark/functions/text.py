@@ -485,3 +485,25 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.array_join(F.array_sort(F.array_distinct(toks)), " ")).alias("set_fp"),
         roll.alias("roll_fp"),
     )
+
+
+# --------------------------------------------------------------------------
+# Stratified corpus sampling: per-language fractions with a fixed seed — the
+# training-data subsampling operator (e.g. rebalance language mix). Seeded
+# sample is deterministic per (seed, partitioning) but not portable to
+# DuckDB => rows-only; per-stratum fraction bounds + determinism are pinned
+# in tests/test_text_golden.py. Narrow op: no shuffle at all.
+# --------------------------------------------------------------------------
+SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.25}
+SAMPLE_SEED = 42
+
+
+@query("stratified_sample_docs")
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # sampleBy: per-stratum Bernoulli with one shared seed; langs absent from
+    # the dict are dropped (fraction 0) — the rebalancing contract.
+    return docs.sampleBy("lang", fractions=SAMPLE_FRACTIONS, seed=SAMPLE_SEED).select(
+        "doc_id", "lang"
+    )

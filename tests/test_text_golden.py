@@ -78,3 +78,33 @@ def test_golden_keys_from_survey(spark):
     assert counts["honey"] == 38
     assert counts["bee"] == 35
     assert counts["flowers"] == 11
+
+
+def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.text import (
+        SAMPLE_FRACTIONS,
+        stratified_sample_docs,
+    )
+    from parallel_mapreduce_spark.sources import load_table
+
+    totals = {
+        r.lang: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    a = stratified_sample_docs(spark, sf_dir).collect()
+    b = stratified_sample_docs(spark, sf_dir).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # seeded => stable
+    by_lang = {}
+    for r in a:
+        by_lang[r.lang] = by_lang.get(r.lang, 0) + 1
+    # Only requested strata appear; observed fraction within Bernoulli noise.
+    assert set(by_lang) <= set(SAMPLE_FRACTIONS)
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        n, k = totals.get(lang, 0), by_lang.get(lang, 0)
+        if n >= 50:
+            sd = (n * frac * (1 - frac)) ** 0.5
+            assert abs(k - n * frac) <= 5 * sd, (lang, k, n)
