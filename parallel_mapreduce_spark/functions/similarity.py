@@ -370,3 +370,51 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim6") >= EMB_DEDUP_THRESHOLD)
         .select("id_a", "id_b", F.round("sim6", 4).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding near-dup, scale path: candidate pairs from shared LSH buckets
+# (multi-table union), cosine-verified. The exact twin (emb_neardup_pairs
+# above) is the oracle-checked baseline on a bounded id range; this is the
+# unbounded formulation whose candidate join replaces the all-pairs product.
+# Rows-only; containment in the exact pair set (same threshold, same range)
+# is asserted in tests/test_similarity.py.
+# --------------------------------------------------------------------------
+@query("emb_neardup_lsh_pairs")
+def emb_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.repartition(n_parts).select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        l2_norm(as_double("embedding")).alias("nrm"),
+    )
+    buckets = vecs.select(
+        "vec_id",
+        "v",
+        "nrm",
+        F.explode(lsh_table_buckets(F.col("v"), dim)).alias("tb"),
+    ).select("vec_id", "v", "nrm", "tb.table", "tb.bucket")
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    sim6 = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            sim6.alias("sim6"),
+        )
+        .filter(F.col("sim6") >= EMB_DEDUP_THRESHOLD)
+        .dropDuplicates(["id_a", "id_b"])  # union over tables, emit once
+        .select("id_a", "id_b", F.round("sim6", 4).alias("cosine"))
+    )

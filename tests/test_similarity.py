@@ -66,3 +66,27 @@ def test_ivf_results_scored_like_brute_with_meaningful_recall(spark, sf_dir):
         assert abs(brute[pair] - ivf[pair]) < 1e-9
     recall = len(common) / len(brute)
     assert recall >= 0.2, f"IVF recall {recall:.2f}"
+
+
+def test_emb_lsh_pairs_subset_of_exact_with_same_scores(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.similarity import (
+        EMB_DEDUP_MAX_ID,
+        EMB_DEDUP_THRESHOLD,
+        emb_neardup_lsh_pairs,
+        emb_neardup_pairs,
+    )
+
+    exact = {
+        (r.id_a, r.id_b): r.cosine for r in emb_neardup_pairs(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cosine
+        for r in emb_neardup_lsh_pairs(spark, sf_dir).collect()
+    }
+    for (ia, ib), c in lsh.items():
+        assert ia < ib
+        assert c >= EMB_DEDUP_THRESHOLD
+        # Within the exact query's id range, every LSH hit must be an exact
+        # hit with the identical score (same math).
+        if ib < EMB_DEDUP_MAX_ID:
+            assert (ia, ib) in exact and abs(exact[(ia, ib)] - c) < 1e-9

@@ -143,3 +143,46 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir):
     assert got == want
     # Each user appears exactly once in the deduped stream output.
     assert spark.table("t_dedup_stream").count() == want
+
+
+def test_foreachbatch_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
+    """Restarting an availableNow stream against an unchanged source with the
+    same checkpoint must process zero new batches (offsets are committed) —
+    the exactly-once bookkeeping production sinks rely on."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.session import apply_runtime_conf
+    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+
+    apply_runtime_conf(spark)
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    calls = []
+
+    def make_stream():
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+        )
+        agg = src.groupBy("event_type").agg(F.count("*").alias("cnt"))
+
+        def sink(batch_df, batch_id):
+            calls.append(batch_id)
+            batch_df.write.mode("overwrite").parquet(out)
+
+        return (
+            agg.writeStream.foreachBatch(sink)
+            .outputMode("complete")
+            .option("checkpointLocation", cp)
+            .trigger(availableNow=True)
+        )
+
+    make_stream().start().awaitTermination()
+    n_first = len(calls)
+    assert n_first >= 1
+    first = {r.event_type: r.cnt for r in spark.read.parquet(out).collect()}
+    # Restart with the same checkpoint: no new data => no new batches.
+    make_stream().start().awaitTermination()
+    assert len(calls) == n_first
+    assert {r.event_type: r.cnt for r in spark.read.parquet(out).collect()} == first
