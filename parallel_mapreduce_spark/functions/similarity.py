@@ -125,13 +125,13 @@ def _plane(p: int, dim: int) -> list[float]:
     return [((i * 1103515245 + p * 12345 + 12345) % 2048) / 1024.0 - 1.0 for i in range(dim)]
 
 
-def lsh_table_buckets(vec: Column, dim: int) -> Column:
+def lsh_table_buckets(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     """array<struct<table:int, bucket:int>> — one bucket id per LSH table."""
     entries = []
     for t in range(N_TABLES):
         bucket = F.lit(0)
-        for p in range(N_PLANES):
-            plane = F.array(*[F.lit(v) for v in _plane(t * N_PLANES + p, dim)])
+        for p in range(n_planes):
+            plane = F.array(*[F.lit(v) for v in _plane(t * n_planes + p, dim)])
             bit = F.when(dot(vec, plane) > 0, F.lit(1)).otherwise(F.lit(0))
             bucket = bucket * 2 + bit
         entries.append(
@@ -331,6 +331,9 @@ def embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 EMB_DEDUP_MAX_ID = 500
 EMB_DEDUP_THRESHOLD = 0.4  # calibrated to the synthetic corpus (max pair ~0.51-0.6)
+EMB_DEDUP_N_PLANES = 8  # dedup variant: more planes than search — real
+# near-dups sit at high cosine where collision probability stays usable,
+# and the tighter buckets keep the pair join narrow
 
 
 @query(
@@ -386,23 +389,40 @@ def emb_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    vecs = emb.repartition(n_parts).select(
-        "vec_id",
-        as_double("embedding").alias("v"),
-        l2_norm(as_double("embedding")).alias("nrm"),
+    # Collapse identical vectors first (same shape as the text-dedup paths):
+    # exact copies share every bucket, so the bucket join fans out
+    # quadratically per copy group unless pairs are computed on distinct
+    # vectors and expanded back afterwards. Grouping key is the raw float
+    # array — bit-identical copies only, which is exactly the duplication
+    # replication produces.
+    members = (
+        emb.groupBy("embedding")
+        .agg(F.min("vec_id").alias("rep"), F.collect_list("vec_id").alias("ids"))
+        .select("rep", F.explode("ids").alias("vec_id"), "embedding")
     )
-    buckets = vecs.select(
+    reps = (
+        members.filter(F.col("vec_id") == F.col("rep"))
+        .repartition(n_parts, "rep")
+        .select(
+            F.col("rep").alias("vec_id"),
+            as_double("embedding").alias("v"),
+            l2_norm(as_double("embedding")).alias("nrm"),
+        )
+    )
+    buckets = reps.select(
         "vec_id",
         "v",
         "nrm",
-        F.explode(lsh_table_buckets(F.col("v"), dim)).alias("tb"),
+        F.explode(
+            lsh_table_buckets(F.col("v"), dim, n_planes=EMB_DEDUP_N_PLANES)
+        ).alias("tb"),
     ).select("vec_id", "v", "nrm", "tb.table", "tb.bucket")
     a = buckets.alias("a")
     b = buckets.alias("b")
     sim6 = F.round(
         dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
     )
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.table") == F.col("b.table"))
@@ -416,5 +436,39 @@ def emb_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("sim6") >= EMB_DEDUP_THRESHOLD)
         .dropDuplicates(["id_a", "id_b"])  # union over tables, emit once
+    )
+    m = members.select("rep", "vec_id")
+    ma = m.select(F.col("rep").alias("id_a"), F.col("vec_id").alias("ia"))
+    mb = m.select(F.col("rep").alias("id_b"), F.col("vec_id").alias("ib"))
+    cross = (
+        rep_pairs.join(ma, "id_a")
+        .join(mb, "id_b")
+        .select(
+            F.least("ia", "ib").alias("id_a"),
+            F.greatest("ia", "ib").alias("id_b"),
+            "sim6",
+        )
+    )
+    # Within-group pairs: copies of one vector score its exact self-cosine
+    # (numerically ~1.0; computed, not assumed, to stay output-identical).
+    self_sim = reps.select(
+        F.col("vec_id").alias("rep"),
+        F.round(dot(F.col("v"), F.col("v")) / (F.col("nrm") * F.col("nrm")), 6).alias(
+            "sim6"
+        ),
+    ).filter(F.col("sim6") >= EMB_DEDUP_THRESHOLD)
+    g = m.join(self_sim, "rep")
+    ga, gb = g.alias("ga"), g.alias("gb")
+    within = ga.join(
+        gb,
+        (F.col("ga.rep") == F.col("gb.rep"))
+        & (F.col("ga.vec_id") < F.col("gb.vec_id")),
+    ).select(
+        F.col("ga.vec_id").alias("id_a"),
+        F.col("gb.vec_id").alias("id_b"),
+        F.col("ga.sim6").alias("sim6"),
+    )
+    return (
+        cross.unionByName(within)
         .select("id_a", "id_b", F.round("sim6", 4).alias("cosine"))
     )
