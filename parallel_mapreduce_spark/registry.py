@@ -80,6 +80,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.operators.events  # noqa: F401
     import parallel_mapreduce_spark.operators.relational  # noqa: F401
     import parallel_mapreduce_spark.operators.skew  # noqa: F401
+    import parallel_mapreduce_spark.operators.tpch_gaps  # noqa: F401
     import parallel_mapreduce_spark.operators.timeseries  # noqa: F401
     import parallel_mapreduce_spark.streaming.stateful  # noqa: F401
 
