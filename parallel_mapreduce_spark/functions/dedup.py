@@ -195,7 +195,55 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cross.unionByName(within)
 
 
-def jaccard_pairs(shingled: DataFrame) -> DataFrame:
+# --------------------------------------------------------------------------
+# The 100 TB form of the shingle join: identical pipeline plus a
+# document-frequency cap that anti-joins boilerplate shingles out of the
+# inverted index before the self-join (fan-out per shingle is quadratic in
+# its document frequency, so one boilerplate header shared by 1M docs is
+# 10^12 candidate pairs unless dropped). The cap is far above the synthetic
+# corpus's max shingle frequency (7-9 across sfs), so this plan is
+# oracle-equal to the exact query here while being the plan that survives a
+# boilerplate-heavy corpus; tests/test_dedup.py additionally pins that a
+# binding cap only ever removes pairs (no false positives, scores never
+# increase).
+# --------------------------------------------------------------------------
+SHINGLE_FREQ_CAP = 100
+
+
+@query(
+    "neardup_jaccard_pairs_capped",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t WHERE len(toks) >= 3),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 4) AS jaccard
+    FROM pairs
+    JOIN sz sa ON doc_a = sa.doc_id
+    JOIN sz sb ON doc_b = sb.doc_id
+    WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= {JACCARD_THRESHOLD}
+    """,
+)
+def neardup_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    members = exact_dup_members(docs)
+    reps = _rep_texts(members, n)
+    shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
+    eligible = shingled.filter(F.size("sh") > 0).select(F.col("doc_id").alias("rep"))
+    rep_pairs = jaccard_pairs(shingled, freq_cap=SHINGLE_FREQ_CAP)
+    cross = expand_rep_pairs(rep_pairs, members, "jaccard")
+    within = within_group_pairs(members, eligible, F.lit(1.0).alias("jaccard"))
+    return cross.unionByName(within)
+
+
+def jaccard_pairs(shingled: DataFrame, freq_cap: int | None = None) -> DataFrame:
     """(doc_id, sh: array<string>) -> (doc_a, doc_b, jaccard >= threshold).
 
     The per-doc shingle-set size rides along with each exploded row
@@ -203,13 +251,27 @@ def jaccard_pairs(shingled: DataFrame) -> DataFrame:
     separate groupBy + broadcast-join per side: the whole query is 2 scans
     of the input (join probe + build) rather than 4, and the Jaccard
     denominator is available directly at pair-aggregation time.
+
+    ``freq_cap``: drop shingles appearing in more than ``freq_cap`` docs
+    before the self-join — the 100 TB guard against boilerplate shingles,
+    whose fan-out in the index join is quadratic in document frequency.
+    The hot set is by construction tiny (only shingles above the cap), so
+    it broadcasts; the Jaccard denominator keeps the ORIGINAL set sizes,
+    so pairs sharing no hot shingle score identically to the exact form
+    and pairs that do share one only ever score lower (never a false
+    positive).
     """
     sh = shingled.select(
         "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
     )
-    # At 100 TB, add a shingle-frequency cap here (drop shingles appearing in
-    # > K docs) to bound the self-join fan-out on boilerplate; the synthetic
-    # corpus has no such hot shingles, so the exact form stays oracle-equal.
+    if freq_cap is not None:
+        hot = (
+            sh.groupBy("s")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > freq_cap)
+            .select("s")
+        )
+        sh = sh.join(F.broadcast(hot), "s", "left_anti")
     a = sh.alias("a")
     b = sh.alias("b")
     pairs = (

@@ -89,3 +89,51 @@ def test_simhash_neardup_pairs_verified_and_complete_for_exact_dups(spark, sf_di
     # Band join must prune: far below all-pairs.
     n_docs = docs.count()
     assert len(pairs) < n_docs * (n_docs - 1) / 20
+
+
+def test_capped_shingle_join_matches_exact_when_cap_not_binding(spark, sf_dir):
+    """SHINGLE_FREQ_CAP (100) is far above the corpus's max shingle document
+    frequency, so the scale-path plan must be output-identical to the exact
+    join — same pairs, same scores."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        neardup_jaccard_pairs,
+        neardup_jaccard_pairs_capped,
+    )
+
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup_jaccard_pairs(spark, sf_dir).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in neardup_jaccard_pairs_capped(spark, sf_dir).collect()
+    }
+    assert capped == exact
+
+
+def test_binding_freq_cap_only_removes_pairs_never_raises_scores(spark, sf_dir):
+    """With a cap low enough to actually drop shingles, the join may lose
+    pairs (shared counts shrink) but must never invent pairs or raise a
+    surviving pair's score: the denominator keeps original set sizes."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        _rep_texts,
+        exact_dup_members,
+        jaccard_pairs,
+        shingles3,
+    )
+    from parallel_mapreduce_spark.functions.text import tokens
+    from parallel_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    reps = _rep_texts(exact_dup_members(docs), 4)
+    shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(shingled).collect()
+    }
+    capped = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in jaccard_pairs(shingled, freq_cap=2).collect()
+    }
+    assert set(capped) <= set(exact)
+    for pair, score in capped.items():
+        assert score <= exact[pair] + 1e-9
