@@ -258,3 +258,35 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Stream-enrichment shape: events joined to the customer dimension
+# (user_id -> c_custkey), aggregated per market segment. The dimension is
+# broadcast — the fact/stream side never shuffles for the join. The
+# streaming twin (same join against readStream, where Spark pins the
+# broadcast per micro-batch) is streaming/events_stream.py::
+# segment_share_stream, asserted equal to this batch plan in
+# tests/test_streaming.py.
+# --------------------------------------------------------------------------
+@query(
+    "events_user_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def events_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        ev.join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id"))
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )

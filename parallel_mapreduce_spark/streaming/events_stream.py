@@ -103,3 +103,43 @@ def run_hourly_stream_to_parquet(
     )
     q.awaitTermination()
     return spark.read.parquet(out_path)
+
+
+def segment_share_stream(
+    spark: SparkSession, sf_dir: str, table_name: str = "segment_stream"
+) -> DataFrame:
+    """Stream-static join: the events stream enriched with the (static,
+    broadcast) customer dimension, aggregated per market segment.
+
+    This is the standard streaming-enrichment topology: the static side is
+    re-resolved per micro-batch and broadcast to the stream tasks, so the
+    stream side never shuffles for the join; only the post-join aggregation
+    is stateful. Runs to completion via availableNow into a memory sink;
+    asserted equal to the batch twin (operators/events.events_user_segment)
+    in tests/test_streaming.py.
+    """
+    apply_runtime_conf(spark)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .select("user_id", "event_type", "value")
+    )
+    cust = (
+        spark.read.parquet(f"{sf_dir.rstrip('/')}/customer.parquet")
+        .select("c_custkey", F.col("c_mktsegment").alias("segment"))
+    )
+    enriched = (
+        src.join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id"))
+        .groupBy("segment", "event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+    )
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table_name)

@@ -186,3 +186,21 @@ def test_foreachbatch_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
     make_stream().start().awaitTermination()
     assert len(calls) == n_first
     assert {r.event_type: r.cnt for r in spark.read.parquet(out).collect()} == first
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir):
+    """Stream-static broadcast enrichment: the streaming segment aggregation
+    must equal the batch twin exactly (no watermark involved — the join and
+    aggregation are time-agnostic, so complete mode sees all input once)."""
+    from parallel_mapreduce_spark.operators.events import events_user_segment
+    from parallel_mapreduce_spark.streaming import segment_share_stream
+
+    batch = {
+        (r.segment, r.event_type): (r.cnt, round(r.sum_value, 4))
+        for r in events_user_segment(spark, sf_dir).collect()
+    }
+    streamed = {
+        (r.segment, r.event_type): (r.cnt, round(r.sum_value, 4))
+        for r in segment_share_stream(spark, sf_dir, "t_segment").collect()
+    }
+    assert streamed == batch
