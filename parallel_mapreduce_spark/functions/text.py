@@ -327,15 +327,17 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = reps.select("rep", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("rep", "term").agg(F.count("*").alias("tf"))
     dfreq = (
-        tf.join(F.broadcast(group_sz), "rep")
+        tf.join(group_sz, "rep")
         .groupBy("term")
         .agg(F.sum("copies").alias("df"))
     )
     ndocs = docs.agg(F.count("*").alias("n_docs"))
-    # dfreq and ndocs are tiny (vocab-sized / single row): broadcast both so
-    # the big tf stream never shuffles for these joins.
+    # ndocs is one row forever: force-broadcast. group_sz and dfreq scale
+    # with the corpus (distinct texts / vocabulary), so their join strategy
+    # is left to the size threshold + AQE — broadcast while they fit,
+    # shuffle when they don't.
     scored = (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .crossJoin(F.broadcast(ndocs))
         .select(
             "rep",

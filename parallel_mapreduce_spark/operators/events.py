@@ -262,12 +262,12 @@ def events_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # Stream-enrichment shape: events joined to the customer dimension
-# (user_id -> c_custkey), aggregated per market segment. The dimension is
-# broadcast — the fact/stream side never shuffles for the join. The
-# streaming twin (same join against readStream, where Spark pins the
-# broadcast per micro-batch) is streaming/events_stream.py::
-# segment_share_stream, asserted equal to this batch plan in
-# tests/test_streaming.py.
+# (user_id -> c_custkey), aggregated per market segment. customer scales
+# with the data, so no broadcast hint: the size threshold + AQE broadcast
+# it while it fits (it does at every test sf) and shuffle when it doesn't.
+# The streaming twin (same join against readStream) is
+# streaming/events_stream.py::segment_share_stream, asserted equal to this
+# batch plan in tests/test_streaming.py.
 # --------------------------------------------------------------------------
 @query(
     "events_user_segment",
@@ -286,7 +286,7 @@ def events_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.col("c_mktsegment").alias("segment")
     )
     return (
-        ev.join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id"))
+        ev.join(cust, F.col("c_custkey") == F.col("user_id"))
         .groupBy("segment", "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
     )

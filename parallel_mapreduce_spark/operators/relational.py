@@ -8,8 +8,13 @@ partial aggregation — the optimizations the reference lacks entirely
 (SURVEY.md §4.1).
 
 Scale notes (100 TB posture), validated by plan tests in tests/test_plans.py:
-- dimension tables (region/nation/supplier, literal band tables) are
-  explicitly broadcast: no shuffle of the fact side for those joins;
+- bounded-cardinality dimensions (region=5, nation=25, literal band tables,
+  1-row scalar aggregates) are explicitly broadcast: no shuffle of the fact
+  side, at any scale. Tables that grow with the data (customer/supplier/
+  part and frames derived from them) carry NO broadcast hint — Spark's size
+  threshold + AQE broadcast them while they fit (so local plans still show
+  BroadcastHashJoin) and degrade to a shuffle join when they outgrow an
+  executor, instead of OOMing on a forced broadcast;
 - fact-fact joins (orders x lineitem) shuffle on the join key and rely on AQE
   for skew splitting + partition coalescing;
 - top-k is orderBy().limit(k) => TakeOrderedAndProject, never a global sort
@@ -210,7 +215,7 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
@@ -646,7 +651,7 @@ def brand_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .groupBy("p_brand")
         .agg(F.count("*").alias("n_lines"), F.round(F.sum("l_quantity"), 4).alias("sum_qty"))
     )
@@ -904,7 +909,7 @@ def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     return (
-        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(F.lit(100.0) * F.sum(promo_rev) / F.sum(rev), 4).alias(
                 "promo_share"
@@ -948,9 +953,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     return (
-        F.broadcast(big)
+        big
         .join(orders, big.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .select(
             "c_custkey",
             "c_name",
@@ -1004,7 +1009,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .filter(cond)
         .agg(
             F.round(
@@ -1197,10 +1202,10 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy(
@@ -1248,6 +1253,6 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     mx = F.max("total_rev").over(W.partitionBy())
     top = rev.withColumn("mx", mx).filter(F.col("total_rev") == F.col("mx"))
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return top.join(F.broadcast(supp), top.suppkey == supp.s_suppkey).select(
+    return top.join(supp, top.suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_rev"
     )

@@ -8,8 +8,12 @@ no commit/receipt dates, so Q2/Q11/Q21 have no faithful analogue; Q9/Q12/Q22
 are adapted as noted per query).
 
 Scale posture, pinned by tests/test_plan_audit.py:
-- part/supplier/customer/nation are broadcast against lineitem/orders —
-  the fact side never shuffles for a dimension join;
+- bounded-cardinality frames (nation/region, 1-row scalar aggregates) are
+  force-broadcast; part/supplier/customer and derived per-part/per-supplier
+  frames GROW with the data, so their join strategy is left to Spark's size
+  threshold + AQE — broadcast while they fit (they do at every test sf, so
+  the local plans are identical), shuffle when they don't (a forced
+  broadcast of a billion-row "dimension" is an executor OOM at 100 TB);
 - correlated scalar subqueries (q17) become aggregate-then-join: the
   per-group cutoff is computed once on the grouped (parts-sized) frame,
   never re-evaluated per probe row;
@@ -95,11 +99,11 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     base = (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+        .join(cust, F.col("c_custkey") == F.col("o_custkey"))
         .join(F.broadcast(cn), F.col("cn_key") == F.col("c_nationkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(sn), F.col("sn_key") == F.col("s_nationkey"))
         .select(
             F.year("o_orderdate").cast("int").alias("o_year"),
@@ -148,8 +152,8 @@ def q9_nation_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
-        .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
+        .join(supp, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(nation), F.col("n_nationkey") == F.col("s_nationkey"))
         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("nation", F.year("o_orderdate").cast("int").alias("o_year"))
@@ -262,7 +266,7 @@ def q16_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
     return (
-        li.join(F.broadcast(part), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(part, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -298,14 +302,14 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # equals the average over all of lineitem for those parts (the filter is
     # on part attributes only).
     brand_lines = li.join(
-        F.broadcast(brand_parts), F.col("p_partkey") == F.col("l_partkey")
+        brand_parts, F.col("p_partkey") == F.col("l_partkey")
     ).select("l_partkey", "l_quantity", "l_extendedprice")
     cutoffs = brand_lines.groupBy("l_partkey").agg(
         (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
     )
     return (
         brand_lines.withColumnRenamed("l_partkey", "pk")
-        .join(F.broadcast(cutoffs), F.col("pk") == F.col("l_partkey"))
+        .join(cutoffs, F.col("pk") == F.col("l_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_cut"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 4).alias("avg_yearly"))
     )
@@ -343,7 +347,7 @@ def q20_volume_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey")
     )
     heavy = (
-        li.join(F.broadcast(red_parts), F.col("p_partkey") == F.col("l_partkey"))
+        li.join(red_parts, F.col("p_partkey") == F.col("l_partkey"))
         .groupBy("l_suppkey")
         .agg(F.sum("l_quantity").alias("qty"))
         .filter(F.col("qty") > 300)
@@ -351,7 +355,7 @@ def q20_volume_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return supp.join(
-        F.broadcast(heavy), F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
+        heavy, F.col("l_suppkey") == F.col("s_suppkey"), "left_semi"
     )
 
 

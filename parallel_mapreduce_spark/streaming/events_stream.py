@@ -112,9 +112,12 @@ def segment_share_stream(
     broadcast) customer dimension, aggregated per market segment.
 
     This is the standard streaming-enrichment topology: the static side is
-    re-resolved per micro-batch and broadcast to the stream tasks, so the
-    stream side never shuffles for the join; only the post-join aggregation
-    is stateful. Runs to completion via availableNow into a memory sink;
+    re-resolved per micro-batch; while it fits the broadcast threshold
+    (always, at test scale) it is broadcast to the stream tasks, so the
+    stream side never shuffles for the join, and only the post-join
+    aggregation is stateful. No forced hint — a customer table too large to
+    broadcast degrades to a shuffle join rather than an OOM.
+    Runs to completion via availableNow into a memory sink;
     asserted equal to the batch twin (operators/events.events_user_segment)
     in tests/test_streaming.py.
     """
@@ -130,7 +133,7 @@ def segment_share_stream(
         .select("c_custkey", F.col("c_mktsegment").alias("segment"))
     )
     enriched = (
-        src.join(F.broadcast(cust), F.col("c_custkey") == F.col("user_id"))
+        src.join(cust, F.col("c_custkey") == F.col("user_id"))
         .groupBy("segment", "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
