@@ -1,4 +1,5 @@
-"""Time-series operators: as-of join over the `events` table.
+"""Time-series operators over the `events` table: as-of join, hypertable
+rollup, gap-filled LOCF resampling.
 
 The reference has no time notion at all (SURVEY.md §2.3); an as-of join is
 the canonical time-series operator Spark lacks as a built-in relational
@@ -119,4 +120,112 @@ def asof_purchase_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts"))
         .cast("long")
         .alias("gap_s"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hypertable-style rollup: one pass producing hourly, daily, and grand-total
+# aggregates via ROLLUP on (day, hour). At scale this is the continuous-
+# aggregate build: a single shuffle computes every resolution level, instead
+# of one aggregation job per level. NULL grouping levels are coalesced to -1
+# so the epoch columns stay BIGINT through the oracle comparison.
+# --------------------------------------------------------------------------
+@query(
+    "events_rollup_day_hour",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS d,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h,
+             value
+      FROM events
+    )
+    SELECT COALESCE(d, -1) AS day_epoch,
+           COALESCE(h, -1) AS hour_epoch,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM e GROUP BY ROLLUP(d, h)
+    """,
+)
+def events_rollup_day_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp(F.date_trunc("day", F.col("ts"))).alias("d"),
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("h"),
+        "value",
+    )
+    return (
+        ev.rollup("d", "h")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.coalesce("d", F.lit(-1)).alias("day_epoch"),
+            F.coalesce("h", F.lit(-1)).alias("hour_epoch"),
+            "cnt",
+            "sum_value",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Gap-filled hourly series with last-observation-carried-forward: a dense
+# (hour x event_type) grid left-joined to the hourly aggregate, empty hours
+# filled by the most recent non-null hourly sum. The grid derives from a
+# 1-row bounds aggregate (broadcast by construction) crossed with the
+# event-type vocabulary (bounded, like nation) — grid size is time-span x
+# #types, independent of event volume. The LOCF window shuffles once on
+# event_type and keeps one row of state per task, the same shape as the
+# as-of join above.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_gapfill_locf",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS h0,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS h1
+      FROM events
+    ),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             COUNT(*) AS c, ROUND(SUM(value), 4) AS sv
+      FROM events GROUP BY 1, 2
+    )
+    SELECT CAST(epoch(g.hour) AS BIGINT) AS hour_epoch,
+           t.event_type,
+           CAST(COALESCE(a.c, 0) AS BIGINT) AS cnt,
+           LAST_VALUE(a.sv IGNORE NULLS)
+             OVER (PARTITION BY t.event_type ORDER BY g.hour) AS sum_locf
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN agg a ON a.hour = g.hour AND a.event_type = t.event_type
+    """,
+)
+def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.count("*").alias("c"), F.round(F.sum("value"), 4).alias("sv"))
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        grid.crossJoin(F.broadcast(types))
+        .join(agg, ["hour", "event_type"], "left")
+        .select(
+            F.unix_timestamp("hour").alias("hour_epoch"),
+            "event_type",
+            F.coalesce("c", F.lit(0)).alias("cnt"),
+            F.last("sv", ignorenulls=True).over(w).alias("sum_locf"),
+        )
     )
