@@ -11,10 +11,14 @@ engine executes (hash-partition by key, grouped reduce, ``src/mapreduce.c:
   pair generation -> exact Jaccard verify. The shingle join is the published
   MapReduce similarity-join pattern (cf. PAPERS.md: "Parallel Top-K Similarity
   Join Algorithms Using MapReduce", ICDE 2012);
-- MinHash-LSH: 16 xxhash64 permutations -> 4 bands of 4 -> band-bucket join;
-  candidates only, no exact verify (the verified path is the shingle join, so
-  the two queries cross-check each other in tests);
-- SimHash: 64-bit sign-aggregated token hashes per doc.
+- MinHash-LSH: 16 portable-hash permutations -> 4 bands of 4 -> band-bucket
+  join; candidate pairs with matching-band counts (the verified path is the
+  shingle join, so the two queries also cross-check each other in tests);
+- SimHash: 60-bit sign-aggregated token hashes per doc.
+
+All hashes are the engine-portable md5-60bit hash (functions/portable.py),
+so every query here — including the LSH/SimHash ones — is fully
+value-checked against a DuckDB oracle that recomputes the same signatures.
 
 Scale posture: at 100 TB the shingle inverted index is the dominant shuffle;
 it is keyed by shingle (high cardinality => well spread), distinct-ed before
@@ -27,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parallel_mapreduce_spark.functions.portable import phash60, phash60_sql
 from parallel_mapreduce_spark.functions.text import tokens
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.sources import load_table, register_views
@@ -291,19 +296,22 @@ def jaccard_pairs(shingled: DataFrame, freq_cap: int | None = None) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# MinHash-LSH candidates: 16 permutations (xxhash64 with seed-salted input),
-# banded 4x4; pairs sharing >= 1 band bucket are candidates. Rows-only check
-# (the randomness of xxhash64 is not portable to DuckDB); recall against the
-# exact Jaccard pairs is asserted in tests/test_dedup.py.
+# MinHash-LSH candidates: 16 permutations (portable md5-60bit hash with a
+# "perm:" salt), banded 4x4; pairs sharing >= 1 band bucket are candidates,
+# reported with the matching-band count. Fully value-checked: the hash is
+# engine-portable (functions/portable.py), so the DuckDB oracle recomputes
+# the identical signatures, bands, and pairs. Recall against the exact
+# Jaccard pairs is additionally asserted in tests/test_dedup.py.
 # --------------------------------------------------------------------------
 def _minhash_of(texts: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>[N_PERMUTATIONS]) — min over shingles of
-    xxhash64(perm_index, shingle) per permutation; one shuffle on doc_id."""
+    phash60(perm_index || ':' || shingle) per permutation; one shuffle on
+    doc_id."""
     sh = texts.select(
         "doc_id", F.explode(shingles3(tokens("text"))).alias("s")
     )
     mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+        F.min(phash60(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
         for i in range(N_PERMUTATIONS)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
@@ -335,11 +343,16 @@ def _lsh_bands(sig: DataFrame) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(band).alias("band_idx"),
-                        F.xxhash64(
-                            *[
-                                F.get(F.col("sig"), band * rows_per_band + r)
-                                for r in range(rows_per_band)
-                            ]
+                        phash60(
+                            F.concat_ws(
+                                ":",
+                                *[
+                                    F.get(
+                                        F.col("sig"), band * rows_per_band + r
+                                    ).cast("string")
+                                    for r in range(rows_per_band)
+                                ],
+                            )
                         ).alias("band_hash"),
                     )
                     for band in range(N_BANDS)
@@ -349,7 +362,37 @@ def _lsh_bands(sig: DataFrame) -> DataFrame:
     ).select("doc_id", "bh.band_idx", "bh.band_hash")
 
 
-@query("minhash_lsh_candidates")
+_ROWS_PER_BAND = N_PERMUTATIONS // N_BANDS
+_SQL_BAND_CONCAT = " || ':' || ".join(
+    f"sg[band_idx * {_ROWS_PER_BAND} + {r + 1}]" for r in range(_ROWS_PER_BAND)
+)
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t WHERE len(toks) >= 3),
+    mh AS (
+      SELECT doc_id, i,
+             MIN({phash60_sql("i::VARCHAR || ':' || s")}) AS h
+      FROM sh CROSS JOIN range({N_PERMUTATIONS}) r(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h::VARCHAR ORDER BY i) AS sg FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band_idx,
+             {phash60_sql(_SQL_BAND_CONCAT)} AS band_hash
+      FROM sig CROSS JOIN range({N_BANDS}) b(band_idx)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+    FROM bands a
+    JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs with the number of matching LSH bands.
 
@@ -383,20 +426,43 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# SimHash: 64-bit signature; bit b is the sign of sum over tokens of
-# tf * (+/-1 per bit of xxhash64(token)). Rows-only (JVM hash not portable).
+# SimHash: 60-bit signature; bit b is the sign of sum over tokens of
+# tf * (+/-1 per bit of phash60(token)). 60 bits (not 64) because the
+# portable hash (functions/portable.py) yields 60 uniform bits — which is
+# what makes the signature fully value-checkable against the DuckDB oracle.
 # --------------------------------------------------------------------------
+SIMHASH_BITS = 60
+
+_SQL_SIMHASH_SIG = f"""
+    tok AS (SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM tok GROUP BY doc_id, word),
+    bits AS (
+      SELECT doc_id, i AS bit,
+             SUM(CASE WHEN (({phash60_sql("word")} >> i) & 1) = 1
+                      THEN tf ELSE -tf END) AS s
+      FROM tf CROSS JOIN range({SIMHASH_BITS}) r(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT
+               AS simhash
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
 def _simhash_of(texts: DataFrame) -> DataFrame:
     """(doc_id, simhash: long) over a (doc_id, text) frame."""
     tok = texts.select("doc_id", F.explode(tokens("text")).alias("word"))
     tf = tok.groupBy("doc_id", "word").agg(F.count("*").alias("tf"))
-    h = F.xxhash64("word")
+    h = phash60(F.col("word"))
     # One row per (doc, word, bit): contrib = tf if bit set else -tf.
     bits = tf.select(
         "doc_id",
         "tf",
         h.alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
     ).select(
         "doc_id",
         "bit",
@@ -405,8 +471,8 @@ def _simhash_of(texts: DataFrame) -> DataFrame:
         .alias("contrib"),
     )
     bit_sums = bits.groupBy("doc_id", "bit").agg(F.sum("contrib").alias("s"))
-    # Assemble the signature: sum of set bits' place values (wraps to negative
-    # for bit 63 — it's an opaque 64-bit signature, sign is meaningless).
+    # Assemble the signature: sum of set bits' place values (non-negative —
+    # 60 bits fit a BIGINT with headroom).
     return bit_sums.groupBy("doc_id").agg(
         F.sum(
             F.when(
@@ -430,7 +496,10 @@ def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_signatures")
+@query(
+    "simhash_signatures",
+    oracle=f"WITH {_SQL_SIMHASH_SIG} SELECT doc_id, simhash FROM sig",
+)
 def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return simhash_df(spark, sf_dir)
@@ -438,19 +507,42 @@ def simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # SimHash near-dup pairs: pigeonhole band join + exact Hamming verify.
-# Splitting the 64-bit signature into 4 16-bit bands guarantees that any
+# Splitting the 60-bit signature into 4 15-bit bands guarantees that any
 # pair with Hamming distance <= 3 shares at least one exact band (<= 3 bit
 # flips can dirty at most 3 of the 4 bands) — so the candidate join is an
 # EQUI-join on (band_idx, band_value): one shuffle, no all-pairs product,
-# the same index-join shape as MinHash-LSH. Rows-only check (xxhash64 is
-# not portable to DuckDB); exact-duplicate texts are asserted to collide at
+# the same index-join shape as MinHash-LSH. Fully value-checked (portable
+# hash); exact-duplicate texts are additionally asserted to collide at
 # Hamming 0 in tests/test_dedup.py.
 # --------------------------------------------------------------------------
-SIMHASH_N_BANDS = 4  # 16 bits per band
+SIMHASH_N_BANDS = 4  # 15 bits per band
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_N_BANDS
 SIMHASH_MAX_HAMMING = 3  # pigeonhole-complete for 4 bands
 
 
-@query("simhash_neardup_pairs")
+@query(
+    "simhash_neardup_pairs",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_SIG},
+    bands AS (
+      SELECT doc_id, simhash, b AS band_idx,
+             (simhash >> ({SIMHASH_BAND_BITS} * b)) & {2**SIMHASH_BAND_BITS - 1}
+               AS band_val
+      FROM sig CROSS JOIN range({SIMHASH_N_BANDS}) r(b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.simhash AS sa, b.simhash AS sb
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, bit_count(xor(sa, sb))::BIGINT AS hamming
+    FROM cand
+    WHERE bit_count(xor(sa, sb)) <= {SIMHASH_MAX_HAMMING}
+    """,
+)
 def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
@@ -465,7 +557,10 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(b).alias("band_idx"),
-                        F.expr(f"(simhash >> {16 * b}) & 65535").alias("band_val"),
+                        F.expr(
+                            f"(simhash >> {SIMHASH_BAND_BITS * b})"
+                            f" & {2**SIMHASH_BAND_BITS - 1}"
+                        ).alias("band_val"),
                     )
                     for b in range(SIMHASH_N_BANDS)
                 ]

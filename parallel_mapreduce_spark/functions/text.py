@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from parallel_mapreduce_spark.functions.portable import phash60, phash60_sql
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.sources import load_table, register_views
 
@@ -490,22 +491,44 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Stratified corpus sampling: per-language fractions with a fixed seed — the
-# training-data subsampling operator (e.g. rebalance language mix). Seeded
-# sample is deterministic per (seed, partitioning) but not portable to
-# DuckDB => rows-only; per-stratum fraction bounds + determinism are pinned
-# in tests/test_text_golden.py. Narrow op: no shuffle at all.
+# Stratified corpus sampling: per-language fractions via hash-threshold
+# Bernoulli — keep a doc iff phash60("sample:" || doc_id) mod DENOM falls
+# under its stratum's threshold. Deterministic in the *content* (doc_id),
+# not in RNG state: the same doc is kept or dropped regardless of engine,
+# partitioning, or task retry — the property a training-data subsampling
+# operator actually needs (reproducible corpus cuts, stable across reruns
+# at 100 TB), and what makes the query fully value-checkable against the
+# DuckDB oracle. Langs absent from the dict are dropped (fraction 0) — the
+# rebalancing contract. Narrow op: no shuffle at all.
 # --------------------------------------------------------------------------
 SAMPLE_FRACTIONS = {"en": 0.5, "es": 0.25}
-SAMPLE_SEED = 42
+SAMPLE_DENOM = 1_000_000
+
+_SQL_SAMPLE_CASE = "CASE lang " + " ".join(
+    f"WHEN '{lang}' THEN {int(frac * SAMPLE_DENOM)}"
+    for lang, frac in SAMPLE_FRACTIONS.items()
+) + " ELSE 0 END"
 
 
-@query("stratified_sample_docs")
+@query(
+    "stratified_sample_docs",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {phash60_sql("'sample:' || doc_id::VARCHAR")} % {SAMPLE_DENOM}
+          < {_SQL_SAMPLE_CASE}
+    """,
+)
 def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    # sampleBy: per-stratum Bernoulli with one shared seed; langs absent from
-    # the dict are dropped (fraction 0) — the rebalancing contract.
-    return docs.sampleBy("lang", fractions=SAMPLE_FRACTIONS, seed=SAMPLE_SEED).select(
-        "doc_id", "lang"
-    )
+    bucket = phash60(
+        F.concat(F.lit("sample:"), F.col("doc_id").cast("string"))
+    ) % SAMPLE_DENOM
+    threshold = F.lit(0)
+    for lang, frac in SAMPLE_FRACTIONS.items():
+        threshold = (
+            F.when(F.col("lang") == lang, F.lit(int(frac * SAMPLE_DENOM)))
+            .otherwise(threshold)
+        )
+    return docs.filter(bucket < threshold).select("doc_id", "lang")
