@@ -116,10 +116,23 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Feature-extraction query through the real mapInPandas path (rows-only:
-# the fake decode is Python-side by definition).
+# Feature-extraction query through the real mapInPandas path. The stub
+# decode is sha256-derived, and sha256 is engine-portable — so even the
+# Python-side path gets a full value check: the oracle recomputes the same
+# dims from the same digest. (With a real codec this reverts to rows-only.)
 # --------------------------------------------------------------------------
-@query("multimodal_features")
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           (16 + ('0x' || substr(sha256(text), 1, 2))::INT % 240)::INT AS width,
+           (16 + ('0x' || substr(sha256(text), 3, 2))::INT % 240)::INT AS height,
+           (1 + ('0x' || substr(sha256(text), 5, 2))::INT % 3)::INT AS channels,
+           substr(sha256(text), 1, 8) AS sha_prefix
+    FROM documents
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return extract_features(load_table(spark, sf_dir, "documents"))
@@ -149,9 +162,10 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
-# Resize stub through the Arrow batch path (rows-only): decode dims via the
+# Resize stub through the Arrow batch path: decode dims via the
 # deterministic fake, then compute the letterboxed target size — the real
-# thing swaps _fake_decode for a codec and adds the pixel op.
+# thing swaps _fake_decode for a codec and adds the pixel op. Value-checked
+# like multimodal_features (sha256-derived dims are portable).
 # --------------------------------------------------------------------------
 RESIZE_TARGET = 128
 
@@ -162,7 +176,11 @@ RESIZE_SCHEMA = (
 
 
 def resize_plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """mapInPandas kernel: longest side scaled to RESIZE_TARGET, aspect kept."""
+    """mapInPandas kernel: longest side scaled to RESIZE_TARGET, aspect kept.
+
+    Rounding is explicit half-up (floor(x + 0.5)), not Python's banker's
+    round — half-up is what SQL ROUND does, keeping the kernel portable
+    across engines (and value-checkable against the DuckDB oracle)."""
     for pdf in batches:
         out = {k: [] for k in ("doc_id", "width", "height", "new_width", "new_height", "scale")}
         for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
@@ -171,13 +189,34 @@ def resize_plan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             out["doc_id"].append(doc_id)
             out["width"].append(w)
             out["height"].append(h)
-            out["new_width"].append(max(1, round(w * scale)))
-            out["new_height"].append(max(1, round(h * scale)))
+            out["new_width"].append(max(1, int(w * scale + 0.5)))
+            out["new_height"].append(max(1, int(h * scale + 0.5)))
             out["scale"].append(round(scale, 6))
         yield pd.DataFrame(out)
 
 
-@query("multimodal_resize")
+_SHA_BYTE = "('0x' || substr(sha256(text), {pos}, 2))::INT"
+_SQL_W = f"(16 + {_SHA_BYTE.format(pos=1)} % 240)"
+_SQL_H = f"(16 + {_SHA_BYTE.format(pos=3)} % 240)"
+
+
+@query(
+    "multimodal_resize",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, {_SQL_W} AS w, {_SQL_H} AS h FROM documents
+    )
+    SELECT doc_id,
+           w::INT AS width,
+           h::INT AS height,
+           greatest(1, floor(w * ({RESIZE_TARGET}.0 / greatest(w, h)) + 0.5))::INT
+             AS new_width,
+           greatest(1, floor(h * ({RESIZE_TARGET}.0 / greatest(w, h)) + 0.5))::INT
+             AS new_height,
+           round({RESIZE_TARGET}.0 / greatest(w, h), 6) AS scale
+    FROM d
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")

@@ -9,7 +9,9 @@ LLM-pipeline operator mandated by the north star (SURVEY.md §2.3). Two paths:
 - ``ann_lsh_topk``: the scale path — random-hyperplane LSH buckets, cosine
   ranked only within a bucket. At 1000 executors this turns the O(Q x N)
   cross-product into O(Q x N / 2^planes) with one shuffle on bucket id.
-  Rows-only check; recall vs brute force asserted in tests/test_similarity.py.
+  The planes are deterministic arithmetic, embedded as literals in the DuckDB
+  oracle => fully value-checked; recall vs brute force additionally asserted
+  in tests/test_similarity.py.
 
 Ranking determinism across engines: scores are rounded to 6 decimals before
 rank (sum-order float noise is ~1e-15), ties broken by candidate id.
@@ -125,6 +127,39 @@ def _plane(p: int, dim: int) -> list[float]:
     return [((i * 1103515245 + p * 12345 + 12345) % 2048) / 1024.0 - 1.0 for i in range(dim)]
 
 
+# The planes are deterministic arithmetic, so the DuckDB oracles below embed
+# the SAME plane constants as list literals and recompute the identical
+# buckets — full value checks for the LSH paths, not rows-only. The literals
+# need the vector dimension at SQL-generation time: the driver testdata is
+# dim-64 at every scale factor (checked across sf0.001/0.01/0.1); the Spark
+# side still reads the dim from the data.
+EMB_DIM = 64
+
+
+def _plane_sql(p: int, dim: int = EMB_DIM) -> str:
+    return "[" + ", ".join(str(v) for v in _plane(p, dim)) + "]"
+
+
+def _bucket_sql(t: int, n_planes: int) -> str:
+    """DuckDB expression for table t's bucket id over vector column ``e`` —
+    the same sign-bit fold as :func:`lsh_table_buckets` (plane p carries
+    weight 2^(n_planes-1-p))."""
+    terms = [
+        f"CASE WHEN list_dot_product(e, {_plane_sql(t * n_planes + p)}) > 0"
+        f" THEN {2 ** (n_planes - 1 - p)} ELSE 0 END"
+        for p in range(n_planes)
+    ]
+    return " + ".join(terms)
+
+
+def _buckets_cte_sql(n_planes: int) -> str:
+    """UNION ALL over LSH tables: (vec_id, e, tbl, bucket) rows."""
+    return "\n      UNION ALL\n".join(
+        f"      SELECT vec_id, e, {t} AS tbl, {_bucket_sql(t, n_planes)} AS bucket FROM v"
+        for t in range(N_TABLES)
+    )
+
+
 def lsh_table_buckets(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column:
     """array<struct<table:int, bucket:int>> — one bucket id per LSH table."""
     entries = []
@@ -140,7 +175,36 @@ def lsh_table_buckets(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column
     return F.array(*entries)
 
 
-@query("ann_lsh_topk")
+@query(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    b AS (
+{_buckets_cte_sql(N_PLANES)}
+    ),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+      FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < {N_QUERY_VECS} AND q.vec_id <> c.vec_id
+    ),
+    s AS (
+      SELECT cand.q_id, cand.c_id,
+             ROUND(list_cosine_similarity(a.e, c.e), 6) AS sim6
+      FROM cand
+      JOIN v a ON a.vec_id = cand.q_id
+      JOIN v c ON c.vec_id = cand.c_id
+    )
+    SELECT q_id, c_id, ROUND(sim6, 4) AS cosine
+    FROM (SELECT q_id, c_id, sim6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY sim6 DESC, c_id) AS rk
+          FROM s)
+    WHERE rk <= {TOP_K}
+    """,
+)
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per query among candidates sharing any LSH table bucket.
 
@@ -201,10 +265,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: centroids are O(K x dim) — always broadcast; the index build
 # is two narrow passes over the vectors plus one K-sized shuffle; search
-# touches ~IVF_NPROBE/K of the corpus instead of all of it. Rows-only check
-# (the centroid refinement is not reasonably expressible in portable SQL);
-# score agreement with brute force on common pairs is asserted in
-# tests/test_similarity.py.
+# touches ~IVF_NPROBE/K of the corpus instead of all of it. The whole build
+# is deterministic (seed cells = first IVF_K non-query vectors, one Lloyd
+# step, rounded-cosine argmin with cid tie-break), so the DuckDB oracle
+# recomputes it declaratively — full value check; score agreement with brute
+# force on common pairs is additionally asserted in tests/test_similarity.py.
 # --------------------------------------------------------------------------
 IVF_K = 16  # inverted-file cells
 IVF_NPROBE = 6  # cells probed per query
@@ -254,7 +319,74 @@ def ivf_centroids(vecs: DataFrame) -> DataFrame:
     )
 
 
-@query("ann_ivf_topk")
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    seeds AS (
+      SELECT (vec_id - {N_QUERY_VECS})::INT AS cid, e AS cv
+      FROM v
+      WHERE vec_id >= {N_QUERY_VECS} AND vec_id < {N_QUERY_VECS + IVF_K}
+    ),
+    assigned AS (
+      SELECT vec_id, cid, e FROM (
+        SELECT v.vec_id, s.cid, v.e,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v.e, s.cv), 6) DESC,
+                          s.cid) AS rk
+        FROM v CROSS JOIN seeds s
+      ) WHERE rk = 1
+    ),
+    dims AS (
+      SELECT cid, i AS pos, e[i + 1] AS x
+      FROM assigned CROSS JOIN range({EMB_DIM}) r(i)
+    ),
+    cents AS (
+      SELECT cid, list(m ORDER BY pos) AS cv
+      FROM (SELECT cid, pos, AVG(x) AS m FROM dims GROUP BY cid, pos)
+      GROUP BY cid
+    ),
+    idx AS (
+      SELECT vec_id, cid FROM (
+        SELECT v.vec_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v.e, c.cv), 6) DESC,
+                          c.cid) AS rk
+        FROM v CROSS JOIN cents c
+      ) WHERE rk = 1
+    ),
+    probes AS (
+      SELECT q_id, cid FROM (
+        SELECT v.vec_id AS q_id, c.cid,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(v.e, c.cv), 6) DESC,
+                          c.cid) AS rk
+        FROM v CROSS JOIN cents c
+        WHERE v.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {IVF_NPROBE}
+    ),
+    s AS (
+      SELECT p.q_id, i.vec_id AS c_id,
+             ROUND(list_cosine_similarity(a.e, b.e), 6) AS sim6
+      FROM probes p
+      JOIN idx i ON i.cid = p.cid AND i.vec_id <> p.q_id
+      JOIN v a ON a.vec_id = p.q_id
+      JOIN v b ON b.vec_id = i.vec_id
+    )
+    SELECT q_id, c_id, ROUND(sim6, 4) AS cosine
+    FROM (SELECT q_id, c_id, sim6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY sim6 DESC, c_id) AS rk
+          FROM s)
+    WHERE rk <= {TOP_K}
+    """,
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per query among vectors in the query's IVF_NPROBE nearest cells."""
     register_views(spark, sf_dir)
@@ -380,10 +512,33 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (multi-table union), cosine-verified. The exact twin (emb_neardup_pairs
 # above) is the oracle-checked baseline on a bounded id range; this is the
 # unbounded formulation whose candidate join replaces the all-pairs product.
-# Rows-only; containment in the exact pair set (same threshold, same range)
-# is asserted in tests/test_similarity.py.
+# Fully value-checked (literal-plane oracle recomputing the same buckets);
+# containment in the exact pair set (same threshold, same range) is
+# additionally asserted in tests/test_similarity.py.
 # --------------------------------------------------------------------------
-@query("emb_neardup_lsh_pairs")
+@query(
+    "emb_neardup_lsh_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    b AS (
+{_buckets_cte_sql(EMB_DEDUP_N_PLANES)}
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+      WHERE a.vec_id < c.vec_id
+    )
+    SELECT id_a, id_b,
+           ROUND(ROUND(list_cosine_similarity(x.e, y.e), 6), 4) AS cosine
+    FROM cand
+    JOIN v x ON x.vec_id = cand.id_a
+    JOIN v y ON y.vec_id = cand.id_b
+    WHERE ROUND(list_cosine_similarity(x.e, y.e), 6) >= {EMB_DEDUP_THRESHOLD}
+    """,
+)
 def emb_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
