@@ -204,3 +204,22 @@ def test_stream_static_join_matches_batch(spark, sf_dir):
         for r in segment_share_stream(spark, sf_dir, "t_segment").collect()
     }
     assert streamed == batch
+
+
+def test_stream_dedup_events_query_matches_batch_distinct(spark, sf_dir):
+    """The registered streaming-dedup query (dropDuplicatesWithinWatermark —
+    watermark-bounded state, the production at-least-once guard) must emit
+    exactly the batch-distinct key set, each key once."""
+    from parallel_mapreduce_spark.sources import load_table
+    from parallel_mapreduce_spark.streaming.dedup_stream import (
+        DEDUP_KEYS,
+        stream_dedup_events,
+    )
+
+    got = [(r.user_id, r.event_type) for r in stream_dedup_events(spark, sf_dir).collect()]
+    want = {
+        (r.user_id, r.event_type)
+        for r in load_table(spark, sf_dir, "events").select(*DEDUP_KEYS).distinct().collect()
+    }
+    assert len(got) == len(want)  # each key exactly once
+    assert set(got) == want
