@@ -296,23 +296,45 @@ def jaccard_pairs(shingled: DataFrame, freq_cap: int | None = None) -> DataFrame
 
 
 # --------------------------------------------------------------------------
-# MinHash-LSH candidates: 16 permutations (portable md5-60bit hash with a
-# "perm:" salt), banded 4x4; pairs sharing >= 1 band bucket are candidates,
-# reported with the matching-band count. Fully value-checked: the hash is
-# engine-portable (functions/portable.py), so the DuckDB oracle recomputes
-# the identical signatures, bands, and pairs. Recall against the exact
-# Jaccard pairs is additionally asserted in tests/test_dedup.py.
+# MinHash-LSH candidates: 16 permutations, banded 4x4; pairs sharing >= 1
+# band bucket are candidates, reported with the matching-band count.
+#
+# Permutations are the textbook affine construction h_i(s) = (a_i*h(s)+b_i)
+# mod p over ONE base hash per shingle (the same shape as Spark MLlib's
+# MinHashLSH): the expensive md5 runs once per exploded shingle row and the
+# 16 permutations are integer multiply-adds — measured 20s -> ~2s at sf0.1
+# vs hashing each (perm, shingle) pair. p < 2^31 keeps a_i * h(s) inside a
+# 64-bit signed product on both engines. Fully value-checked: the base hash
+# is engine-portable (functions/portable.py) and the coefficients are
+# literals in the oracle SQL. Recall against the exact Jaccard pairs is
+# additionally asserted in tests/test_dedup.py.
 # --------------------------------------------------------------------------
+MINHASH_PRIME = 2038074743  # largest prime below 2^31 used by MLlib's MinHashLSH
+
+# Deterministic affine coefficients; a_i != 0 for all i < N_PERMUTATIONS.
+_MINHASH_COEFFS = [
+    (
+        (2654435761 * (i + 1)) % MINHASH_PRIME,
+        (40503 * (i + 1) + 12345) % MINHASH_PRIME,
+    )
+    for i in range(N_PERMUTATIONS)
+]
+assert all(a != 0 for a, _ in _MINHASH_COEFFS)
+
+_SQL_A_LIST = "[" + ", ".join(str(a) for a, _ in _MINHASH_COEFFS) + "]"
+_SQL_B_LIST = "[" + ", ".join(str(b) for _, b in _MINHASH_COEFFS) + "]"
+
+
 def _minhash_of(texts: DataFrame) -> DataFrame:
     """(doc_id, sig: array<long>[N_PERMUTATIONS]) — min over shingles of
-    phash60(perm_index || ':' || shingle) per permutation; one shuffle on
-    doc_id."""
+    (a_i * phash60(shingle) % p + b_i) % p per permutation; one md5 per
+    shingle row, one shuffle on doc_id."""
     sh = texts.select(
         "doc_id", F.explode(shingles3(tokens("text"))).alias("s")
-    )
+    ).select("doc_id", (phash60(F.col("s")) % MINHASH_PRIME).alias("ph"))
     mins = [
-        F.min(phash60(F.concat_ws(":", F.lit(str(i)), F.col("s")))).alias(f"h{i}")
-        for i in range(N_PERMUTATIONS)
+        F.min((F.lit(a) * F.col("ph") + F.lit(b)) % MINHASH_PRIME).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MINHASH_COEFFS)
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
@@ -373,10 +395,12 @@ _SQL_BAND_CONCAT = " || ':' || ".join(
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t WHERE len(toks) >= 3),
+    ph AS (SELECT doc_id, {phash60_sql("s")} % {MINHASH_PRIME} AS ph FROM sh),
     mh AS (
       SELECT doc_id, i,
-             MIN({phash60_sql("i::VARCHAR || ':' || s")}) AS h
-      FROM sh CROSS JOIN range({N_PERMUTATIONS}) r(i)
+             MIN(({_SQL_A_LIST}[i + 1] * ph + {_SQL_B_LIST}[i + 1])
+                 % {MINHASH_PRIME}) AS h
+      FROM ph CROSS JOIN range({N_PERMUTATIONS}) r(i)
       GROUP BY doc_id, i
     ),
     sig AS (SELECT doc_id, list(h::VARCHAR ORDER BY i) AS sg FROM mh GROUP BY doc_id),
