@@ -282,6 +282,70 @@ def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Per-source corpus composition: the "which ingestion sources are worth
+# keeping" profile every training-data pipeline runs before filtering —
+# volume, language diversity, and length stats per source. One shuffle on
+# source (bounded cardinality); distinct-lang is a tiny per-group set.
+# --------------------------------------------------------------------------
+@query(
+    "source_composition",
+    oracle="""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           ROUND(AVG(CAST(n_chars AS DOUBLE)), 4) AS avg_chars
+    FROM documents
+    GROUP BY source
+    """,
+)
+def source_composition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Document-length histogram: fixed-width buckets with an overflow tail —
+# the length-distribution profile used to pick truncation/packing limits.
+# Portable arithmetic bucketing (floor division), no width_bucket needed;
+# map-side partial aggregation makes this one tiny shuffle at any scale.
+# --------------------------------------------------------------------------
+HIST_BUCKET_WIDTH = 100
+HIST_N_BUCKETS = 20  # last bucket absorbs the tail
+
+
+@query(
+    "doc_length_histogram",
+    oracle=f"""
+    SELECT LEAST(n_chars // {HIST_BUCKET_WIDTH}, {HIST_N_BUCKETS - 1}) AS bucket,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.least(
+        F.floor(F.col("n_chars") / HIST_BUCKET_WIDTH),
+        F.lit(HIST_N_BUCKETS - 1),
+    ).cast("long")
+    return docs.groupBy(bucket.alias("bucket")).agg(
+        F.count("*").alias("n_docs"),
+        F.min("n_chars").cast("long").alias("min_chars"),
+        F.max("n_chars").cast("long").alias("max_chars"),
+    )
+
+
+# --------------------------------------------------------------------------
 # tf-idf: top term per document. tf * ln(N/df), rounded for cross-engine
 # rank stability (libm vs JVM ln differ in the last ulp).
 # --------------------------------------------------------------------------
