@@ -156,6 +156,38 @@ def events_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Semi-structured props via Spark 4 VARIANT (parse once, typed extraction):
+# the scale path for heterogeneous event properties — VARIANT stores a
+# shredded binary form, so repeated field access skips re-parsing the JSON
+# text per expression (get_json_object re-parses per call), and unknown /
+# missing fields degrade to NULL via try_variant_get instead of erroring.
+# Same oracle surface as JSON-text extraction, so fully value-checked.
+# --------------------------------------------------------------------------
+@query(
+    "events_props_variant",
+    oracle="""
+    SELECT event_type,
+           COUNT(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS max_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def events_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json("props"), "$.k", "bigint")
+    return ev.groupBy("event_type").agg(
+        F.count(k).alias("n_with_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).cast("long").alias("sum_k"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Share-of-total via an unpartitioned window over a pre-aggregated frame
 # (the window input is |event_type| rows, so the empty partition is fine).
 # --------------------------------------------------------------------------
