@@ -34,6 +34,7 @@ from pyspark.sql import functions as F
 from parallel_mapreduce_spark.functions.portable import phash60, phash60_sql
 from parallel_mapreduce_spark.functions.text import tokens
 from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.session import ensure_checkpoint_dir
 from parallel_mapreduce_spark.sources import load_table, register_views
 
 JACCARD_THRESHOLD = 0.5
@@ -72,7 +73,11 @@ _SQL_SHINGLES = (
 
 
 # --------------------------------------------------------------------------
-# Exact dedup: group by content hash, keep the smallest doc_id.
+# Exact dedup: group by a 128-bit content digest (md5 + length tiebreak),
+# keep the smallest doc_id. Keying the shuffle by the digest — never the
+# full text — means the shuffle payload at 100 TB is ~24 bytes/doc instead
+# of the corpus itself; text bytes only ever cross a shuffle once, as the
+# map-side-combined min_by survivor in _digest_groups below.
 # --------------------------------------------------------------------------
 @query(
     "dedup_exact",
@@ -87,30 +92,54 @@ _SQL_SHINGLES = (
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    return docs.groupBy("text").agg(
-        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies")
-    ).select(F.md5("text").alias("text_hash"), "keep_id", "n_copies")
-
-
-def exact_dup_members(docs: DataFrame) -> DataFrame:
-    """(rep, doc_id, text): every doc mapped to the min-doc_id representative
-    of its exact-text group. One shuffle on text. Shared by every near-dup
-    path: identical texts have identical shingles/signatures, so all
-    signature computation and index joins run on representatives only and
-    expand back to members afterwards (quadratic fan-out on duplicate-heavy
-    corpora collapses to the distinct-text case). collect_list is bounded by
-    per-text multiplicity."""
     return (
-        docs.groupBy("text")
-        .agg(F.min("doc_id").alias("rep"), F.collect_list("doc_id").alias("ids"))
-        .select("rep", F.explode("ids").alias("doc_id"), "text")
+        docs.select(
+            F.md5("text").alias("text_hash"),
+            F.length("text").alias("_len"),
+            "doc_id",
+        )
+        .groupBy("text_hash", "_len")
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+        .select("text_hash", "keep_id", "n_copies")
     )
 
 
-def _rep_texts(members: DataFrame, n_parts: int) -> DataFrame:
-    """(doc_id, text) of group representatives, spread across n_parts."""
+def _digest_groups(docs: DataFrame) -> DataFrame:
+    """One row per distinct text: (_k, _l, rep, text) where _k/_l are the
+    md5/length digest, rep is the min doc_id of the group and text is that
+    representative's text (min_by — partial aggregation keeps at most one
+    text per group per map task, so text bytes cross the shuffle once and
+    only as group survivors, not as the grouping key). No collect_list
+    anywhere: a pathological corpus-sized copy group costs one counter, not
+    an unbounded array on one reducer."""
+    return docs.groupBy(
+        F.md5("text").alias("_k"), F.length("text").alias("_l")
+    ).agg(F.min("doc_id").alias("rep"), F.min_by("text", "doc_id").alias("text"))
+
+
+def exact_dup_members(docs: DataFrame) -> DataFrame:
+    """(rep, doc_id): every doc mapped to the min-doc_id representative of
+    its exact-text group. Shared by every near-dup path: identical texts
+    have identical shingles/signatures, so all signature computation and
+    index joins run on representatives only (see _rep_texts) and expand back
+    to members afterwards (quadratic fan-out on duplicate-heavy corpora
+    collapses to the distinct-text case). Both shuffles here move digests
+    and ids only — never text."""
+    ids = docs.select(
+        "doc_id", F.md5("text").alias("_k"), F.length("text").alias("_l")
+    )
+    return ids.join(_digest_groups(docs).select("_k", "_l", "rep"), ["_k", "_l"]).select(
+        "rep", "doc_id"
+    )
+
+
+def _rep_texts(docs: DataFrame, n_parts: int) -> DataFrame:
+    """(doc_id, text) of exact-text group representatives, spread across
+    n_parts. Built from the same _digest_groups subplan as
+    exact_dup_members, so within one query plan the digest aggregation's
+    exchange is reused, not recomputed."""
     return (
-        members.filter(F.col("doc_id") == F.col("rep"))
+        _digest_groups(docs)
         .repartition(n_parts, "rep")
         .select(F.col("rep").alias("doc_id"), "text")
     )
@@ -191,7 +220,7 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unbounded case is one text with a corpus-sized copy count — cap it
     # there).
     members = exact_dup_members(docs)
-    reps = _rep_texts(members, n)
+    reps = _rep_texts(docs, n)
     shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
     eligible = shingled.filter(F.size("sh") > 0).select(F.col("doc_id").alias("rep"))
     rep_pairs = jaccard_pairs(shingled)
@@ -239,7 +268,7 @@ def neardup_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
     members = exact_dup_members(docs)
-    reps = _rep_texts(members, n)
+    reps = _rep_texts(docs, n)
     shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
     eligible = shingled.filter(F.size("sh") > 0).select(F.col("doc_id").alias("rep"))
     rep_pairs = jaccard_pairs(shingled, freq_cap=SHINGLE_FREQ_CAP)
@@ -348,7 +377,7 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
     members = exact_dup_members(docs)
-    rep_sigs = _minhash_of(_rep_texts(members, n))
+    rep_sigs = _minhash_of(_rep_texts(docs, n))
     return (
         members.select("rep", "doc_id")
         .join(rep_sigs.withColumnRenamed("doc_id", "rep"), "rep")
@@ -427,7 +456,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
     members = exact_dup_members(docs)
-    rep_sigs = _minhash_of(_rep_texts(members, n))
+    rep_sigs = _minhash_of(_rep_texts(docs, n))
     bands = _lsh_bands(rep_sigs)
     a = bands.alias("a")
     b = bands.alias("b")
@@ -512,7 +541,7 @@ def simhash_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
     members = exact_dup_members(docs)
-    rep_sigs = _simhash_of(_rep_texts(members, n))
+    rep_sigs = _simhash_of(_rep_texts(docs, n))
     return (
         members.select("rep", "doc_id")
         .join(rep_sigs.withColumnRenamed("doc_id", "rep"), "rep")
@@ -572,7 +601,7 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
     members = exact_dup_members(docs)
-    sig = _simhash_of(_rep_texts(members, n))
+    sig = _simhash_of(_rep_texts(docs, n))
     bands = sig.select(
         "doc_id",
         "simhash",
@@ -629,8 +658,9 @@ def simhash_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # label among itself and its neighbors; fixpoint = components. Each round is
 # one shuffle on doc_id; rounds needed = graph diameter (near-dup clusters
 # are tiny and dense, so a handful). The driver loop only orchestrates —
-# all data stays distributed; localCheckpoint truncates the growing lineage
-# so round N doesn't replay rounds 1..N-1.
+# all data stays distributed; reliable checkpoint() every CC_CHECK_EVERY
+# rounds truncates the growing lineage (round N doesn't replay rounds
+# 1..N-1) and survives executor loss, unlike executor-block localCheckpoint.
 #
 # Oracle: DuckDB recursive CTE computing min reachable id per node — the
 # same fixpoint, derived declaratively.
@@ -681,42 +711,64 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs)
 
 
+CC_MAX_ROUNDS = 64  # safety valve, NOT a truncation: exceeding it raises
+CC_CHECK_EVERY = 2  # propagation rounds per convergence check / checkpoint
+
+
 def connected_components(pairs: DataFrame) -> DataFrame:
     """(doc_id, cluster_id) for every node in the (doc_a, doc_b) pair graph;
     cluster_id = min doc_id reachable. Distributed min-label propagation —
-    see the block comment above for the scale argument."""
+    see the block comment above for the scale argument.
+
+    Fault tolerance / driver economy: every CC_CHECK_EVERY rounds the label
+    frame is reliably ``checkpoint()``-ed (durable storage, survives executor
+    loss — localCheckpoint would not) and ONE convergence action runs, so the
+    driver round-trips and lineage both stay O(rounds / CC_CHECK_EVERY).
+    Labels are monotone non-increasing, so "unchanged across a whole batch"
+    is exactly the fixpoint. If CC_MAX_ROUNDS is exhausted while labels are
+    still changing, this RAISES rather than silently returning unconverged
+    cluster ids (a truncated result would silently keep/drop the wrong
+    documents downstream in pipeline_clean_corpus).
+    """
+    spark = pairs.sparkSession
+    ensure_checkpoint_dir(spark)
     edges = pairs.union(pairs.select("doc_b", "doc_a")).toDF("src", "dst")
     # Materialize the pair graph once: every propagation round reads it, and
     # it is tiny relative to the corpus (near-dup pairs only).
-    edges = edges.localCheckpoint(eager=True)
+    edges = edges.checkpoint(eager=True)
     labels = (
         edges.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("label", F.col("doc_id"))
+        .checkpoint(eager=True)
     )
-    for _ in range(32):  # diameter cap; near-dup clusters are shallow
-        neighbor_min = (
-            edges.join(labels, edges.src == labels.doc_id)
-            .groupBy(F.col("dst").alias("doc_id"))
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, "doc_id", "left")
-            .select(
+    rounds = 0
+    while rounds < CC_MAX_ROUNDS:
+        prev = labels
+        for _ in range(CC_CHECK_EVERY):
+            neighbor_min = (
+                edges.join(labels, edges.src == labels.doc_id)
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("label").alias("nbr_label"))
+            )
+            labels = labels.join(neighbor_min, "doc_id", "left").select(
                 "doc_id",
                 F.least(
                     F.col("label"), F.coalesce("nbr_label", F.col("label"))
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
-        )
+            rounds += 1
+        labels = labels.checkpoint(eager=True)
         changed = (
-            new_labels.join(labels.withColumnRenamed("label", "old"), "doc_id")
+            labels.join(prev.withColumnRenamed("label", "old"), "doc_id")
             .filter(F.col("label") != F.col("old"))
             .limit(1)
             .count()
         )
-        labels = new_labels
         if changed == 0:
-            break
-    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+            return labels.select("doc_id", F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"connected_components: labels still changing after {CC_MAX_ROUNDS} "
+        "propagation rounds (component diameter exceeds the cap); raise "
+        "CC_MAX_ROUNDS rather than using a truncated clustering"
+    )

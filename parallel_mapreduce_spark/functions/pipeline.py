@@ -6,7 +6,7 @@ and stays fully oracle-checked: every stage has an exact SQL twin, so the
 composed pipeline does too (recursive CTE for the clustering fixpoint).
 
 Stage order matters and is part of the contract: the quality gate runs first
-(cheapest, narrow), exact dedup second (one shuffle on text hash), near-dup
+(cheapest, narrow), exact dedup second (one shuffle on the content digest), near-dup
 clustering last over the smallest surviving set (the expensive inverted-index
 join). At 100 TB this ordering is the difference between shingling the whole
 corpus and shingling what survives the cheap gates.
@@ -99,7 +99,12 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Stage 1: quality gate (narrow).
     q = t.filter(quality_expr(F.col("toks")) >= PIPELINE_QUALITY_MIN)
     # Stage 2: exact dedup — smallest doc_id survives per identical text.
-    keep_e = q.groupBy("text").agg(F.min("doc_id").alias("doc_id"))
+    # Keyed by the md5+length content digest, not the text itself, so the
+    # dedup shuffle moves ~24 bytes/doc instead of the corpus (same shape as
+    # functions/dedup.py:_digest_groups).
+    keep_e = q.groupBy(
+        F.md5("text").alias("_k"), F.length("text").alias("_l")
+    ).agg(F.min("doc_id").alias("doc_id"))
     s = q.join(keep_e.select("doc_id"), "doc_id")
     # Stage 3: near-dup clustering over survivors; keep cluster representatives.
     shingled = s.select("doc_id", shingles3(F.col("toks")).alias("sh"))

@@ -214,7 +214,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # EMB_DIM is a build-time constant (the oracle SQL already embeds planes
+    # of this length as literals); probing the data with .first() here would
+    # run a Spark job at plan-construction time. tests/test_similarity.py
+    # pins that the corpus dimension matches EMB_DIM at every sf.
+    dim = EMB_DIM
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     vecs = emb.repartition(n_parts).select(
         "vec_id",
@@ -542,7 +546,7 @@ def emb_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def emb_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    dim = EMB_DIM  # build-time constant; see ann_lsh_topk for why no probe
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     # Collapse identical vectors first (same shape as the text-dedup paths):
     # exact copies share every bucket, so the bucket join fans out

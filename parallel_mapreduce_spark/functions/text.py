@@ -372,7 +372,10 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
-    from parallel_mapreduce_spark.functions.dedup import exact_dup_members
+    from parallel_mapreduce_spark.functions.dedup import (
+        _rep_texts,
+        exact_dup_members,
+    )
 
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
@@ -383,12 +386,7 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per representative expands to every member unchanged.
     members = exact_dup_members(docs).select("rep", "doc_id")
     group_sz = members.groupBy("rep").agg(F.count("*").alias("copies"))
-    reps = (
-        members.filter(F.col("doc_id") == F.col("rep"))
-        .join(docs, "doc_id")
-        .repartition(n, "rep")
-        .select("rep", "text")
-    )
+    reps = _rep_texts(docs, n).select(F.col("doc_id").alias("rep"), "text")
     toks = reps.select("rep", F.explode(tokens("text")).alias("term"))
     tf = toks.groupBy("rep", "term").agg(F.count("*").alias("tf"))
     dfreq = (

@@ -117,7 +117,6 @@ def test_binding_freq_cap_only_removes_pairs_never_raises_scores(spark, sf_dir):
     surviving pair's score: the denominator keeps original set sizes."""
     from parallel_mapreduce_spark.functions.dedup import (
         _rep_texts,
-        exact_dup_members,
         jaccard_pairs,
         shingles3,
     )
@@ -125,7 +124,7 @@ def test_binding_freq_cap_only_removes_pairs_never_raises_scores(spark, sf_dir):
     from parallel_mapreduce_spark.sources import load_table
 
     docs = load_table(spark, sf_dir, "documents")
-    reps = _rep_texts(exact_dup_members(docs), 4)
+    reps = _rep_texts(docs, 4)
     shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
     exact = {
         (r.doc_a, r.doc_b): r.jaccard for r in jaccard_pairs(shingled).collect()

@@ -90,3 +90,45 @@ def test_emb_lsh_pairs_subset_of_exact_with_same_scores(spark, sf_dir):
         # hit with the identical score (same math).
         if ib < EMB_DEDUP_MAX_ID:
             assert (ia, ib) in exact and abs(exact[(ia, ib)] - c) < 1e-9
+
+
+def test_embedding_dim_matches_build_constant(spark, sf_dir):
+    """EMB_DIM is baked into the LSH/IVF oracle SQL as plane literals AND
+    used by the Spark plans (no runtime .first() probe); the corpus must
+    actually have that dimension."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.functions.similarity import EMB_DIM
+    from parallel_mapreduce_spark.sources import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = [r.d for r in emb.select(F.size("embedding").alias("d")).distinct().collect()]
+    assert dims == [EMB_DIM]
+
+
+def test_lsh_plan_build_triggers_no_extra_spark_job(spark, sf_dir):
+    """Constructing an LSH query plan must not run Spark jobs beyond the
+    parquet-footer schema read that ANY load_table call costs (the old
+    .first() dim probe added a collect job on top of it)."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        ann_lsh_topk,
+        emb_neardup_lsh_pairs,
+    )
+    from parallel_mapreduce_spark.sources import load_table
+
+    sc = spark.sparkContext
+
+    def jobs_during(label, fn):
+        sc.setJobGroup(label, label)
+        try:
+            fn()
+        finally:
+            sc.setLocalProperty("spark.jobGroup.id", None)
+        return len(list(sc.statusTracker().getJobIdsForGroup(label)))
+
+    baseline = jobs_during("probe-base", lambda: load_table(spark, sf_dir, "embeddings"))
+    assert jobs_during("probe-ann", lambda: ann_lsh_topk(spark, sf_dir)) <= baseline
+    assert (
+        jobs_during("probe-embnd", lambda: emb_neardup_lsh_pairs(spark, sf_dir))
+        <= baseline
+    )
