@@ -27,8 +27,11 @@ def _sf_of(sf_dir: str) -> float:
 
 
 def run_query(spark, name: str, sf_dir: str) -> float:
-    df = QUERIES[name].fn(spark, sf_dir)
+    # Time plan construction AND execution: iterative operators (the
+    # clustering loop inside pipeline_clean_corpus) run Spark jobs while the
+    # plan is being built, so timing only the write would undercount them.
     t0 = time.perf_counter()
+    df = QUERIES[name].fn(spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     return time.perf_counter() - t0
 

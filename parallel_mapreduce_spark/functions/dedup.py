@@ -445,6 +445,7 @@ _SQL_BAND_CONCAT = " || ':' || ".join(
      AND a.doc_id < b.doc_id
     GROUP BY 1, 2
     """,
+    headline=True,
 )
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Candidate near-dup pairs with the number of matching LSH bands.

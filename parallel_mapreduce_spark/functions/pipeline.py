@@ -86,6 +86,7 @@ _SHINGLES = (
     FROM s LEFT JOIN dropped d USING (doc_id)
     WHERE d.doc_id IS NULL
     """,
+    headline=True,
 )
 def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kept documents (doc_id, lang, n_tokens) after the full cleaning chain."""

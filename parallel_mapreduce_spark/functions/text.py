@@ -97,6 +97,37 @@ def wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# D7: multi-source union word count. The reference's MR_Run takes a LIST of
+# input files and word-counts their union (src/mapreduce.c:181-212 wave
+# scheduler; src/main.c argv loop); the DataFrame twin unions two distinct
+# sources (documents.text + part.p_name) ahead of the same tokenize/count
+# pipeline. Union-all is plan-level concatenation — no shuffle of its own;
+# the single count shuffle stays keyed by word.
+# --------------------------------------------------------------------------
+@query(
+    "multi_source_wordcount",
+    oracle=f"""
+    SELECT word, COUNT(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKS}) AS word
+          FROM (SELECT text FROM documents
+                UNION ALL
+                SELECT p_name AS text FROM part))
+    GROUP BY word
+    """,
+)
+def multi_source_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    parts = load_table(spark, sf_dir, "part").select(F.col("p_name").alias("text"))
+    src = docs.unionByName(parts)
+    return (
+        src.select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
 # D3: keyed point lookup. Catalyst pushes the filter below the aggregate —
 # the reference aggregates everything then probes a hashmap (main.c:55-58).
 # --------------------------------------------------------------------------

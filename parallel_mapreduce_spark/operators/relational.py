@@ -296,6 +296,65 @@ def left_join_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Full-outer join + null-side aggregation — completes the join-kind matrix
+# (inner/left/semi/anti/range/asof/broadcast/salted/bucketed + full outer).
+# Both inputs are filtered subsets, so unmatched keys exist on BOTH sides
+# and every row class (both / customer_only / order_only) is visible in the
+# output. Scale shape: a full outer can never broadcast (both sides must
+# keep unmatched rows), so this is the one join kind that is always a
+# key-partitioned shuffle join — AQE handles skew; the pre-aggregation on
+# the orders side keeps the shuffled payload one row per customer.
+# --------------------------------------------------------------------------
+@query(
+    "full_outer_customer_orders",
+    oracle="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment FROM customer WHERE c_mktsegment = 'BUILDING'
+    ),
+    o AS (
+      SELECT o_custkey, COUNT(*) AS n_big,
+             ROUND(SUM(o_totalprice), 4) AS spend
+      FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+    )
+    SELECT COALESCE(c_custkey, o_custkey) AS cust_key,
+           c_mktsegment AS segment,
+           COALESCE(n_big, 0) AS n_big_orders,
+           COALESCE(spend, 0.0) AS big_spend,
+           CASE WHEN c_custkey IS NULL THEN 'order_only'
+                WHEN o_custkey IS NULL THEN 'customer_only'
+                ELSE 'both' END AS side
+    FROM c FULL OUTER JOIN o ON c_custkey = o_custkey
+    """,
+)
+def full_outer_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey", "c_mktsegment")
+    )
+    big = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_big"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        )
+    )
+    return cust.join(big, cust.c_custkey == big.o_custkey, "full_outer").select(
+        F.coalesce("c_custkey", "o_custkey").alias("cust_key"),
+        F.col("c_mktsegment").alias("segment"),
+        F.coalesce("n_big", F.lit(0).cast("long")).alias("n_big_orders"),
+        F.coalesce("spend", F.lit(0.0)).alias("big_spend"),
+        F.when(F.col("c_custkey").isNull(), F.lit("order_only"))
+        .when(F.col("o_custkey").isNull(), F.lit("customer_only"))
+        .otherwise(F.lit("both"))
+        .alias("side"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Range (non-equi) join against a literal band table — broadcast nested loop
 # on a 3-row side, i.e. free at any scale.
 # --------------------------------------------------------------------------
@@ -941,6 +1000,7 @@ Q18_MIN_QTY = 150
     JOIN orders ON o_orderkey = l_orderkey
     JOIN customer ON c_custkey = o_custkey
     """,
+    headline=True,
 )
 def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)

@@ -81,12 +81,30 @@ def user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 _RUN_SEQ = 0
 
 
-@query("stream_user_totals")
+@query(
+    "stream_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_seen_epoch
+    FROM events
+    GROUP BY user_id
+    """,
+)
 def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-shot (availableNow) run of the stateful stream into a memory sink;
-    the returned frame is each user's final totals. Rows-only check — the
-    streaming state machinery has no SQL twin — but the values equal the
-    batch aggregate, which tests/test_streaming.py asserts."""
+    the returned frame is each user's FINAL totals. The SQL twin is the
+    batch-equality contract: after the stream drains, every user's running
+    state equals the plain batch aggregate — so the streaming state machinery
+    is value-checked, not rows-only.
+
+    In update mode a user emits one snapshot per micro-batch that touched
+    them; with a multi-file source dir or maxFilesPerTrigger the sink holds
+    several snapshots per user. n_events is strictly increasing across a
+    user's snapshots, so max_by(snapshot, n_events) is exactly the final
+    state — this reduction makes the query correct under ANY batch split,
+    instead of assuming a single batch."""
     global _RUN_SEQ
     _RUN_SEQ += 1
     name = f"stream_user_totals_{_RUN_SEQ}"
@@ -99,6 +117,17 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    # With a single micro-batch each user emits exactly one snapshot; the
-    # round trip through a sorted select keeps the output deterministic.
-    return spark.table(name).orderBy("user_id")
+    snapshots = spark.table(name)
+    final = snapshots.groupBy("user_id").agg(
+        F.max(
+            F.struct("n_events", "total_value", "last_seen_epoch")
+        ).alias("s")
+    )
+    # ROUND at emit time used Python round (banker's); re-round via Spark for
+    # a stable 4-decimal contract on the oracle boundary.
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.total_value", 4).alias("total_value"),
+        F.col("s.last_seen_epoch").alias("last_seen_epoch"),
+    )

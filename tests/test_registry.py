@@ -1,0 +1,41 @@
+"""Registry ordering contract: the driver checks a prefix of queries(),
+so the priority list must be well-formed and actually lead the map."""
+
+from __future__ import annotations
+
+from parallel_mapreduce_spark.registry import (
+    DRIVER_PRIORITY,
+    QUERIES,
+    _load_all,
+    oracle_map,
+    query_map,
+)
+
+
+def test_priority_names_exist_and_are_unique():
+    _load_all()
+    missing = [n for n in DRIVER_PRIORITY if n not in QUERIES]
+    assert missing == [], f"priority list references unknown queries: {missing}"
+    assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY))
+
+
+def test_priority_fills_the_driver_window():
+    # The driver's checked window is ~50 queries; keep the promoted set at
+    # exactly that size so no slot is wasted on an already-verified query.
+    assert len(DRIVER_PRIORITY) == 50
+
+
+def test_query_map_leads_with_priority_and_covers_everything():
+    _load_all()
+    names = list(query_map())
+    assert names[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+    assert set(names) == set(QUERIES)
+    assert len(names) == len(QUERIES)
+
+
+def test_oracle_map_subset_of_query_map_with_same_leading_order():
+    oracles = list(oracle_map())
+    queries = list(query_map())
+    pos = {n: i for i, n in enumerate(queries)}
+    assert all(n in pos for n in oracles)
+    assert oracles == sorted(oracles, key=pos.__getitem__)
