@@ -47,10 +47,15 @@ MASK64 = (1 << 64) - 1
 def djb2(key: str) -> int:
     """The reference's default partitioner hash (``src/mapreduce.c:129-138``):
     ``hash = hash * 33 + c`` over the key's bytes, in C unsigned-long (64-bit
-    wrapping) arithmetic."""
+    wrapping) arithmetic. The C loop reads ``int c = *key++`` through a plain
+    ``char*`` — signed char on the common ABIs — so bytes >= 0x80 contribute
+    their *negative* two's-complement value. Mirrored here (``b - 256`` for
+    high bytes) so partition routing matches the reference for non-ASCII
+    keys too, not just ASCII."""
     h = 5381
     for b in key.encode("utf-8"):
-        h = (h * 33 + b) & MASK64
+        c = b - 256 if b >= 0x80 else b
+        h = (h * 33 + c) & MASK64
     return h
 
 
@@ -102,7 +107,12 @@ def mr_run(
     ``src/mapreduce.c:181-212``; multi-file union semantics as in D7)."""
     if isinstance(files, str):
         files = [files]
-    lines = spark.sparkContext.textFile(",".join(files))
+    # Load via the DataFrame text reader, which takes the path LIST verbatim:
+    # sc.textFile comma-splits its path string at the Hadoop layer (even a
+    # single path), so "part,one.txt" would silently become two lookups.
+    # Globs in individual paths still expand — the standard Spark file-source
+    # convention, same as the reference's shell-expanded argv.
+    lines = spark.read.text(files).rdd.map(lambda r: r[0])
     return mr_run_rdd(lines, map_fn, reduce_fn, num_reducers, partitioner)
 
 

@@ -246,9 +246,15 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Native session windows: the same 30-min-gap sessionization as
 # events_sessionize, but via Spark's built-in session_window operator (one
-# hash-agg with merging session state instead of two analytic windows). The
-# oracle is the identical recursive formulation — proving the built-in
-# operator and the window composition agree.
+# hash-agg with merging session state instead of two analytic windows).
+#
+# Boundary semantics, measured (Spark 4.1, tests/test_events_boundary.py):
+# session_window MERGES an event arriving exactly SESSION_GAP_S after the
+# previous one — the merge condition is ts <= current session end — which
+# is the same `gap > SESSION_GAP_S` splitting convention events_sessionize
+# uses. The fixture test pins both surfaces on an explicit exact-gap event
+# so any future change in the native operator's boundary rule surfaces
+# as a test failure rather than a silent oracle drift.
 # --------------------------------------------------------------------------
 @query(
     "events_session_window",

@@ -23,6 +23,22 @@ def test_djb2_matches_reference_algorithm():
     assert djb2("") == 5381
 
 
+def test_djb2_signed_char_high_bytes():
+    # The reference reads bytes via `int c = *key++` through a signed char*,
+    # so UTF-8 continuation/lead bytes (>= 0x80) contribute NEGATIVE values.
+    # Simulate the C loop exactly for a non-ASCII key:
+    h = 5381
+    for b in "café".encode("utf-8"):
+        c = b - 256 if b >= 0x80 else b
+        h = (h * 33 + c) % (1 << 64)
+    assert djb2("café") == h
+    # and it must differ from the unsigned-byte interpretation
+    hu = 5381
+    for b in "café".encode("utf-8"):
+        hu = (hu * 33 + b) % (1 << 64)
+    assert h != hu
+
+
 def test_wordcount_via_veneer(spark):
     lines = spark.sparkContext.parallelize(
         ["the bee the", "  bee   movie ", "", "the"], 3
@@ -119,3 +135,30 @@ def test_mr_run_file_api_on_reference_fixture(spark):
     assert got == dict(want)
     # Reference golden keys (SURVEY.md §5.1) under intended semantics:
     assert got["Barry"] == 89 and got["bee"] == 35
+
+
+def test_mr_run_multi_file_union_and_awkward_paths(spark, tmp_path):
+    """D7 multi-file semantics: MR_Run over a file LIST word-counts the
+    union; a path containing a comma must be loaded verbatim, not split
+    (sc.textFile would comma-split; mr_run routes through the DataFrame
+    text reader, which takes the path list as-is). Globs still expand per
+    the standard Spark file-source convention."""
+    from parallel_mapreduce_spark.mr import mr_run
+
+    a = tmp_path / "part,one.txt"  # comma in the filename
+    b = tmp_path / "part2.txt"
+    a.write_text("the bee\nthe\n")
+    b.write_text("bee movie\n")
+
+    def map_fn(line):
+        return [(t, "1") for t in line.split(" ") if t]
+
+    def reduce_fn(key, values):
+        return sum(1 for _ in values)
+
+    got = dict(
+        mr_run(
+            spark, [str(a), str(b)], map_fn, reduce_fn, num_reducers=3
+        ).collect()
+    )
+    assert got == {"the": 2, "bee": 2, "movie": 1}
