@@ -156,6 +156,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.functions.python_slots  # noqa: F401
     import parallel_mapreduce_spark.functions.similarity  # noqa: F401
     import parallel_mapreduce_spark.functions.text  # noqa: F401
+    import parallel_mapreduce_spark.functions.trainprep  # noqa: F401
     import parallel_mapreduce_spark.mr  # noqa: F401
     import parallel_mapreduce_spark.operators.events  # noqa: F401
     import parallel_mapreduce_spark.operators.relational  # noqa: F401
@@ -163,6 +164,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.operators.tpch_gaps  # noqa: F401
     import parallel_mapreduce_spark.operators.timeseries  # noqa: F401
     import parallel_mapreduce_spark.streaming.dedup_stream  # noqa: F401
+    import parallel_mapreduce_spark.streaming.joins_stream  # noqa: F401
     import parallel_mapreduce_spark.streaming.stateful  # noqa: F401
 
     _LOADED = True
