@@ -723,10 +723,12 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 
     Fault tolerance / driver economy: every CC_CHECK_EVERY rounds the label
     frame is reliably ``checkpoint()``-ed (durable storage, survives executor
-    loss — localCheckpoint would not) and ONE convergence action runs, so the
-    driver round-trips and lineage both stay O(rounds / CC_CHECK_EVERY).
-    Labels are monotone non-increasing, so "unchanged across a whole batch"
-    is exactly the fixpoint. If CC_MAX_ROUNDS is exhausted while labels are
+    loss — localCheckpoint would not) and ONE convergence action runs — a
+    max() over a change flag the final propagation round computes inline, so
+    the test is a scan of the just-checkpointed frame, not a second join.
+    Driver round-trips and lineage both stay O(rounds / CC_CHECK_EVERY);
+    propagation is deterministic and monotone, so "last round changed no
+    label" is exactly the fixpoint. If CC_MAX_ROUNDS is exhausted while labels are
     still changing, this RAISES rather than silently returning unconverged
     cluster ids (a truncated result would silently keep/drop the wrong
     documents downstream in pipeline_clean_corpus).
@@ -745,28 +747,30 @@ def connected_components(pairs: DataFrame) -> DataFrame:
     )
     rounds = 0
     while rounds < CC_MAX_ROUNDS:
-        prev = labels
-        for _ in range(CC_CHECK_EVERY):
+        for i in range(CC_CHECK_EVERY):
             neighbor_min = (
                 edges.join(labels, edges.src == labels.doc_id)
                 .groupBy(F.col("dst").alias("doc_id"))
                 .agg(F.min("label").alias("nbr_label"))
             )
-            labels = labels.join(neighbor_min, "doc_id", "left").select(
-                "doc_id",
-                F.least(
-                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
-                ).alias("label"),
+            new_label = F.least(
+                F.col("label"), F.coalesce("nbr_label", F.col("label"))
             )
+            # Propagation is deterministic and monotone: if ONE round changes
+            # no label, every later round is a no-op — so fixpoint detection
+            # only needs the LAST round's change flag, computed inline here.
+            # The convergence test then becomes a scan-and-agg over the frame
+            # this batch checkpoints anyway, replacing the extra
+            # current-vs-previous join job per batch.
+            cols = ["doc_id", new_label.alias("label")]
+            if i == CC_CHECK_EVERY - 1:
+                cols.append((new_label != F.col("label")).alias("chg"))
+            labels = labels.join(neighbor_min, "doc_id", "left").select(*cols)
             rounds += 1
         labels = labels.checkpoint(eager=True)
-        changed = (
-            labels.join(prev.withColumnRenamed("label", "old"), "doc_id")
-            .filter(F.col("label") != F.col("old"))
-            .limit(1)
-            .count()
-        )
-        if changed == 0:
+        changed = labels.agg(F.max("chg")).first()[0]
+        labels = labels.select("doc_id", "label")
+        if not changed:
             return labels.select("doc_id", F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"connected_components: labels still changing after {CC_MAX_ROUNDS} "
