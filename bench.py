@@ -46,14 +46,15 @@ def main() -> None:
     # headline plan gets one warm pass.
     for name in names:
         run_query(spark, name, "/root/testdata/sf0.001")
-    # Best of 2 at the target sf: the first full-size run still pays one-off
+    # Best of 3 at the target sf: the first full-size run still pays one-off
     # costs (shuffle-buffer growth, page-cache warm-up on the parquet files)
-    # and this box's wall-clock is noisy; the min of two runs is the
-    # steady-state number a warmed cluster would show.
+    # and this box's wall-clock varies 1.4-10x run-to-run under external
+    # load; the min of three runs is the steady-state number a warmed
+    # cluster would show.
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(
-            min(run_query(spark, name, sf_dir) for _ in range(2)), 3
+            min(run_query(spark, name, sf_dir) for _ in range(3)), 3
         )
     print(
         json.dumps(
