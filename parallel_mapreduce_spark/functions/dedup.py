@@ -168,7 +168,15 @@ def within_group_pairs(
     members: DataFrame, eligible_reps: DataFrame, payload_col
 ) -> DataFrame:
     """All (doc_a < doc_b) pairs of copies of the same eligible text, with a
-    constant payload (identical texts: Jaccard 1.0 / Hamming 0 / all bands)."""
+    constant payload (identical texts: Jaccard 1.0 / Hamming 0 / all bands).
+
+    Scale note: the pair-list contract is inherently quadratic in a group's
+    copy count — a corpus-sized copy group would emit a corpus²-sized output
+    no matter how it is computed. That is a property of "emit all pairs",
+    not of this plan (the join itself is an equi-join on rep, so AQE skew
+    handling applies); pipelines that only need keep/drop decisions should
+    consume the linear-sized outputs instead (exact_dup_members /
+    neardup_clusters), which is exactly what pipeline_clean_corpus does."""
     g = members.select("rep", "doc_id").join(eligible_reps, "rep")
     a, b = g.alias("a"), g.alias("b")
     return a.join(

@@ -39,7 +39,13 @@ FEATURE_SCHEMA = (
 
 def with_blob(docs: DataFrame) -> DataFrame:
     """Attach the opaque binary payload column (UTF-8 bytes of `text` stand in
-    for real media bytes; schema-wise this is exactly an image column)."""
+    for real media bytes; schema-wise this is exactly an image column).
+
+    Deliberately NOT cached/shared across queries: it is a narrow projection
+    (one encode per row, fused into the scan), and pinning blob columns in
+    executor memory is exactly the anti-pattern a 100 TB media corpus cannot
+    afford — each query re-derives blobs in its own scan and prunes them
+    immediately after its Python stage."""
     return docs.withColumn("blob", F.encode(F.col("text"), "UTF-8"))
 
 

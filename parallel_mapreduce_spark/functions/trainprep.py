@@ -9,9 +9,9 @@ multimodal/text families. Everything here is built-ins-only (JVM-side,
 whole-stage codegen); every query has a full DuckDB value oracle.
 
 Scale notes per operator are inline; the common theme: per-document maps
-are shuffle-free, and the two operators that do shuffle (contamination
-join, vocab build) shuffle bucket keys / vocab-sized data, never the
-corpus text.
+are shuffle-free, and the operators that do shuffle (contamination join,
+vocab build, domain-mix rates) shuffle bucket keys / vocab-sized /
+per-source-count data, never the corpus text.
 """
 
 from __future__ import annotations
@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 from parallel_mapreduce_spark.functions.dedup import shingles3
+from parallel_mapreduce_spark.functions.portable import phash60, phash60_sql
 from parallel_mapreduce_spark.functions.text import _SQL_TOKS, bigrams, tokens
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.sources import load_table, register_views
@@ -338,4 +339,60 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.round(F.col("scale").cast("double"), 6).alias("scale_r"),
         F.array_join(q, ",").alias("q_csv"),
+    )
+
+
+MIX_DENOM = 1_000_000
+
+
+# --------------------------------------------------------------------------
+# Domain-mixture rebalancing: downsample over-represented languages to a
+# UNIFORM target mix, with rates computed FROM the data (unlike
+# stratified_sample_docs' fixed fractions). Per-language acceptance
+# threshold = min(1, fair_share / actual_share), applied as the same
+# deterministic content-hash Bernoulli — reproducible across engines,
+# partitionings, and task retries. Thresholds use pure integer arithmetic
+# ((total * DENOM) div (n_langs * cnt)) so Spark and DuckDB agree bit-for-
+# bit. Plan shape: the rate table is one row per language (tiny — broadcast
+# back to the corpus); the corpus itself is never shuffled, only scanned,
+# counted (map-side combined), and filtered.
+# --------------------------------------------------------------------------
+@query(
+    "domain_rebalance",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                 CAST(COUNT(*) AS BIGINT) AS n_src
+          FROM c),
+    r AS (SELECT lang,
+                 LEAST({MIX_DENOM},
+                       (total * {MIX_DENOM}) // (n_src * cnt)) AS thr
+          FROM c, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {phash60_sql("'mix:' || doc_id::VARCHAR")} % {MIX_DENOM} < thr
+    """,
+)
+def domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").alias("cnt"))
+    t = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_src"),
+    )
+    r = c.crossJoin(F.broadcast(t)).select(
+        "lang",
+        F.least(
+            F.lit(MIX_DENOM).cast("long"),
+            F.expr(f"(total * {MIX_DENOM}) div (n_src * cnt)"),
+        ).alias("thr"),
+    )
+    bucket = phash60(
+        F.concat(F.lit("mix:"), F.col("doc_id").cast("string"))
+    ) % MIX_DENOM
+    return (
+        docs.join(F.broadcast(r), "lang")
+        .filter(bucket < F.col("thr"))
+        .select("doc_id", "lang")
     )
