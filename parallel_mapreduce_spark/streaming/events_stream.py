@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.session import apply_runtime_conf
 
 # Explicit schema: a streaming file source cannot infer, and events.ts is
@@ -146,3 +147,57 @@ def segment_share_stream(
     )
     q.awaitTermination()
     return spark.table(table_name)
+
+
+_RUN_SEQ = 0
+
+
+def _next_name(prefix: str) -> str:
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    return f"{prefix}_{_RUN_SEQ}"
+
+
+# --------------------------------------------------------------------------
+# Registered driver-checkable surface for the streaming pipelines above:
+# after an availableNow run drains the one-shot source, the complete-mode
+# snapshot equals the batch aggregation — so the batch SQL is a full value
+# oracle for the streaming plan, same contract as stream_dedup_events.
+# --------------------------------------------------------------------------
+@query(
+    "stream_events_hourly",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot run of the watermarked hourly windowed aggregation
+    (hourly_events_stream) into a memory sink; equals the batch
+    events_hourly."""
+    return run_hourly_stream_to_memory(
+        spark, sf_dir, _next_name("stream_events_hourly")
+    )
+
+
+@query(
+    "stream_segment_share",
+    oracle="""
+    SELECT c_mktsegment AS segment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY 1, 2
+    """,
+)
+def stream_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot run of the stream-static enrichment join
+    (segment_share_stream) into a memory sink; equals the batch
+    events_user_segment."""
+    return segment_share_stream(
+        spark, sf_dir, _next_name("stream_segment_share")
+    )
