@@ -180,3 +180,44 @@ def test_approx_percentiles_close_to_exact(spark, sf_dir):
         a50, a90, a99 = approx[flag]
         for e, a in ((e50, a50), (e90, a90), (e99, a99)):
             assert abs(e - a) <= 0.02 * abs(e) + 1e-6, (flag, e, a)
+
+
+def test_domain_rebalance_broadcasts_rate_table(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.trainprep import domain_rebalance
+
+    plan = _plan(domain_rebalance(spark, sf_dir))
+    # The per-language rate table joins back to the corpus as a broadcast —
+    # the corpus itself must not shuffle for the join.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_seq_pack_windows_per_source_not_globally(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.trainprep import seq_pack_contiguous
+
+    plan = _plan(seq_pack_contiguous(spark, sf_dir))
+    # Window partitioned by source: hashpartitioning on source, never a
+    # single-partition global sort (SinglePartition exchange).
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_vocab_window_runs_after_aggregation(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.trainprep import vocab_min_count
+
+    plan = _optimized(vocab_min_count(spark, sf_dir))
+    # The single-partition id window must sit ABOVE the count aggregate
+    # (vocab-sized input), not above the corpus-sized token explode.
+    assert plan.index("Window") < plan.index("Aggregate")
+
+
+def test_full_outer_is_shuffle_join(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.relational import (
+        full_outer_customer_orders,
+    )
+
+    plan = _plan(full_outer_customer_orders(spark, sf_dir))
+    # A full outer join can never broadcast (both sides keep unmatched
+    # rows) — it must compile to a shuffle join, FullOuter kind.
+    assert "FullOuter" in plan
+    assert "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan
