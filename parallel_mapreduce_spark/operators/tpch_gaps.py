@@ -491,3 +491,95 @@ def q21_waiting_suppliers_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+Q11_SHARE_FRACTION = 0.0002  # groups holding > 0.02% of the global value
+
+
+# --------------------------------------------------------------------------
+# Q11 SHAPE (important stock) without partsupp: the defining pattern is
+# GROUP BY key HAVING SUM(value) > fraction * (scalar subquery over the
+# WHOLE table). Here lineitem revenue per part stands in for stock value
+# per part. The global scalar is a broadcast 1-row aggregate crossed into
+# the HAVING filter — never a driver collect, and the grouped frame is
+# computed once (Spark reuses the exchange for both the groups and the
+# global total would require a second scan; instead the total aggregates
+# the per-part frame, so the base table is scanned ONCE).
+# --------------------------------------------------------------------------
+@query(
+    "q11_important_parts_share",
+    oracle=f"""
+    WITH per_part AS (
+      SELECT l_partkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS value
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, ROUND(value, 4) AS part_value
+    FROM per_part
+    WHERE value > {Q11_SHARE_FRACTION} * (SELECT SUM(value) FROM per_part)
+    """,
+)
+def q11_important_parts_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(F.sum(_rev()).alias("value"))
+    total = per_part.agg(F.sum("value").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > Q11_SHARE_FRACTION * F.col("total"))
+        .select("l_partkey", F.round("value", 4).alias("part_value"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 SHAPE (minimum-cost supplier) without partsupp: the defining pattern
+# is a correlated MIN subquery — pick, per part, the supplier(s) matching
+# the per-part minimum — decorrelated into aggregate-then-join (the same
+# strategy q17 uses for its scalar subquery): per-(part, supplier) avg
+# price, per-part min of that, equality join back. Two shuffles on partkey
+# instead of a correlated re-scan per probe row.
+# --------------------------------------------------------------------------
+@query(
+    "q2_min_cost_supplier_shape",
+    oracle="""
+    WITH ps AS (
+      SELECT l_partkey, l_suppkey,
+             -- floor(x*1e4 + 0.5)/1e4: engine-portable half-up rounding
+             -- (ROUND ties differ between engines on doubles)
+             floor(AVG(l_extendedprice / l_quantity) * 10000 + 0.5) / 10000
+               AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT ps.l_partkey, ps.l_suppkey, s.s_name, ps.unit_cost
+    FROM ps
+    JOIN (SELECT l_partkey, MIN(unit_cost) AS min_cost
+          FROM ps GROUP BY l_partkey) m
+      ON ps.l_partkey = m.l_partkey AND ps.unit_cost = m.min_cost
+    JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    """,
+)
+def q2_min_cost_supplier_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        (
+            F.floor(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")) * 10000
+                + 0.5
+            )
+            / 10000
+        ).alias("unit_cost")
+    )
+    m = ps.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    a, b = ps.alias("a"), m.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_partkey") == F.col("b.l_partkey"))
+            & (F.col("a.unit_cost") == F.col("b.min_cost")),
+        )
+        .select(F.col("a.l_partkey").alias("l_partkey"), "l_suppkey", "unit_cost")
+        .join(sup, F.col("s_suppkey") == F.col("l_suppkey"))
+        .select("l_partkey", "l_suppkey", "s_name", "unit_cost")
+    )
