@@ -2,10 +2,12 @@
 
 The reference's Mapper/Reducer slots (``src/mapreduce.h:11-14``) can express
 any one-round MapReduce; multi-join decision-support queries are the classic
-capability gap (SURVEY.md §2.3 "Joins"). These eight close out the TPC-H
-query shapes the synthetic schema can support (it has no partsupp table and
-no commit/receipt dates, so Q2/Q11/Q21 have no faithful analogue; Q9/Q12/Q22
-are adapted as noted per query).
+capability gap (SURVEY.md §2.3 "Joins"). This module closes out the TPC-H
+query shapes the synthetic schema can support. It has no partsupp table and
+no commit/receipt dates, so Q2/Q11/Q21 have no faithful analogue — but their
+defining SHAPES (correlated MIN, share-of-global-scalar HAVING, double-
+correlated EXISTS) are covered by the *_shape queries at the end of this
+module; Q9/Q12/Q22 are adapted as noted per query.
 
 Scale posture, pinned by tests/test_plan_audit.py:
 - bounded-cardinality frames (nation/region, 1-row scalar aggregates) are
@@ -435,6 +437,7 @@ Q21_LATE_DAYS = 60
 # --------------------------------------------------------------------------
 @query(
     "q21_waiting_suppliers_shape",
+    headline=True,
     oracle=f"""
     WITH lo AS (
       SELECT l.l_orderkey, l.l_suppkey,
