@@ -476,11 +476,19 @@ def q21_waiting_suppliers_shape(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.date_add(F.col("o_orderdate"), Q21_LATE_DAYS)
         ).alias("late"),
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(
-            F.when(F.col("late"), F.col("l_suppkey"))
-        ).alias("n_late_supp"),
+    # Two-level aggregate instead of two countDistincts: a multi-distinct
+    # aggregate compiles to an Expand (one input row per distinct column —
+    # 2x the shuffle rows); per-(order, supplier) max(late) followed by a
+    # plain per-order count/sum computes both distinct counts with no row
+    # multiplication, and the second aggregate is map-side combinable.
+    per_order = (
+        lo.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.max("late").alias("supp_late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_supp"),
+            F.sum(F.col("supp_late").cast("long")).alias("n_late_supp"),
+        )
     )
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
