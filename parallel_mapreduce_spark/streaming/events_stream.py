@@ -201,3 +201,78 @@ def stream_segment_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return segment_share_stream(
         spark, sf_dir, _next_name("stream_segment_share")
     )
+
+
+SESSION_GAP_S = 1800  # keep in lockstep with operators.events.SESSION_GAP_S
+
+
+def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sessionization: the native session_window operator under
+    Structured Streaming — merging session state per user, watermark-bounded.
+    State is one open session per (user, gap window); the watermark closes
+    and evicts sessions whose end precedes it, which bounds state on an
+    unbounded stream."""
+    apply_runtime_conf(spark)
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    return (
+        src.withWatermark("ts", "24 hours")
+        .groupBy(
+            "user_id",
+            F.session_window("ts", f"{SESSION_GAP_S} seconds").alias("w"),
+        )
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+@query(
+    "stream_session_windows",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM m
+    )
+    SELECT user_id,
+           CAST(epoch(date_trunc('second', MIN(ts))) AS BIGINT) AS session_start,
+           COUNT(*) AS n_events
+    FROM s GROUP BY user_id, session_id
+    """,
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-shot run of the streaming sessionization into a memory sink.
+    Complete mode: a one-shot batch never advances the watermark past the
+    data, so append would emit nothing; the drained complete-mode snapshot
+    equals the batch session_window result (asserted against the same
+    recursive-sessionization oracle events_session_window uses)."""
+    name = _next_name("stream_session_windows")
+    q = (
+        session_windows_stream(spark, sf_dir)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
