@@ -136,3 +136,36 @@ def test_binding_freq_cap_only_removes_pairs_never_raises_scores(spark, sf_dir):
     assert set(capped) <= set(exact)
     for pair, score in capped.items():
         assert score <= exact[pair] + 1e-9
+
+
+def test_connected_components_empty_graph(spark):
+    from parallel_mapreduce_spark.functions.dedup import connected_components
+
+    pairs = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert connected_components(pairs).count() == 0
+
+
+def test_connected_components_raises_on_round_cap(spark, monkeypatch):
+    import parallel_mapreduce_spark.functions.dedup as D
+    import pytest
+
+    # A 12-node path graph needs ~11 propagation rounds for node 11's label
+    # to reach 0; with the cap forced to 2 the loop must RAISE, never return
+    # a truncated clustering.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    monkeypatch.setattr(D, "CC_MAX_ROUNDS", 2)
+    with pytest.raises(RuntimeError, match="still changing"):
+        D.connected_components(pairs)
+
+
+def test_connected_components_long_chain_converges(spark):
+    from parallel_mapreduce_spark.functions.dedup import connected_components
+
+    # Same path graph under the real cap: every node must reach label 0.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(11)], "doc_a long, doc_b long"
+    )
+    labels = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert labels == {i: 0 for i in range(12)}
