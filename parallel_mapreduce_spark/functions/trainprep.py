@@ -396,3 +396,50 @@ def domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(bucket < F.col("thr"))
         .select("doc_id", "lang")
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram log-probability quality score (perplexity proxy, CCNet-style):
+# score(doc) = mean ln p(token) under the corpus's own unigram model.
+# Low (very negative) scores mark documents of rare/garbage tokens; high
+# scores mark stereotyped text. The language-model table is built FROM the
+# corpus in the same plan (self-referential statistic — the corpus is
+# necessarily scanned twice: once to count, once to score).
+#
+# Scale: the frequency table is vocab-sized (orders below the corpus) and
+# joins the exploded token stream on the token key — AQE broadcasts it
+# while it fits, shuffles otherwise; the global total is a broadcast 1-row
+# aggregate of the vocab frame, never a driver collect.
+# --------------------------------------------------------------------------
+@query(
+    "unigram_logprob_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS token FROM documents
+    ),
+    freq AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM freq)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln(f.cnt * 1.0 / tot.n)), 4) AS mean_logprob
+    FROM tok t JOIN freq f USING (token), tot
+    GROUP BY t.doc_id
+    """,
+)
+def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    tot = freq.agg(F.sum("cnt").cast("long").alias("n"))
+    return (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.avg(F.log(F.col("cnt") * 1.0 / F.col("n"))), 4
+            ).alias("mean_logprob"),
+        )
+    )
