@@ -429,7 +429,14 @@ def domain_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
 def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select("doc_id", F.explode(tokens("text")).alias("token"))
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # Repartition ahead of the tokenize+explode (single-row-group scans would
+    # run the whole token stream's partial aggregation on one task).
+    tok = (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", F.explode(tokens("text")).alias("token"))
+    )
     freq = tok.groupBy("token").agg(F.count("*").alias("cnt"))
     tot = freq.agg(F.sum("cnt").cast("long").alias("n"))
     return (
