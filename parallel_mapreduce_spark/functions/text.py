@@ -62,6 +62,18 @@ def bigrams(toks: Column) -> Column:
     return F.when(n >= 2, ab).otherwise(F.array().cast("array<string>"))
 
 
+
+def _spread(spark: SparkSession, docs: DataFrame, *cols: str) -> DataFrame:
+    """Project to the needed columns and spread rows across cores BEFORE a
+    CPU-heavy per-doc expression: the testdata parquet is one row group, so
+    without this the whole expression evaluates in the scan's single task
+    (see the 10x-corpus probes in README)."""
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    out = docs.select(*cols)
+    key = cols[0] if cols[0] == "doc_id" else None
+    return out.repartition(n_parts, key) if key else out.repartition(n_parts)
+
+
 def token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents exploded to one row per token — the engine's `MR_Emit` stream."""
     docs = load_table(spark, sf_dir, "documents")
@@ -243,7 +255,7 @@ _BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 )
 def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"), "doc_id", "text")
     pieces = F.regexp_extract_all(F.col("text"), F.lit(_BPE_RE), F.lit(0))
     n_of = lambda pat: F.size(  # noqa: E731
         F.filter(pieces, lambda x: x.rlike(pat))
@@ -278,7 +290,7 @@ def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"), "doc_id", "text")
     bg = docs.select(F.explode(bigrams(tokens("text"))).alias("bigram"))
     return (
         bg.groupBy("bigram")
@@ -529,7 +541,7 @@ _SQL_ES = "['" + "', '".join(ES_MARKERS) + "']"
 )
 def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"), "lang", "text")
     toks = tokens("text")
     en_arr = F.array(*[F.lit(s) for s in EN_MARKERS])
     es_arr = F.array(*[F.lit(s) for s in ES_MARKERS])
@@ -566,7 +578,7 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _spread(spark, load_table(spark, sf_dir, "documents"), "doc_id", "text")
     toks = tokens("text")
     lens = F.transform(toks, lambda t: F.octet_length(t).cast("long"))
     # DuckDB's list_reduce seeds the fold with the first element; mirror that:
