@@ -50,13 +50,29 @@ def get_spark(
     return spark
 
 
+_CONFED: set[tuple[int, str]] = set()
+
+
+def session_key(spark: SparkSession) -> tuple[int, str]:
+    """Cache key identifying one live session: object identity alone could
+    collide when a freed session's address is reused, so pair it with the
+    context's applicationId (a fresh context gets a fresh id)."""
+    return (id(spark), spark.sparkContext.applicationId)
+
+
 def apply_runtime_conf(spark: SparkSession) -> None:
     """Set the runtime-mutable confs this engine's queries rely on.
 
     Called by the view-registration path so correctness holds even when the
     caller (e.g. the verification driver) built its own SparkSession without
-    :func:`get_spark`. Only runtime-settable keys belong here.
+    :func:`get_spark`. Only runtime-settable keys belong here. Applied once
+    per session — every load_table call routes through here, and the py4j
+    conf roundtrips add up in driver-side plan-build time.
     """
+    key = session_key(spark)
+    if key in _CONFED:
+        return
+    _CONFED.add(key)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     # events.parquet stores TIMESTAMP(NANOS), illegal for Spark 4's reader;
