@@ -450,3 +450,243 @@ def unigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_logprob"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Boilerplate span detection (CCNet / RefinedWeb style, adapted): web
+# curation removes lines repeated across many pages; this corpus has no
+# line structure (single-line documents), so the repetition unit is the
+# 3-token shingle — a span whose corpus document frequency reaches
+# BOILERPLATE_DF_MIN is boilerplate, and each document reports what
+# fraction of its distinct spans are boilerplate. Two shuffles, both keyed
+# by the shingle / doc_id — never text: the DF aggregation map-side
+# combines, and the flagged-span set (df >= min) is small relative to the
+# span universe, so AQE broadcasts the join back. On a duplicate-heavy
+# corpus run this post-exact-dedup (or collapse-first with member-count
+# weights, as dedup.py does) so identical pages don't vote their spans
+# into boilerplate many times over.
+# --------------------------------------------------------------------------
+BOILERPLATE_DF_MIN = 4  # span appears in >= 4 docs -> boilerplate
+BOILERPLATE_FLAG_RATIO = 0.10  # doc > 10% boilerplate spans -> flagged
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    n_parts: int,
+    df_min: int = BOILERPLATE_DF_MIN,
+    flag_ratio: float = BOILERPLATE_FLAG_RATIO,
+) -> DataFrame:
+    """Core of boilerplate_shingle_coverage over any (doc_id, text) frame."""
+    sh = (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", F.explode(shingles3(tokens("text"))).alias("s"))
+    )
+    boiler = (
+        sh.groupBy("s")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") >= df_min)
+        .select("s")
+    )
+    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    nb = sh.join(boiler, "s").groupBy("doc_id").agg(F.count("*").alias("_nb"))
+    ratio = F.coalesce(F.col("_nb"), F.lit(0)) / F.col("n_spans")
+    return (
+        tot.join(nb, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("n_boilerplate"),
+            F.round(ratio, 4).alias("boilerplate_ratio"),
+            (ratio > flag_ratio).alias("flagged"),
+        )
+    )
+
+
+@query(
+    "boilerplate_shingle_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      FROM t WHERE len(toks) >= 3
+    ),
+    df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+    tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM sh GROUP BY doc_id),
+    nb AS (
+      SELECT sh.doc_id, COUNT(*) AS n_boilerplate
+      FROM sh JOIN df USING (s)
+      WHERE df.df >= {BOILERPLATE_DF_MIN}
+      GROUP BY sh.doc_id
+    )
+    SELECT tot.doc_id,
+           CAST(n_spans AS BIGINT) AS n_spans,
+           CAST(COALESCE(nb.n_boilerplate, 0) AS BIGINT) AS n_boilerplate,
+           ROUND(COALESCE(nb.n_boilerplate, 0) * 1.0 / n_spans, 4)
+               AS boilerplate_ratio,
+           COALESCE(nb.n_boilerplate, 0) * 1.0 / n_spans
+               > {BOILERPLATE_FLAG_RATIO} AS flagged
+    FROM tot LEFT JOIN nb USING (doc_id)
+    """,
+)
+def boilerplate_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    return boilerplate_coverage(docs, n_parts)
+
+
+# --------------------------------------------------------------------------
+# Incremental ingest dedup: the continuous-crawl shape — dedup a NEW batch
+# against the already-ingested corpus, then within itself, emitting one
+# decision per batch document: 'ingest', 'dup_of_corpus', or 'dup_in_batch'
+# (keep = min doc_id). The corpus is doc_id % 10 < 8; the batch is the
+# remaining slice plus two deterministic "re-crawl" copies (originals
+# re-keyed at +10M / +20M) so every decision branch fires at every SF — the
+# shipped small-SF corpora contain no organic exact copies.
+#
+# Every shuffle carries (md5, length) digests and ids only, never text; the
+# corpus side collapses to a distinct digest set before the joins. At 100 TB
+# the corpus side is a maintained digest index (the output of previous
+# ingests), not a rescan — the batch-vs-index anti-join shape is identical.
+# --------------------------------------------------------------------------
+RECRAWL_A_MOD = 40  # originals live in the corpus slice -> dup_of_corpus
+RECRAWL_B_MOD = 50  # originals (=9 mod 50) live in the batch -> dup_in_batch
+RECRAWL_A_OFFSET = 10_000_000
+RECRAWL_B_OFFSET = 20_000_000
+
+
+def ingest_decisions(batch: DataFrame, corpus: DataFrame) -> DataFrame:
+    """Core of incremental_dedup_ingest: one (doc_id, decision) row per
+    batch document, deduping against the corpus digests then within the
+    batch (keep = min doc_id). Both inputs are (doc_id, text) frames."""
+    b = batch.select(
+        "doc_id", F.md5("text").alias("_k"), F.length("text").alias("_l")
+    )
+    c = corpus.select(
+        F.md5("text").alias("_k"), F.length("text").alias("_l")
+    ).distinct()
+    dup_corpus = b.join(c, ["_k", "_l"], "left_semi").select(
+        "doc_id", F.lit("dup_of_corpus").alias("decision")
+    )
+    fresh = b.join(c, ["_k", "_l"], "left_anti")
+    keep = fresh.groupBy("_k", "_l").agg(F.min("doc_id").alias("_keep"))
+    fresh_decided = fresh.join(keep, ["_k", "_l"]).select(
+        "doc_id",
+        F.when(F.col("doc_id") == F.col("_keep"), F.lit("ingest"))
+        .otherwise(F.lit("dup_in_batch"))
+        .alias("decision"),
+    )
+    return dup_corpus.unionByName(fresh_decided)
+
+
+@query(
+    "incremental_dedup_ingest",
+    oracle=f"""
+    WITH batch AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 10 >= 8
+      UNION ALL
+      SELECT doc_id + {RECRAWL_A_OFFSET}, text FROM documents
+      WHERE doc_id % {RECRAWL_A_MOD} = 0
+      UNION ALL
+      SELECT doc_id + {RECRAWL_B_OFFSET}, text FROM documents
+      WHERE doc_id % {RECRAWL_B_MOD} = 9
+    ),
+    b AS (SELECT doc_id, md5(text) AS k, len(text) AS l FROM batch),
+    corpus AS (
+      SELECT DISTINCT md5(text) AS k, len(text) AS l FROM documents
+      WHERE doc_id % 10 < 8
+    ),
+    tagged AS (
+      SELECT b.doc_id, b.k, b.l, (corpus.k IS NOT NULL) AS in_corpus
+      FROM b LEFT JOIN corpus ON b.k = corpus.k AND b.l = corpus.l
+    ),
+    keep AS (
+      SELECT k, l, MIN(doc_id) AS keep_id FROM tagged
+      WHERE NOT in_corpus GROUP BY k, l
+    )
+    SELECT t.doc_id,
+           CASE WHEN t.in_corpus THEN 'dup_of_corpus'
+                WHEN t.doc_id = keep.keep_id THEN 'ingest'
+                ELSE 'dup_in_batch' END AS decision
+    FROM tagged t LEFT JOIN keep ON t.k = keep.k AND t.l = keep.l
+    """,
+)
+def incremental_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", "text")
+    batch = (
+        base.filter(F.col("doc_id") % 10 >= 8)
+        .unionByName(
+            base.filter(F.col("doc_id") % RECRAWL_A_MOD == 0).select(
+                (F.col("doc_id") + RECRAWL_A_OFFSET).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            base.filter(F.col("doc_id") % RECRAWL_B_MOD == 9).select(
+                (F.col("doc_id") + RECRAWL_B_OFFSET).alias("doc_id"), "text"
+            )
+        )
+    )
+    corpus = base.filter(F.col("doc_id") % 10 < 8)
+    return ingest_decisions(batch, corpus)
+
+
+# --------------------------------------------------------------------------
+# Training-shard manifest: deterministic assignment of documents to
+# training shards by content-independent hash of the stable id (so the
+# split is reproducible across engines, task retries, and corpus reorders
+# — the same contract as the content-hash Bernoulli sampler), plus the
+# per-shard manifest a dataloader needs: document count, token budget, and
+# the hash range (shards are written hash-sorted, so min/max pin the file
+# order). The full-corpus pass is a single hash-keyed aggregation; the
+# writer-side twin is `df.repartition(N, shard_id).write.partitionBy(
+# shard_id)` — one shuffle, N balanced files, no global sort.
+# --------------------------------------------------------------------------
+N_TRAIN_SHARDS = 16
+
+
+def shard_manifest(docs: DataFrame, n_shards: int = N_TRAIN_SHARDS) -> DataFrame:
+    """Core of train_shard_manifest over any (doc_id, text) frame."""
+    h = phash60(F.col("doc_id").cast("string"))
+    return (
+        docs.select(
+            F.size(tokens("text")).alias("n_toks"),
+            h.alias("h"),
+            (h % n_shards).alias("shard_id"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.min("h").alias("min_h"),
+            F.max("h").alias("max_h"),
+        )
+    )
+
+
+@query(
+    "train_shard_manifest",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id,
+             len({_SQL_TOKS}) AS n_toks,
+             {phash60_sql("CAST(doc_id AS VARCHAR)")} AS h
+      FROM documents
+    )
+    SELECT h % {N_TRAIN_SHARDS} AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           MIN(h) AS min_h,
+           MAX(h) AS max_h
+    FROM d
+    GROUP BY shard_id
+    """,
+)
+def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_manifest(docs)

@@ -1,0 +1,87 @@
+"""Unit tests for the corpus-cleaning trainprep operators on synthetic
+corpora with hand-computable truth (the DuckDB parity gate covers the
+registered queries on the shipped tables; these pin the semantics)."""
+
+from __future__ import annotations
+
+import hashlib
+
+from parallel_mapreduce_spark.functions.trainprep import (
+    boilerplate_coverage,
+    ingest_decisions,
+    shard_manifest,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_boilerplate_coverage_flags_shared_spans(spark):
+    # "a b c" appears in 4 docs -> boilerplate at df_min=4; everything else
+    # is unique. Doc 3 is 50% boilerplate, docs 0-2 lower, doc 4 zero.
+    rows = [
+        (0, "a b c x0 y0 z0"),  # spans: "a b c","b c x0","c x0 y0","x0 y0 z0"
+        (1, "a b c x1 y1 z1"),
+        (2, "a b c x2 y2 z2"),
+        (3, "a b c d"),  # spans: "a b c","b c d" -> ratio 0.5
+        (4, "p q r s"),  # no shared span -> ratio 0.0
+        (5, "one two"),  # < 3 tokens -> no row
+    ]
+    got = {
+        r.doc_id: r
+        for r in boilerplate_coverage(
+            _docs(spark, rows), n_parts=4, df_min=4, flag_ratio=0.3
+        ).collect()
+    }
+    assert set(got) == {0, 1, 2, 3, 4}  # doc 5 has no spans
+    assert got[3].n_spans == 2 and got[3].n_boilerplate == 1
+    assert got[3].boilerplate_ratio == 0.5 and got[3].flagged
+    assert got[0].n_spans == 4 and got[0].n_boilerplate == 1
+    assert not got[0].flagged  # 0.25 < 0.3
+    assert got[4].n_boilerplate == 0 and got[4].boilerplate_ratio == 0.0
+    assert not got[4].flagged
+
+
+def test_ingest_decisions_three_way(spark):
+    corpus = _docs(spark, [(0, "in corpus"), (1, "also in corpus")])
+    batch = _docs(
+        spark,
+        [
+            (10, "fresh text"),  # ingest
+            (11, "in corpus"),  # dup_of_corpus
+            (12, "batch dup"),  # ingest (min doc_id of its group)
+            (13, "batch dup"),  # dup_in_batch
+            (14, "in corpus"),  # dup_of_corpus (both copies, not just one)
+        ],
+    )
+    got = {r.doc_id: r.decision for r in ingest_decisions(batch, corpus).collect()}
+    assert got == {
+        10: "ingest",
+        11: "dup_of_corpus",
+        12: "ingest",
+        13: "dup_in_batch",
+        14: "dup_of_corpus",
+    }
+
+
+def _py_phash60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_shard_manifest_deterministic_assignment(spark):
+    rows = [(i, "w " * (i + 1)) for i in range(40)]  # doc i has i+1 tokens
+    rows = [(i, t.strip()) for i, t in rows]
+    out = shard_manifest(_docs(spark, rows), n_shards=4).collect()
+    assert sum(r.n_docs for r in out) == 40
+    assert sum(r.n_tokens for r in out) == sum(i + 1 for i in range(40))
+    # Recompute the assignment driver-side: the engine hash must equal the
+    # portable md5-60bit hash of the stringified doc_id.
+    by_shard: dict[int, list[int]] = {}
+    for i in range(40):
+        h = _py_phash60(str(i))
+        by_shard.setdefault(h % 4, []).append(h)
+    for r in out:
+        hs = by_shard[r.shard_id]
+        assert r.n_docs == len(hs)
+        assert r.min_h == min(hs) and r.max_h == max(hs)
