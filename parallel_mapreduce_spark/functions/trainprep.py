@@ -486,17 +486,25 @@ def boilerplate_coverage(
         sh.groupBy("s")
         .agg(F.count("*").alias("df"))
         .filter(F.col("df") >= df_min)
-        .select("s")
+        .select("s", F.lit(1).alias("_b"))
     )
-    tot = sh.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
-    nb = sh.join(boiler, "s").groupBy("doc_id").agg(F.count("*").alias("_nb"))
-    ratio = F.coalesce(F.col("_nb"), F.lit(0)) / F.col("n_spans")
+    # One pass over the span stream for the per-doc stats: left-join the
+    # (small) boilerplate set as a flag, then a single doc-keyed aggregation
+    # counts total and flagged spans together — no second aggregation or
+    # doc-level join, and the span stream is computed twice total (once for
+    # the DF census, once here), not three times.
+    ratio = F.col("_nb") / F.col("n_spans")
     return (
-        tot.join(nb, "doc_id", "left")
+        sh.join(boiler, "s", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count("_b").alias("_nb"),
+        )
         .select(
             "doc_id",
             "n_spans",
-            F.coalesce(F.col("_nb"), F.lit(0)).cast("long").alias("n_boilerplate"),
+            F.col("_nb").alias("n_boilerplate"),
             F.round(ratio, 4).alias("boilerplate_ratio"),
             (ratio > flag_ratio).alias("flagged"),
         )
@@ -561,25 +569,41 @@ RECRAWL_B_OFFSET = 20_000_000
 def ingest_decisions(batch: DataFrame, corpus: DataFrame) -> DataFrame:
     """Core of incremental_dedup_ingest: one (doc_id, decision) row per
     batch document, deduping against the corpus digests then within the
-    batch (keep = min doc_id). Both inputs are (doc_id, text) frames."""
+    batch (keep = min doc_id). Both inputs are (doc_id, text) frames.
+
+    One linear pipeline, everything keyed by the (md5, length) digest: the
+    corpus tag is one left join, and the within-batch keeper is a
+    conditional window MIN over the SAME digest partitioning — no second
+    consumer of the joined frame, so the plan scans batch and corpus once
+    each and shuffles each once (a groupBy-and-rejoin formulation
+    duplicates the whole join subtree, and the semi/anti/union one scanned
+    the batch four times). The window partition is one digest group —
+    bounded by the copy count of a single text, so no skew hazard. The
+    corpus side stays a digest set — at 100 TB it is the maintained index
+    from prior ingests, and it is NOT force-broadcast (it scales with the
+    corpus; AQE picks the join strategy)."""
     b = batch.select(
         "doc_id", F.md5("text").alias("_k"), F.length("text").alias("_l")
     )
-    c = corpus.select(
-        F.md5("text").alias("_k"), F.length("text").alias("_l")
-    ).distinct()
-    dup_corpus = b.join(c, ["_k", "_l"], "left_semi").select(
-        "doc_id", F.lit("dup_of_corpus").alias("decision")
+    c = (
+        corpus.select(F.md5("text").alias("_k"), F.length("text").alias("_l"))
+        .distinct()
+        .select("_k", "_l", F.lit(1).alias("_in"))
     )
-    fresh = b.join(c, ["_k", "_l"], "left_anti")
-    keep = fresh.groupBy("_k", "_l").agg(F.min("doc_id").alias("_keep"))
-    fresh_decided = fresh.join(keep, ["_k", "_l"]).select(
-        "doc_id",
-        F.when(F.col("doc_id") == F.col("_keep"), F.lit("ingest"))
-        .otherwise(F.lit("dup_in_batch"))
-        .alias("decision"),
+    keep = F.min(
+        F.when(F.col("_in").isNull(), F.col("doc_id"))
+    ).over(W.partitionBy("_k", "_l"))
+    return (
+        b.join(c, ["_k", "_l"], "left")
+        .withColumn("_keep", keep)
+        .select(
+            "doc_id",
+            F.when(F.col("_in").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") == F.col("_keep"), F.lit("ingest"))
+            .otherwise(F.lit("dup_in_batch"))
+            .alias("decision"),
+        )
     )
-    return dup_corpus.unionByName(fresh_decided)
 
 
 @query(
