@@ -631,3 +631,90 @@ def emb_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cross.unionByName(within)
         .select("id_a", "id_b", F.round("sim6", 4).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source embedding centroids + dispersion: the domain-curation
+# analytics a pretraining mix needs — a centroid per document source
+# (element-wise mean vector, long format so the oracle compares scalar
+# floats, never float arrays) and each source's dispersion around it
+# (mean / max distance to centroid — low dispersion flags templated or
+# near-duplicate domains, high flags noise).
+#
+# Plan shape: documents⋈embeddings is an id-aligned fact-fact join (no
+# broadcast hint — both sides grow with the corpus; bucketing both tables
+# by doc_id at ingest removes the exchange entirely). The element
+# dimension is exploded, so the centroid aggregation is a (source, pos)
+# keyed partial agg — 64 rows per source — and the dispersion pass joins
+# those ~|sources|x64 centroid rows back broadcast-style (AQE picks
+# broadcast; the centroid frame is bounded by the source vocabulary, not
+# the corpus).
+# --------------------------------------------------------------------------
+_SQL_EMB_EXPLODED = """
+  SELECT d.source, e.vec_id,
+         unnest(list_transform(range(0, len(e.embedding)),
+                i -> struct_pack(pos := i,
+                                 v := CAST(e.embedding[i + 1] AS DOUBLE)))) AS u
+  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+"""
+
+
+@query(
+    "source_centroids",
+    oracle=f"""
+    WITH x AS ({_SQL_EMB_EXPLODED})
+    SELECT source, u.pos AS pos,
+           ROUND(AVG(u.v), 4) + 0.0 AS mean_val
+    FROM x GROUP BY source, u.pos
+    """,
+)
+def source_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select("source", F.posexplode(as_double(F.col("embedding"))))
+        .groupBy("source", "pos")
+        # + 0.0 folds IEEE -0.0 to 0.0 — the engines disagree on the sign of
+        # a rounded-to-zero mean, which flips the value hash.
+        .agg((F.round(F.avg("col"), 4) + F.lit(0.0)).alias("mean_val"))
+    )
+
+
+@query(
+    "source_embedding_dispersion",
+    oracle=f"""
+    WITH x AS ({_SQL_EMB_EXPLODED}),
+    c AS (SELECT source, u.pos AS pos, AVG(u.v) AS c
+          FROM x GROUP BY source, u.pos),
+    d2 AS (
+      SELECT x.source, x.vec_id, SUM((x.u.v - c.c) * (x.u.v - c.c)) AS sq
+      FROM x JOIN c ON x.source = c.source AND x.u.pos = c.pos
+      GROUP BY x.source, x.vec_id
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(sqrt(sq)), 4) AS mean_dist,
+           ROUND(MAX(sqrt(sq)), 4) AS max_dist
+    FROM d2 GROUP BY source
+    """,
+)
+def source_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = (
+        emb.join(docs, emb.vec_id == docs.doc_id)
+        .select("source", "vec_id", F.posexplode(as_double(F.col("embedding"))))
+    )
+    c = x.groupBy("source", "pos").agg(F.avg("col").alias("c"))
+    sq = (
+        x.join(c, ["source", "pos"])
+        .groupBy("source", "vec_id")
+        .agg(F.sum((F.col("col") - F.col("c")) * (F.col("col") - F.col("c"))).alias("sq"))
+    )
+    return sq.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg(F.sqrt("sq")), 4).alias("mean_dist"),
+        F.round(F.max(F.sqrt("sq")), 4).alias("max_dist"),
+    )
