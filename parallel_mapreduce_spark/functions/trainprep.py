@@ -538,6 +538,7 @@ def boilerplate_coverage(
                > {BOILERPLATE_FLAG_RATIO} AS flagged
     FROM tot LEFT JOIN nb USING (doc_id)
     """,
+    headline=True,
 )
 def boilerplate_shingle_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
@@ -714,3 +715,68 @@ def train_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     return shard_manifest(docs)
+
+
+# --------------------------------------------------------------------------
+# Corpus encoding: map every document to its token-id sequence under the
+# frequency-floored vocabulary (OOV -> -1) — the tokenize-to-ids step
+# between vocabulary construction and sequence packing. Ids are emitted as
+# a CSV string (same convention as embedding_quantize's q_csv: exact
+# integers, engine-portable, no float-array comparison). The vocab side of
+# the join is the distinct-token table after the frequency floor — small
+# relative to the corpus, AQE broadcasts it; the per-doc reassembly is a
+# collect_list bounded by one document's length, ordered by token position
+# (array_sort on (pos, id) structs — pos is unique within a doc).
+# --------------------------------------------------------------------------
+@query(
+    "tokens_to_ids",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    u AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1),
+                    i -> struct_pack(pos := i, token := toks[i]))) AS u
+      FROM t WHERE len(toks) >= 1
+    ),
+    c AS (SELECT u.token AS token, COUNT(*) AS cnt FROM u GROUP BY u.token
+          HAVING COUNT(*) >= {VOCAB_MIN_COUNT}),
+    v AS (SELECT token,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1
+                      AS BIGINT) AS token_id
+          FROM c),
+    j AS (
+      SELECT doc_id, u.pos AS pos, COALESCE(v.token_id, -1) AS id
+      FROM u LEFT JOIN v ON u.token = v.token
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+    FROM j GROUP BY doc_id
+    """,
+)
+def tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = vocab_min_count(spark, sf_dir).select("token", "token_id")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    tok = (
+        docs.select("doc_id", "text")
+        .repartition(n_parts, "doc_id")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos", "token"))
+    )
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct("pos", F.coalesce("token_id", F.lit(-1)).alias("id"))
+            )
+        ),
+        lambda x: x.getField("id").cast("string"),
+    )
+    return (
+        tok.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(seq, ",").alias("ids_csv"),
+        )
+    )

@@ -221,3 +221,47 @@ def test_full_outer_is_shuffle_join(spark, sf_dir):
     # rows) — it must compile to a shuffle join, FullOuter kind.
     assert "FullOuter" in plan
     assert "BroadcastHashJoin" not in plan or "SortMergeJoin" in plan
+
+
+def test_ingest_dedup_is_single_linear_pipeline(spark, sf_dir):
+    """incremental_dedup_ingest must stay one digest-keyed pipeline: 4 scans
+    (3-way batch union + corpus) and no duplicated join subtree — the
+    groupBy-rejoin formulation scanned the batch twice more."""
+    from parallel_mapreduce_spark.functions.trainprep import (
+        incremental_dedup_ingest,
+    )
+
+    plan = _plan(incremental_dedup_ingest(spark, sf_dir))
+    assert plan.count("Scan parquet") // 2 <= 4  # formatted lists each twice
+    assert "Window" in plan  # within-batch keeper is the window MIN
+
+
+def test_boilerplate_coverage_two_span_passes(spark, sf_dir):
+    """The span stream is computed exactly twice (DF census + flag/agg
+    pass); the per-doc stats come from ONE aggregation after the flag join."""
+    from parallel_mapreduce_spark.functions.trainprep import (
+        boilerplate_shingle_coverage,
+    )
+
+    plan = _plan(boilerplate_shingle_coverage(spark, sf_dir))
+    assert plan.count("Scan parquet") // 2 == 2
+
+
+def test_shard_manifest_single_pass(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.trainprep import (
+        train_shard_manifest,
+    )
+
+    plan = _plan(train_shard_manifest(spark, sf_dir))
+    assert plan.count("Scan parquet") // 2 == 1
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_source_centroids_no_forced_broadcast(spark, sf_dir):
+    """The documents-embeddings join must not hard-broadcast either side
+    (both grow with the corpus); at test scale AQE may still pick broadcast,
+    so assert on the *optimized logical* plan carrying no broadcast hint."""
+    from parallel_mapreduce_spark.functions.similarity import source_centroids
+
+    assert "broadcast" not in _optimized(source_centroids(spark, sf_dir)).lower()

@@ -85,3 +85,36 @@ def test_shard_manifest_deterministic_assignment(spark):
         hs = by_shard[r.shard_id]
         assert r.n_docs == len(hs)
         assert r.min_h == min(hs) and r.max_h == max(hs)
+
+
+def test_ingest_decisions_random_replay(spark):
+    """Random batches/corpora: decisions must equal a driver-side replay of
+    the spec (corpus text -> dup_of_corpus; else min-doc_id of the text's
+    batch group ingests, the rest are dup_in_batch)."""
+    import random
+
+    rng = random.Random(11)
+    texts = [f"text {i}" for i in range(12)]
+    corpus_rows = [(i, rng.choice(texts)) for i in range(20)]
+    batch_rows = [(100 + i, rng.choice(texts + ["only batch " + str(i % 4)]))
+                  for i in range(30)]
+    got = {
+        r.doc_id: r.decision
+        for r in ingest_decisions(
+            _docs(spark, batch_rows), _docs(spark, corpus_rows)
+        ).collect()
+    }
+    corpus_texts = {t for _, t in corpus_rows}
+    first_seen: dict[str, int] = {}
+    for doc_id, t in sorted(batch_rows):
+        if t not in corpus_texts:
+            first_seen.setdefault(t, doc_id)
+    want = {
+        doc_id: (
+            "dup_of_corpus"
+            if t in corpus_texts
+            else ("ingest" if first_seen[t] == doc_id else "dup_in_batch")
+        )
+        for doc_id, t in batch_rows
+    }
+    assert got == want
