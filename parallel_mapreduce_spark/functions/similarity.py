@@ -703,15 +703,24 @@ def source_embedding_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     emb = load_table(spark, sf_dir, "embeddings")
-    x = (
-        emb.join(docs, emb.vec_id == docs.doc_id)
-        .select("source", "vec_id", F.posexplode(as_double(F.col("embedding"))))
+    return embedding_dispersion(docs, emb)
+
+
+def embedding_dispersion(docs: DataFrame, emb: DataFrame) -> DataFrame:
+    """Core of source_embedding_dispersion over any (doc_id, source) +
+    (vec_id, embedding) frames."""
+    x = emb.join(docs, emb.vec_id == docs.doc_id).select(
+        "source", "vec_id", F.posexplode(as_double(F.col("embedding")))
     )
     c = x.groupBy("source", "pos").agg(F.avg("col").alias("c"))
     sq = (
         x.join(c, ["source", "pos"])
         .groupBy("source", "vec_id")
-        .agg(F.sum((F.col("col") - F.col("c")) * (F.col("col") - F.col("c"))).alias("sq"))
+        .agg(
+            F.sum(
+                (F.col("col") - F.col("c")) * (F.col("col") - F.col("c"))
+            ).alias("sq")
+        )
     )
     return sq.groupBy("source").agg(
         F.count("*").alias("n_docs"),

@@ -132,3 +132,25 @@ def test_lsh_plan_build_triggers_no_extra_spark_job(spark, sf_dir):
         jobs_during("probe-embnd", lambda: emb_neardup_lsh_pairs(spark, sf_dir))
         <= baseline
     )
+
+
+def test_embedding_dispersion_known_geometry(spark):
+    """Hand-computable geometry: source A = two opposite unit vectors
+    (centroid at origin, every distance exactly 1); source B = one vector
+    (dispersion 0)."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        embedding_dispersion,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "A"), (1, "A"), (2, "B")], "doc_id long, source string"
+    )
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [-1.0, 0.0]), (2, [3.0, 4.0])],
+        "vec_id long, embedding array<float>",
+    )
+    got = {r.source: r for r in embedding_dispersion(docs, emb).collect()}
+    assert got["A"].n_docs == 2
+    assert got["A"].mean_dist == 1.0 and got["A"].max_dist == 1.0
+    assert got["B"].n_docs == 1
+    assert got["B"].mean_dist == 0.0 and got["B"].max_dist == 0.0
