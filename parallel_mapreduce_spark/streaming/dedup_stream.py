@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.session import apply_runtime_conf
-from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA, decode_ts
 
 DEDUP_KEYS = ["user_id", "event_type"]
 
@@ -35,7 +35,7 @@ def dedup_events_stream(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", decode_ts())
     )
     return (
         src.withWatermark("ts", watermark)

@@ -21,18 +21,34 @@ from pyspark.sql import types as T
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.session import apply_runtime_conf
 
-# Explicit schema: a streaming file source cannot infer, and events.ts is
-# Parquet TIMESTAMP(NANOS) which arrives as int64 under the nanosAsLong conf.
+# Explicit schema: a streaming file source cannot infer. events.ts is a
+# Parquet TIMESTAMP read as raw int64 (NANOS arrives that way under the
+# nanosAsLong conf; MICROS is read as int64 by the long-typed schema) —
+# decode_ts() turns either unit back into a timestamp.
 EVENTS_SCHEMA = T.StructType(
     [
         T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),  # nanos since epoch
+        T.StructField("ts", T.LongType()),  # nanos or micros since epoch
         T.StructField("user_id", T.LongType()),
         T.StructField("event_type", T.StringType()),
         T.StructField("value", T.DoubleType()),
         T.StructField("props", T.StringType()),
     ]
 )
+
+
+def decode_ts(col: str = "ts"):
+    """int64 epoch ts of either unit -> timestamp.
+
+    The testdata generator has shipped events.ts as both TIMESTAMP(NANOS)
+    and TIMESTAMP(MICROS) across rounds; the long-typed streaming schema
+    surfaces the raw int64 either way. Branch on magnitude — epoch micros
+    stay below 1e17 until the year 5138, epoch nanos exceed it from 1973 —
+    so both encodings decode identically for any plausible event time.
+    """
+    raw = F.col(col)
+    micros = F.when(raw > F.lit(10**17), raw / F.lit(1000)).otherwise(raw)
+    return F.timestamp_micros(micros.cast("long"))
 
 
 def hourly_events_stream(
@@ -46,7 +62,7 @@ def hourly_events_stream(
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", decode_ts())
     )
     return (
         src.withWatermark("ts", watermark)
@@ -217,7 +233,7 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", decode_ts())
     )
     return (
         src.withWatermark("ts", "24 hours")

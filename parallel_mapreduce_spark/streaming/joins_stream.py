@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.session import apply_runtime_conf
-from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA, decode_ts
 
 ATTRIBUTION_WINDOW_S = 1800  # purchase within 30 min of the click
 
@@ -31,7 +31,7 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", decode_ts())
     )
 
 

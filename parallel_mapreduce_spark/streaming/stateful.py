@@ -47,8 +47,11 @@ def update_user_totals(
     for pdf in batches:
         n += len(pdf)
         total += float(pdf["value"].sum())
-        # ts arrives as nanos-since-epoch int64 (see EVENTS_SCHEMA).
-        last_epoch = max(last_epoch, int(pdf["ts"].max() // 1_000_000_000))
+        # ts arrives as raw int64 of either epoch unit (see EVENTS_SCHEMA /
+        # decode_ts): nanos in some testdata generations, micros in others.
+        raw_max = int(pdf["ts"].max())
+        unit = 1_000_000_000 if raw_max > 10**17 else 1_000_000
+        last_epoch = max(last_epoch, raw_max // unit)
     state.update((n, total, last_epoch))
     yield pd.DataFrame(
         {

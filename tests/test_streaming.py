@@ -73,14 +73,14 @@ def test_streaming_sliding_window_matches_batch(spark, sf_dir):
         hourly_events_stream,
     )
     from parallel_mapreduce_spark.session import apply_runtime_conf
-    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA, decode_ts
 
     apply_runtime_conf(spark)
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", decode_ts())
     )
     stream = (
         src.withWatermark("ts", "2 hours")
@@ -117,14 +117,14 @@ def test_streaming_exact_dedup_matches_batch(spark, sf_dir):
 
     from parallel_mapreduce_spark.session import apply_runtime_conf
     from parallel_mapreduce_spark.sources import load_table
-    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA, decode_ts
 
     apply_runtime_conf(spark)
     src = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir.rstrip("/"))
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        .withColumn("ts", decode_ts())
     )
     # user_id has duplicates in any events slice; dedup on it exercises state.
     deduped = src.withWatermark("ts", "1 hour").dropDuplicates(["user_id"])
@@ -152,7 +152,7 @@ def test_foreachbatch_checkpoint_is_exactly_once(spark, sf_dir, tmp_path):
     from pyspark.sql import functions as F
 
     from parallel_mapreduce_spark.session import apply_runtime_conf
-    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA, decode_ts
 
     apply_runtime_conf(spark)
     out = str(tmp_path / "out")
