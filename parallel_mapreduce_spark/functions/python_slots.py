@@ -1,4 +1,4 @@
-"""Python extension slots: scalar pandas_udf + grouped applyInPandas.
+"""Python extension slots: pandas_udf, applyInPandas, UDTF, mapInArrow.
 
 The reference's entire API is user-function slots (Mapper/Reducer/Partitioner,
 ``src/mapreduce.h:11-14``). The DataFrame engine's equivalents are:
@@ -7,7 +7,12 @@ The reference's entire API is user-function slots (Mapper/Reducer/Partitioner,
   row-at-a-time) — the Mapper slot for record-wise logic;
 - ``applyInPandas`` over a groupBy: the Reducer slot — the user function sees
   one group's rows exactly like the reference's Reducer sees one key's value
-  iterator (``src/mapreduce.c:215-238``).
+  iterator (``src/mapreduce.c:215-238``);
+- ``udtf``: the table-function slot — one input row fans out to N output
+  rows, i.e. the Mapper's emit-many contract (``MR_Emit`` called in a loop,
+  ``src/mapreduce.c:180-190``) as a first-class lateral join;
+- ``mapInArrow``: the lowest-overhead escape hatch — user code sees raw
+  Arrow record batches with no pandas conversion at all.
 
 Both queries here compute something ALSO expressible with built-ins, on
 purpose: the DuckDB oracle (and the built-in twin it encodes) proves the
@@ -96,3 +101,123 @@ def pandas_grouped_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
     return docs.groupBy("lang").applyInPandas(_zscore_group, schema=ZSCORE_SCHEMA)
+
+
+# --------------------------------------------------------------------------
+# UDTF slot: one doc -> N sentence rows via a Python table function.
+# --------------------------------------------------------------------------
+_SENT_STRIP = " \t\n\r"
+UDTF_RETURN = "sent_idx bigint, sentence string, n_tokens bigint"
+
+
+class _SplitSentences:
+    """Table-function kernel: split on '.', trim, drop empties, number the
+    survivors 0..n-1 in document order; n_tokens counts nonempty ' '-split
+    pieces (same convention as functions.text.tokens)."""
+
+    def eval(self, text):  # noqa: D102 — UDTF contract method
+        if text is None:
+            return
+        idx = 0
+        for raw in text.split("."):
+            s = raw.strip(_SENT_STRIP)
+            if s:
+                yield idx, s, sum(1 for t in s.split(" ") if t)
+                idx += 1
+
+
+@query(
+    "udtf_split_sentences",
+    oracle="""
+    WITH p AS (
+      SELECT doc_id,
+             unnest(string_split(text, '.')) AS part,
+             generate_subscripts(string_split(text, '.'), 1) AS i
+      FROM documents
+    ), tr AS (
+      SELECT doc_id,
+             trim(part, ' ' || chr(9) || chr(10) || chr(13)) AS sentence, i
+      FROM p
+    ), ne AS (
+      SELECT doc_id, sentence,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                  AS BIGINT) AS sent_idx
+      FROM tr WHERE sentence <> ''
+    )
+    SELECT doc_id, sent_idx, sentence,
+           CAST(len(list_filter(string_split(sentence, ' '), x -> x <> ''))
+                AS BIGINT) AS n_tokens
+    FROM ne
+    """,
+)
+def udtf_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence exploder through the Python UDTF slot (lateral join).
+
+    Built-in twin (and what the oracle encodes): posexplode over a
+    split+trim+filter expression. The UDTF detour pins Spark's
+    table-function contract: per-row fan-out, output columns joined
+    laterally to the input row's columns.
+
+    Scale posture: a UDTF is a per-row Python stage (the slowest slot) —
+    the corpus crosses the Python boundary once, partition-parallel, no
+    shuffle; production code should prefer the built-in twin wherever the
+    fan-out is expressible.
+    """
+    from pyspark.sql.functions import udtf
+
+    register_views(spark, sf_dir)
+    # Registered per-call: the udtf wrapper parses its DDL return type
+    # against the active session (same reason vowel_ratio_udf is lazy).
+    spark.udtf.register("split_sentences", udtf(_SplitSentences, returnType=UDTF_RETURN))
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence, s.n_tokens
+        FROM documents d, LATERAL split_sentences(d.text) s
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# mapInArrow slot: raw Arrow record batches, no pandas conversion.
+# --------------------------------------------------------------------------
+def _arrow_lengths_kernel(batches):
+    """Arrow-native kernel: codepoint + byte length per document. Runs
+    entirely on Arrow buffers (pyarrow.compute), the cheapest possible
+    Python crossing."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for b in batches:
+        text = b.column(b.schema.get_field_index("text"))
+        yield pa.RecordBatch.from_arrays(
+            [
+                b.column(b.schema.get_field_index("doc_id")),
+                pc.cast(pc.utf8_length(text), pa.int64()),
+                pc.cast(pc.binary_length(text), pa.int64()),
+            ],
+            names=["doc_id", "n_cp", "n_bytes"],
+        )
+
+
+@query(
+    "arrow_doc_lengths",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_cp,
+           CAST(strlen(text) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def arrow_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codepoint vs UTF-8-byte length via the mapInArrow slot.
+
+    Built-in twin: char_length/octet_length (what production code should
+    use). The Arrow detour pins the record-batch contract — schema in,
+    declared schema out, batch-for-batch — with zero pandas materialization;
+    per-partition streaming, no shuffle, blob columns never widened.
+    """
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInArrow(
+        _arrow_lengths_kernel, schema="doc_id bigint, n_cp bigint, n_bytes bigint"
+    )

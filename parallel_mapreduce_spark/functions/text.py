@@ -22,7 +22,7 @@ tokens — and the DuckDB oracle defines truth.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parallel_mapreduce_spark.functions.portable import phash60, phash60_sql
@@ -645,3 +645,108 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(threshold)
         )
     return docs.filter(bucket < threshold).select("doc_id", "lang")
+
+
+# --------------------------------------------------------------------------
+# Zipf rank-frequency slope: least-squares slope of ln(freq) on ln(rank)
+# over the full vocabulary — the classic corpus-health diagnostic (natural
+# text sits near -1; boilerplate-heavy or synthetic corpora drift off).
+# Token counting shuffles once on the token; the ranking window runs over
+# VOCAB-sized data (precedent: vocab_min_count), and regr_slope is one
+# partial-aggregable pass — no driver-side math.
+# --------------------------------------------------------------------------
+@query(
+    "zipf_slope",
+    oracle=f"""
+    WITH counts AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ), ranked AS (
+      SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank
+      FROM counts
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ln(cnt), ln(rank)), 4) AS slope
+    FROM ranked
+    """,
+)
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        _spread(spark, docs, "text")
+        .select(F.explode(tokens("text")).alias("word"))
+        .groupBy("word")
+        .count()
+        .withColumnRenamed("count", "cnt")
+    )
+    ranked = counts.select(
+        "cnt",
+        F.row_number()
+        .over(W.orderBy(F.col("cnt").desc(), "word"))
+        .alias("rank"),
+    )
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4).alias("slope"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source KL divergence: D(P_source || P_corpus) over token unigram
+# distributions — the drift/contrast metric for corpus mixing (which source
+# deviates most from the blend). One token-count shuffle; everything after
+# runs on vocab-sized frames (per-source counts, corpus totals), and the
+# corpus-total scalar joins back via a broadcast cross of a 1-row frame.
+# KL is finite here by construction: P_source's support is a subset of the
+# corpus distribution's support.
+# --------------------------------------------------------------------------
+@query(
+    "source_token_kl",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, word, COUNT(*) AS cnt
+      FROM (SELECT source, unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY source, word
+    ), st AS (SELECT source, SUM(cnt) AS s_total FROM c GROUP BY source),
+    tt AS (SELECT word, SUM(cnt) AS w_total FROM c GROUP BY word),
+    g AS (SELECT SUM(cnt) AS g_total FROM c)
+    SELECT c.source,
+           CAST(st.s_total AS BIGINT) AS n_tokens,
+           ROUND(SUM((c.cnt * 1.0 / st.s_total)
+                     * ln((c.cnt * 1.0 / st.s_total)
+                          / (tt.w_total * 1.0 / g.g_total))), 4) AS kl_bits
+    FROM c
+    JOIN st USING (source)
+    JOIN tt USING (word)
+    CROSS JOIN g
+    GROUP BY c.source, st.s_total
+    """,
+)
+def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        _spread(spark, docs, "source", "text")
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    st = c.groupBy("source").agg(F.sum("cnt").alias("s_total"))
+    tt = c.groupBy("word").agg(F.sum("cnt").alias("w_total"))
+    g = c.agg(F.sum("cnt").alias("g_total"))
+    p = F.col("cnt") / F.col("s_total")
+    q = F.col("w_total") / F.col("g_total")
+    return (
+        c.join(st, "source")
+        .join(tt, "word")
+        .crossJoin(F.broadcast(g))
+        .groupBy("source", "s_total")
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_bits"))
+        .select(
+            "source",
+            F.col("s_total").cast("long").alias("n_tokens"),
+            "kl_bits",
+        )
+    )

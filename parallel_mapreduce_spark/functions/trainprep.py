@@ -22,7 +22,12 @@ from pyspark.sql import Window as W
 
 from parallel_mapreduce_spark.functions.dedup import shingles3
 from parallel_mapreduce_spark.functions.portable import phash60, phash60_sql
-from parallel_mapreduce_spark.functions.text import _SQL_TOKS, bigrams, tokens
+from parallel_mapreduce_spark.functions.text import (
+    _SQL_TOKS,
+    _spread,
+    bigrams,
+    tokens,
+)
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.sources import load_table, register_views
 
@@ -779,4 +784,63 @@ def tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_tokens"),
             F.array_join(seq, ",").alias("ids_csv"),
         )
+    )
+
+
+PROBE_TOKENS = 5  # probe = an eval doc's first 5 tokens, joined by ' '
+
+
+# --------------------------------------------------------------------------
+# Exact-substring decontamination — the complement of the n-gram overlap
+# check above: instead of shingle-set intersection, each held-out doc
+# (doc_id % EVAL_SET_MOD = 0) contributes one literal probe string (its
+# PROBE_TOKENS-token prefix), and any training doc whose raw text CONTAINS a
+# probe is flagged. This is the "exact match" decontamination rule
+# (substring containment, not token-set similarity), which catches verbatim
+# benchmark leakage that survives tokenization differences.
+#
+# Scale: the probe set is benchmark-sized (fixed, tiny — it does NOT grow
+# with the corpus), so the containment join is a broadcast nested-loop of
+# the probe list against one corpus scan: corpus rows stream once, never
+# shuffle. The multi-probe scan is exactly how Aho-Corasick-style
+# decontamination passes are deployed over web-scale corpora.
+# --------------------------------------------------------------------------
+@query(
+    "decontam_exact_substring",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_SQL_TOKS} AS toks FROM documents),
+    probes AS (
+      SELECT DISTINCT array_to_string(toks[1:{PROBE_TOKENS}], ' ') AS probe
+      FROM t WHERE doc_id % {EVAL_SET_MOD} = 0 AND len(toks) >= {PROBE_TOKENS}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_probe_hits
+    FROM t JOIN probes ON contains(t.text, probes.probe)
+    WHERE doc_id % {EVAL_SET_MOD} <> 0
+    GROUP BY doc_id
+    """,
+)
+def decontam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_probe_hits) for training docs containing any eval-prefix
+    probe verbatim. Probes are distinct, so a doc's hit count is the number
+    of distinct leaked benchmark prefixes it carries."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = _spread(spark, docs, "doc_id", "text").withColumn(
+        "toks", tokens("text")
+    )
+    probes = (
+        t.filter(
+            (F.col("doc_id") % EVAL_SET_MOD == 0)
+            & (F.size("toks") >= PROBE_TOKENS)
+        )
+        .select(
+            F.array_join(F.slice("toks", 1, PROBE_TOKENS), " ").alias("probe")
+        )
+        .distinct()
+    )
+    return (
+        t.filter(F.col("doc_id") % EVAL_SET_MOD != 0)
+        .join(F.broadcast(probes), F.col("text").contains(F.col("probe")))
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_probe_hits"))
     )

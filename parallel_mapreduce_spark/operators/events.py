@@ -328,3 +328,73 @@ def events_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("segment", "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
+
+
+# --------------------------------------------------------------------------
+# Session funnel: per (user, session), did a click convert to a purchase
+# later in the same session? The standard product-analytics funnel, built on
+# the same lag->boundary->running-sum sessionization as events_sessionize —
+# one shuffle on user_id shared by both windows, then a per-session
+# conditional aggregation (no extra shuffle: session_id is a refinement of
+# the user_id partitioning).
+# --------------------------------------------------------------------------
+@query(
+    "events_session_funnel",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM m
+    )
+    SELECT user_id, session_id,
+           CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS BIGINT)
+             AS n_clicks,
+           CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
+             AS n_purchases,
+           CAST(CASE WHEN MIN(CASE WHEN event_type = 'click' THEN epoch(ts) END)
+                          <= MAX(CASE WHEN event_type = 'purchase' THEN epoch(ts) END)
+                     THEN 1 ELSE 0 END AS BIGINT) AS converted
+    FROM s GROUP BY 1, 2
+    """,
+)
+def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_id, n_clicks, n_purchases, converted): converted=1
+    when the session's first click precedes (or ties) its last purchase —
+    NULL-safe on both sides, so click-free or purchase-free sessions are 0."""
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts"))
+    prev_sec = F.lag(sec).over(w_order)
+    is_new = F.when(
+        prev_sec.isNull() | ((sec - prev_sec) > SESSION_GAP_S), 1
+    ).otherwise(0)
+    with_session = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    click_sec = F.when(F.col("event_type") == "click", sec)
+    purchase_sec = F.when(F.col("event_type") == "purchase", sec)
+    first_click = F.min(click_sec)
+    last_purchase = F.max(purchase_sec)
+    return with_session.groupBy("user_id", "session_id").agg(
+        F.count(click_sec).alias("n_clicks"),
+        F.count(purchase_sec).alias("n_purchases"),
+        F.when(first_click <= last_purchase, F.lit(1))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("converted"),
+    )

@@ -1316,3 +1316,56 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.join(supp, top.suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_rev"
     )
+
+
+# --------------------------------------------------------------------------
+# RIGHT OUTER join — completes the join-kind matrix (inner/left/full/semi/
+# anti/range/asof already have oracle-checked instances). The narrow side is
+# the returned-lineitem aggregate; the preserved (right) side is one month
+# of orders, so orders with no returns materialize the null side. Same
+# physical plan as the mirrored LEFT join — the point of the query is the
+# explicit join-kind semantics, pinned by the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "right_join_order_returns",
+    oracle="""
+    WITH r AS (
+      SELECT l_orderkey, COUNT(*) AS n_ret,
+             ROUND(SUM(l_quantity), 4) AS ret_qty
+      FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+    )
+    SELECT o_orderkey, o_orderpriority,
+           COALESCE(n_ret, 0) AS n_returned,
+           COALESCE(ret_qty, 0.0) AS returned_qty
+    FROM r RIGHT JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-02-01'
+    """,
+)
+def right_join_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    returned = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_returnflag") == "R")
+        .groupBy("l_orderkey")
+        .agg(
+            F.count("*").alias("n_ret"),
+            F.round(F.sum("l_quantity"), 4).alias("ret_qty"),
+        )
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1996-02-01").cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return returned.join(
+        orders, returned.l_orderkey == orders.o_orderkey, "right_outer"
+    ).select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.coalesce("n_ret", F.lit(0).cast("long")).alias("n_returned"),
+        F.coalesce("ret_qty", F.lit(0.0)).alias("returned_qty"),
+    )

@@ -25,6 +25,8 @@ PYTHON_SURFACE = {
     "pandas_udf_vowel_ratio",
     "pandas_grouped_zscore",
     "multimodal_resize",
+    "udtf_split_sentences",
+    "arrow_doc_lengths",
 }
 # Queries that execute eagerly on construction (stream run / iterative loop);
 # their returned frame's plan is a result scan, still audited for the flags.
