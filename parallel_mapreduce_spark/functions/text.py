@@ -750,3 +750,59 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_bits",
         )
     )
+
+
+_PROFILE_COLS = ("text", "lang", "source", "n_chars")
+
+
+# --------------------------------------------------------------------------
+# Corpus column profile: per-column row/null/exact-NDV counts — the data-
+# quality sweep a pipeline runs before trusting a new corpus drop. One
+# UNION branch per column rather than one multi-distinct aggregate: N
+# COUNT(DISTINCT)s in a single agg force an Expand (every scan row
+# duplicated N ways through the shuffle), while per-column branches each
+# prune the parquet scan to THEIR column and run an ordinary two-phase
+# distinct agg. For cheap repeated profiling at 100 TB, swap the exact NDV
+# for approx_count_distinct (the HLL path approx_distinct_parts pins).
+# --------------------------------------------------------------------------
+@query(
+    "corpus_column_profile",
+    oracle="""
+    SELECT 'text' AS column_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct
+    FROM documents
+    UNION ALL
+    SELECT 'lang', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT lang) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'source', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT source) AS BIGINT)
+    FROM documents
+    UNION ALL
+    SELECT 'n_chars', CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+           CAST(COUNT(DISTINCT n_chars) AS BIGINT)
+    FROM documents
+    """,
+)
+def corpus_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    parts = []
+    for c in _PROFILE_COLS:
+        parts.append(
+            docs.select(c).agg(
+                F.lit(c).alias("column_name"),
+                F.count("*").alias("n_rows"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                F.countDistinct(c).alias("n_distinct"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -844,3 +844,66 @@ def decontam_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_probe_hits"))
     )
+
+
+CHUNK_TOKENS = 128
+CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
+
+
+# --------------------------------------------------------------------------
+# Context-window chunking: slice each document's token stream into
+# fixed-size overlapping windows (the standard pretraining prep step between
+# tokenization and packing). Pure per-doc map — explode over a sequence of
+# chunk starts, then an array slice — so the operator is shuffle-FREE and
+# streams at scan speed at any corpus size; chunk identity is pinned by an
+# md5 over the joined chunk text so the oracle value-checks content, not
+# just offsets.
+# --------------------------------------------------------------------------
+@query(
+    "chunk_documents",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0),
+    starts AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(range(0, n_tok, {CHUNK_STRIDE})) AS start
+      FROM n
+    )
+    SELECT doc_id,
+           CAST(start / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+           CAST(start AS BIGINT) AS start_tok,
+           CAST(least(n_tok - start, {CHUNK_TOKENS}) AS BIGINT) AS chunk_len,
+           md5(array_to_string(toks[start + 1 : least(start + {CHUNK_TOKENS}, n_tok)], ' '))
+             AS chunk_hash
+    FROM starts
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, chunk_len, chunk_hash) for overlapping
+    CHUNK_TOKENS-token windows every CHUNK_STRIDE tokens."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        _spread(spark, docs, "doc_id", "text")
+        .withColumn("toks", tokens("text"))
+        .withColumn("n_tok", F.size("toks"))
+        .filter(F.col("n_tok") > 0)
+    )
+    starts = t.select(
+        "doc_id",
+        "toks",
+        "n_tok",
+        F.explode(
+            F.sequence(F.lit(0), F.col("n_tok") - 1, F.lit(CHUNK_STRIDE))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, F.lit(CHUNK_TOKENS))
+    return starts.select(
+        "doc_id",
+        (F.col("start") / CHUNK_STRIDE).cast("long").alias("chunk_idx"),
+        F.col("start").cast("long").alias("start_tok"),
+        F.least(F.col("n_tok") - F.col("start"), F.lit(CHUNK_TOKENS))
+        .cast("long")
+        .alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )

@@ -292,3 +292,27 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+@query(
+    "stream_hourly_parquet_sink",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_hourly_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The foreachBatch -> parquet sink path (run_hourly_stream_to_parquet)
+    as a registered query: drains the source with availableNow, snapshots
+    the complete-mode aggregation to parquet per batch, returns the final
+    snapshot read back from disk — so the oracle checks the SINK contents,
+    not just the in-memory result. Fresh temp dir per run keeps the
+    overwrite snapshot isolated."""
+    import tempfile
+
+    out = tempfile.mkdtemp(prefix="pmr_stream_sink_")
+    return run_hourly_stream_to_parquet(spark, sf_dir, out + "/agg")
