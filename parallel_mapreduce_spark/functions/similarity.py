@@ -727,3 +727,126 @@ def embedding_dispersion(docs: DataFrame, emb: DataFrame) -> DataFrame:
         F.round(F.avg(F.sqrt("sq")), 4).alias("mean_dist"),
         F.round(F.max(F.sqrt("sq")), 4).alias("max_dist"),
     )
+
+
+SQ_OVERFETCH = 4 * TOP_K  # approx-phase candidates per query before rerank
+
+
+def _quant(vec: Column, scale: Column) -> Column:
+    """int8-range scalar quantization, same portable floor(+0.5) rounding as
+    trainprep.embedding_quantize (the DuckDB twin recomputes it exactly)."""
+    return F.transform(vec, lambda x: F.floor(x * 127.0 / scale + 0.5).cast("long"))
+
+
+def _int_dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+# --------------------------------------------------------------------------
+# Scalar-quantized ANN with exact rerank — the memory-bandwidth scale path
+# (FAISS SQ8 shape): candidates are scored with an int8-range integer dot
+# product (exact int64 arithmetic — fully portable across engines) scaled by
+# the two per-vector max-abs factors, the top SQ_OVERFETCH per query survive,
+# and only those pay the full-precision cosine. At scale the win is 4x less
+# vector memory/bandwidth in the scan phase and integer SIMD scoring; the
+# rerank touches OVERFETCH vectors per query instead of N. Every phase is
+# deterministic, so the oracle replays quantization, approx ranking, and
+# rerank bit-for-bit — a full value check, like the LSH/IVF paths.
+# --------------------------------------------------------------------------
+@query(
+    "ann_sq_topk",
+    oracle=f"""
+    WITH base AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x))) AS scale
+      FROM embeddings
+    ), qz AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
+             list_transform(embedding,
+               x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS qq,
+             CAST(scale AS DOUBLE) AS qs
+      FROM base WHERE vec_id < {N_QUERY_VECS}
+    ), cz AS (
+      SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
+             list_transform(embedding,
+               x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS cq,
+             CAST(scale AS DOUBLE) AS cs
+      FROM base
+    ), ap AS (
+      SELECT q_id, c_id, qv, cv,
+             ROUND(CAST(list_sum(list_transform(range(1, len(qq) + 1),
+                                 i -> qq[i] * cq[i])) AS DOUBLE)
+                   * qs * cs, 6) AS approx6
+      FROM qz CROSS JOIN cz WHERE q_id <> c_id
+    ), cand AS (
+      SELECT q_id, c_id, qv, cv
+      FROM (SELECT q_id, c_id, qv, cv,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY approx6 DESC, c_id) AS ark
+            FROM ap)
+      WHERE ark <= {SQ_OVERFETCH}
+    ), ex AS (
+      SELECT q_id, c_id,
+             ROUND(list_cosine_similarity(qv, cv), 6) AS sim6
+      FROM cand
+    )
+    SELECT q_id, c_id, ROUND(sim6, 4) AS cosine
+    FROM (SELECT q_id, c_id, sim6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY sim6 DESC, c_id) AS rk
+          FROM ex)
+    WHERE rk <= {TOP_K}
+    """,
+)
+def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        as_double("embedding").alias("qv"),
+        _quant(F.col("embedding"), scale).alias("qq"),
+        scale.cast("double").alias("qs"),
+    )
+    c = emb.repartition(n_parts).select(
+        F.col("vec_id").alias("c_id"),
+        as_double("embedding").alias("cv"),
+        _quant(F.col("embedding"), scale).alias("cq"),
+        scale.cast("double").alias("cs"),
+    )
+    approx6 = F.round(
+        _int_dot(F.col("qq"), F.col("cq")).cast("double")
+        * F.col("qs")
+        * F.col("cs"),
+        6,
+    )
+    ap = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select("q_id", "c_id", "qv", "cv", approx6.alias("approx6"))
+    )
+    w_ap = W.partitionBy("q_id").orderBy(F.col("approx6").desc(), F.col("c_id"))
+    cand = (
+        ap.withColumn("ark", F.row_number().over(w_ap))
+        .filter(F.col("ark") <= SQ_OVERFETCH)
+        .select("q_id", "c_id", "qv", "cv")
+    )
+    sim6 = F.round(
+        dot(F.col("qv"), F.col("cv"))
+        / (l2_norm(F.col("qv")) * l2_norm(F.col("cv"))),
+        6,
+    )
+    ex = cand.select("q_id", "c_id", sim6.alias("sim6"))
+    w_ex = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
+    return (
+        ex.withColumn("rk", F.row_number().over(w_ex))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", F.round("sim6", 4).alias("cosine"))
+    )

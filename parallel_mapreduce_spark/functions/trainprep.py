@@ -907,3 +907,48 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("chunk_len"),
         F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
     )
+
+
+# --------------------------------------------------------------------------
+# Partitioned sink, value-checked through the filesystem: write the corpus
+# hive-partitioned by lang, read the directory tree back, and emit the
+# per-partition manifest (rows + files). repartition("lang") ahead of
+# partitionBy("lang") gives each lang exactly one writing task, hence
+# exactly one file per partition directory — the layout a downstream
+# per-language consumer wants (no small-file spray: without the repartition,
+# every task writes a file into every lang directory it happens to hold).
+# The oracle pins BOTH the row fidelity and the one-file-per-partition
+# writer contract.
+# --------------------------------------------------------------------------
+@query(
+    "write_partitioned_by_lang",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BIGINT) AS n_files
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def write_partitioned_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip manifest of a lang-partitioned parquet write."""
+    import tempfile
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    out = tempfile.mkdtemp(prefix="pmr_part_sink_") + "/docs"
+    (
+        docs.repartition("lang")
+        .write.mode("overwrite")
+        .partitionBy("lang")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "lang", "n_chars", F.input_file_name().alias("_file")
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.countDistinct("_file").alias("n_files"),
+    )

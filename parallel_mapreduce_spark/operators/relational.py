@@ -1369,3 +1369,48 @@ def right_join_order_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_ret", F.lit(0).cast("long")).alias("n_returned"),
         F.coalesce("ret_qty", F.lit(0.0)).alias("returned_qty"),
     )
+
+
+# --------------------------------------------------------------------------
+# Unpivot (melt): wide -> long reshaping, the inverse of pivot. Spark 3.4+'s
+# native df.unpivot keeps the reshape inside the JVM plan (an Expand over
+# the value columns — N output rows per input row, no shuffle). The base is
+# a q1-style per-flag aggregate, so the melt runs over a GROUP-COUNT-sized
+# frame, not the fact table.
+# --------------------------------------------------------------------------
+@query(
+    "unpivot_pricing_metrics",
+    oracle=f"""
+    WITH w AS (
+      SELECT l_returnflag,
+             ROUND(SUM(l_quantity), 4) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 4) AS sum_base_price,
+             ROUND(AVG(l_discount), 4) AS avg_disc
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '{_SHIP_CUTOFF}'
+      GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+    UNION ALL
+    SELECT l_returnflag, 'sum_base_price', sum_base_price FROM w
+    UNION ALL
+    SELECT l_returnflag, 'avg_disc', avg_disc FROM w
+    """,
+)
+def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (
+        li.filter(F.col("l_shipdate") <= _ts(_SHIP_CUTOFF))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 4).alias("sum_base_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        )
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["sum_qty", "sum_base_price", "avg_disc"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )

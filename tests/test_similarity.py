@@ -154,3 +154,23 @@ def test_embedding_dispersion_known_geometry(spark):
     assert got["A"].mean_dist == 1.0 and got["A"].max_dist == 1.0
     assert got["B"].n_docs == 1
     assert got["B"].mean_dist == 0.0 and got["B"].max_dist == 0.0
+
+
+def test_sq_rerank_recall_vs_brute(spark, sf_dir):
+    """int8 scalar quantization + exact rerank should recover nearly all of
+    the true top-k: the approx phase only has to land the true neighbors
+    inside the SQ_OVERFETCH cut, and 8-bit dot products rank far more
+    finely than that."""
+    from parallel_mapreduce_spark.functions.similarity import ann_sq_topk, cosine_topk
+
+    brute = {
+        (r.q_id, r.c_id): r.cosine for r in cosine_topk(spark, sf_dir).collect()
+    }
+    sq = {(r.q_id, r.c_id): r.cosine for r in ann_sq_topk(spark, sf_dir).collect()}
+    assert sq, "SQ rerank should return neighbors"
+    common = set(brute) & set(sq)
+    # Reranked scores are full-precision — identical math to brute force.
+    for pair in common:
+        assert abs(brute[pair] - sq[pair]) < 1e-9
+    recall = len(common) / len(brute)
+    assert recall >= 0.9, f"SQ rerank recall {recall:.2f}"
