@@ -790,3 +790,60 @@ def connected_components(pairs: DataFrame) -> DataFrame:
         "propagation rounds (component diameter exceeds the cap); raise "
         "CC_MAX_ROUNDS rather than using a truncated clustering"
     )
+
+
+# --------------------------------------------------------------------------
+# Fuzzy entity matching: all name pairs at Levenshtein distance exactly 1,
+# via a SymSpell-style deletion-neighborhood index. Candidate generation:
+# each name emits itself plus every single-character deletion (len+1
+# variants); any ed<=1 pair must share a variant (substitution at i -> both
+# names minus position i; insertion/deletion -> the shorter name IS a
+# variant of the longer), so the variant equi-join is a COMPLETE candidate
+# set and the final levenshtein()==1 verify makes it exact. The oracle is
+# the brute-force all-pairs formulation — its agreement proves the index
+# loses nothing.
+#
+# Scale: the index join replaces O(N^2) levenshtein calls with an equi-join
+# on ~N*(len+1) variant rows; candidates per bucket are names that already
+# agree on all-but-one character, so the verify set is output-sized. This
+# is the typo/near-key analogue of the shingle inverted index above.
+# --------------------------------------------------------------------------
+@query(
+    "fuzzy_name_pairs",
+    oracle="""
+    SELECT a.s_name AS name_a, b.s_name AS name_b
+    FROM supplier a JOIN supplier b
+      ON a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) = 1
+    """,
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    names = load_table(spark, sf_dir, "supplier").select("s_name").distinct()
+    name = F.col("s_name")
+    deletions = F.transform(
+        F.sequence(F.lit(1), F.length(name)),
+        lambda i: F.concat(
+            name.substr(F.lit(1), i - 1),
+            name.substr(i + 1, F.length(name)),
+        ),
+    )
+    variants = names.select(
+        name,
+        F.explode(
+            F.array_union(F.array(name), F.array_distinct(deletions))
+        ).alias("v"),
+    )
+    a = variants.alias("a")
+    b = variants.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.s_name") < F.col("b.s_name")),
+        )
+        .select(
+            F.col("a.s_name").alias("name_a"), F.col("b.s_name").alias("name_b")
+        )
+        .distinct()
+        .filter(F.levenshtein("name_a", "name_b") == 1)
+    )

@@ -230,3 +230,123 @@ def events_hourly_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.last("sv", ignorenulls=True).over(w).alias("sum_locf"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gap-fill by LINEAR INTERPOLATION — the complement of the LOCF fill above:
+# missing (hour, type) cells take the time-weighted blend of the nearest
+# non-null aggregate on each side; one-sided edges fall back to the single
+# available neighbor. Same dense-grid shape (grid x types is bounded by
+# calendar x #types), two extra windows per direction over the SAME
+# event_type partitioning — still one shuffle, state per task bounded by
+# one row per direction.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_gapfill_interp",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS h0,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS h1
+      FROM events
+    ),
+    grid AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    agg AS (
+      SELECT date_trunc('hour', ts) AS hour, event_type,
+             ROUND(SUM(value), 4) AS sv
+      FROM events GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT g.hour, t.event_type, a.sv,
+             LAST_VALUE(a.sv IGNORE NULLS)
+               OVER (PARTITION BY t.event_type ORDER BY g.hour) AS pv,
+             LAST_VALUE(CASE WHEN a.sv IS NOT NULL THEN g.hour END IGNORE NULLS)
+               OVER (PARTITION BY t.event_type ORDER BY g.hour) AS ph,
+             FIRST_VALUE(a.sv IGNORE NULLS)
+               OVER (PARTITION BY t.event_type ORDER BY g.hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+             FIRST_VALUE(CASE WHEN a.sv IS NOT NULL THEN g.hour END IGNORE NULLS)
+               OVER (PARTITION BY t.event_type ORDER BY g.hour
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM grid g
+      CROSS JOIN types t
+      LEFT JOIN agg a ON a.hour = g.hour AND a.event_type = t.event_type
+    )
+    SELECT CAST(epoch(hour) AS BIGINT) AS hour_epoch,
+           event_type,
+           CASE
+             WHEN sv IS NOT NULL THEN sv
+             -- floor(x*1e4 + 0.5)/1e4: engine-portable half-up rounding
+             -- (ROUND on a freshly computed double can split on half-ulp
+             -- boundaries across engines; floor of the SAME double cannot)
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               floor((pv + (nv - pv) * (epoch(hour) - epoch(ph))
+                              / (epoch(nh) - epoch(ph))) * 10000 + 0.5) / 10000
+             WHEN pv IS NOT NULL THEN pv
+             ELSE nv
+           END AS sum_interp
+    FROM j
+    """,
+)
+def events_hourly_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    grid = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+    )
+    types = ev.select("event_type").distinct()
+    agg = ev.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("hour"), "event_type"
+    ).agg(F.round(F.sum("value"), 4).alias("sv"))
+    w_back = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_fwd = (
+        W.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_hour = F.when(F.col("sv").isNotNull(), F.col("hour"))
+    j = (
+        grid.crossJoin(F.broadcast(types))
+        .join(agg, ["hour", "event_type"], "left")
+        .select(
+            "hour",
+            "event_type",
+            "sv",
+            F.last("sv", ignorenulls=True).over(w_back).alias("pv"),
+            F.last(obs_hour, ignorenulls=True).over(w_back).alias("ph"),
+            F.first("sv", ignorenulls=True).over(w_fwd).alias("nv"),
+            F.first(obs_hour, ignorenulls=True).over(w_fwd).alias("nh"),
+        )
+    )
+    sec = F.unix_timestamp
+    # Same portable half-up rounding as the SQL twin (see oracle comment).
+    interp = (
+        F.floor(
+            (
+                F.col("pv")
+                + (F.col("nv") - F.col("pv"))
+                * (sec(F.col("hour")) - sec(F.col("ph")))
+                / (sec(F.col("nh")) - sec(F.col("ph")))
+            )
+            * 10000
+            + F.lit(0.5)
+        )
+        / 10000
+    )
+    return j.select(
+        F.unix_timestamp("hour").alias("hour_epoch"),
+        "event_type",
+        F.when(F.col("sv").isNotNull(), F.col("sv"))
+        .when(F.col("pv").isNotNull() & F.col("nv").isNotNull(), interp)
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+        .alias("sum_interp"),
+    )
