@@ -265,3 +265,60 @@ def test_source_centroids_no_forced_broadcast(spark, sf_dir):
     from parallel_mapreduce_spark.functions.similarity import source_centroids
 
     assert "broadcast" not in _optimized(source_centroids(spark, sf_dir)).lower()
+
+
+def test_sq_ann_broadcasts_query_side_and_equi_joins_nothing_extra(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.similarity import ann_sq_topk
+
+    plan = _plan(ann_sq_topk(spark, sf_dir))
+    # The query set rides a broadcast nested loop (tiny side); the corpus
+    # side must never shuffle for the scoring phase.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_decontam_broadcasts_probe_set(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.trainprep import (
+        decontam_exact_substring,
+    )
+
+    plan = _plan(decontam_exact_substring(spark, sf_dir))
+    # Containment is non-equi: legal only as a broadcast of the tiny probe
+    # list over one corpus scan.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_pairs_candidate_join_is_equi(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.dedup import fuzzy_name_pairs
+
+    plan = _plan(fuzzy_name_pairs(spark, sf_dir))
+    # The deletion-variant join must be an equi-join (hash/sort-merge on the
+    # variant), never a nested loop over name pairs.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("HashJoin" in plan)
+
+
+def test_chunk_documents_is_shuffle_free(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.trainprep import chunk_documents
+
+    plan = _plan(chunk_documents(spark, sf_dir))
+    # Exactly one exchange — the explicit _spread repartition ahead of the
+    # CPU-heavy slicing. No aggregation/join shuffle after it: chunking is
+    # a per-doc map, so everything past the spread is narrow. (formatted
+    # plans print each node twice — tree line + "(n) Node" detail header —
+    # so count the detail headers.)
+    assert plan.count(") Exchange") == 1
+
+
+def test_interp_gapfill_single_window_family(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.timeseries import (
+        events_hourly_gapfill_interp,
+    )
+
+    plan = _plan(events_hourly_gapfill_interp(spark, sf_dir))
+    # Both direction windows partition by event_type — they must share ONE
+    # window shuffle, and the grid x types cross stays a broadcast.
+    assert plan.count("Exchange hashpartitioning(event_type") <= 2
+    assert "CartesianProduct" not in plan
