@@ -810,6 +810,7 @@ def connected_components(pairs: DataFrame) -> DataFrame:
 # --------------------------------------------------------------------------
 @query(
     "fuzzy_name_pairs",
+    headline=True,
     oracle="""
     SELECT a.s_name AS name_a, b.s_name AS name_b
     FROM supplier a JOIN supplier b

@@ -759,6 +759,7 @@ def _int_dot(a: Column, b: Column) -> Column:
 # --------------------------------------------------------------------------
 @query(
     "ann_sq_topk",
+    headline=True,
     oracle=f"""
     WITH base AS (
       SELECT vec_id, embedding,

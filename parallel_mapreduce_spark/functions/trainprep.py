@@ -861,6 +861,7 @@ CHUNK_STRIDE = 96  # 32-token overlap between consecutive chunks
 # --------------------------------------------------------------------------
 @query(
     "chunk_documents",
+    headline=True,
     oracle=f"""
     WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0),

@@ -1,0 +1,135 @@
+"""Text-format source/sink round trips, value-checked through the filesystem.
+
+The reference's only source is text files (SURVEY.md §1.1); the engine's
+CSV/JSON readers (`sources.read_csv` / `read_json`) are exercised here as
+registered queries: snapshot a table subset to the format, read it back with
+an EXPLICIT schema (never inference — an inference pass reads the data
+twice, prohibitive at 100 TB), and aggregate the read-back rows. The oracle
+computes the same aggregate from the parquet truth, so a value mismatch in
+either the writer or the reader fails the check.
+
+Format caveats encoded here (and why parquet is the default at scale):
+- CSV has no types — the explicit schema re-types on read; floats survive
+  because Spark writes round-trippable decimal text.
+- JSON-lines carries field names per row (self-describing but 5-10x the
+  bytes); the explicit schema skips inference and pins field order.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.sources.tables import (
+    load_table,
+    read_csv,
+    read_json,
+    register_views,
+)
+
+
+@query(
+    "csv_roundtrip_order_stats",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_spend
+    FROM orders
+    WHERE o_totalprice > 100000
+    GROUP BY o_orderstatus
+    """,
+)
+def csv_roundtrip_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (filtered) -> CSV sink -> explicit-schema CSV scan -> agg."""
+    register_views(spark, sf_dir)
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    out = tempfile.mkdtemp(prefix="pmr_csv_sink_") + "/orders"
+    sub.write.mode("overwrite").option("header", "true").csv(out)
+    back = read_csv(
+        spark, out,
+        schema="o_orderkey bigint, o_orderstatus string, o_totalprice double",
+    )
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+    )
+
+
+@query(
+    "json_roundtrip_doc_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def json_roundtrip_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> JSON-lines sink -> explicit-schema JSON scan -> agg."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = tempfile.mkdtemp(prefix="pmr_json_sink_") + "/docs"
+    docs.write.mode("overwrite").json(out)
+    back = read_json(
+        spark, out, schema="doc_id bigint, lang string, n_chars bigint"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+
+
+CORRUPT_MOD = 50  # doc_id % 50 == 0 lines are deterministically mangled
+
+
+@query(
+    "json_ingest_corrupt_tolerant",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(COUNT(*) FILTER (doc_id % {CORRUPT_MOD} <> 0) AS BIGINT) AS n_good,
+           CAST(COUNT(*) FILTER (doc_id % {CORRUPT_MOD} = 0) AS BIGINT) AS n_corrupt,
+           CAST(SUM(n_chars) FILTER (doc_id % {CORRUPT_MOD} <> 0) AS BIGINT)
+             AS good_chars
+    FROM documents
+    """,
+)
+def json_ingest_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERMISSIVE-mode ingest over a feed with deterministically mangled
+    lines (every CORRUPT_MOD-th doc's JSON is truncated mid-object). A real
+    crawl/firehose always carries malformed records; the reader must survive
+    them (null-row them) rather than fail the job — FAILFAST at 100 TB means
+    one bad line kills hours of work. The oracle pins the exact good/corrupt
+    split, proving corrupt lines neither crash the scan nor leak into the
+    typed rows."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    line = F.to_json(F.struct("doc_id", "lang", "n_chars"))
+    mangled = F.when(
+        F.col("doc_id") % CORRUPT_MOD == 0, F.substring(line, 1, 9)
+    ).otherwise(line)
+    out = tempfile.mkdtemp(prefix="pmr_corrupt_feed_") + "/feed"
+    docs.select(mangled.alias("value")).write.mode("overwrite").text(out)
+    back = (
+        spark.read.schema("doc_id bigint, lang string, n_chars bigint")
+        .option("mode", "PERMISSIVE")
+        .json(out)
+    )
+    good = F.col("doc_id").isNotNull()
+    return back.agg(
+        F.count("*").alias("n_lines"),
+        F.sum(good.cast("long")).alias("n_good"),
+        F.sum((~good).cast("long")).alias("n_corrupt"),
+        F.sum(F.when(good, F.col("n_chars"))).alias("good_chars"),
+    )
