@@ -224,9 +224,10 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # quadratically, while the collapsed form shingles each distinct text
     # once and reconstructs the full pair set afterwards. Measured on a 10x
     # replicated sf0.1 (50k docs, 10 copies each): 45s -> 9s, output
-    # identical. collect_list is bounded by per-text multiplicity (the only
-    # unbounded case is one text with a corpus-sized copy count — cap it
-    # there).
+    # identical. The collapse is digest-keyed min/min_by aggregation (see
+    # _digest_groups) — no per-group array anywhere, so even a corpus-sized
+    # copy group costs one counter; only the emit-all-pairs expansion is
+    # inherently quadratic (see within_group_pairs' scale note).
     members = exact_dup_members(docs)
     reps = _rep_texts(docs, n)
     shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
@@ -847,4 +848,43 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
         .filter(F.levenshtein("name_a", "name_b") == 1)
+    )
+
+
+# --------------------------------------------------------------------------
+# Triangle counting over the edit-distance-1 name graph — the classic
+# multi-way self-join graph analytic, on the fuzzy-match edges above. Edges
+# are already oriented (name_a < name_b), so each triangle a<b<c is counted
+# exactly once by the two-hop join (a,b)+(b,c) closed by (a,c). Orientation
+# is THE scale trick: joining the oriented edge list bounds intermediate
+# two-hop paths by sum(out-degree^2) instead of sum(degree^2), and no
+# triangle is produced three times to dedup later. Both joins are equi-joins
+# on a name; AQE handles the skewed high-degree vertices.
+# --------------------------------------------------------------------------
+@query(
+    "name_graph_triangles",
+    oracle="""
+    WITH e AS (
+      SELECT a.s_name AS na, b.s_name AS nb
+      FROM supplier a JOIN supplier b
+        ON a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) = 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles,
+           CAST(COUNT(DISTINCT e1.na) AS BIGINT) AS n_apex_names
+    FROM e e1
+    JOIN e e2 ON e2.na = e1.nb
+    JOIN e e3 ON e3.na = e1.na AND e3.nb = e2.nb
+    """,
+)
+def name_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_triangles, n_apex_names) in the ed-1 supplier-name graph; apex =
+    the lexicographically smallest vertex of a triangle."""
+    edges = fuzzy_name_pairs(spark, sf_dir)
+    e1 = edges.select(F.col("name_a").alias("a"), F.col("name_b").alias("b"))
+    e2 = edges.select(F.col("name_a").alias("b"), F.col("name_b").alias("c"))
+    e3 = edges.select(F.col("name_a").alias("a"), F.col("name_b").alias("c"))
+    tri = e1.join(e2, "b").join(e3, ["a", "c"])
+    return tri.agg(
+        F.count("*").alias("n_triangles"),
+        F.countDistinct("a").alias("n_apex_names"),
     )

@@ -398,3 +398,35 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("converted"),
     )
+
+
+# --------------------------------------------------------------------------
+# SCD2-style validity intervals: each user's event stream becomes
+# effective-from/effective-to rows (half-open [from, to); the latest event
+# per user stays open with NULL effective_to) — the standard
+# change-data-capture -> warehouse-dimension build. One LEAD window over the
+# same (user_id ORDER BY ts, event_id) shuffle the sessionization family
+# uses; entirely JVM-side.
+# --------------------------------------------------------------------------
+@query(
+    "events_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS effective_from,
+           CAST(epoch(date_trunc('second',
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                AS BIGINT) AS effective_to
+    FROM events
+    """,
+)
+def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_timestamp("ts").alias("effective_from"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("effective_to"),
+    )
