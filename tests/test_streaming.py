@@ -223,3 +223,14 @@ def test_stream_dedup_events_query_matches_batch_distinct(spark, sf_dir):
     }
     assert len(got) == len(want)  # each key exactly once
     assert set(got) == want
+
+
+def test_transform_with_state_gate_matches_environment():
+    """The transformWithState twin registers exactly when its protobuf
+    dependency imports: the registry never advertises an operator the
+    environment cannot run, and never hides one it can."""
+    from parallel_mapreduce_spark.registry import QUERIES, _load_all
+    from parallel_mapreduce_spark.streaming.stateful import _tws_available
+
+    _load_all()
+    assert ("stream_user_totals_tws" in QUERIES) == _tws_available()
