@@ -806,3 +806,61 @@ def corpus_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+# Fence multiplier. Tukey's convention is 1.5; the synthetic corpus's
+# length distribution is tight enough that 1.5 flags nothing at any SF, so
+# the fixture uses 0.5 to keep the operator's both branches exercised
+# (19/23/148 outliers at sf0.001/0.01/0.1). Production tuning is this one
+# constant.
+IQR_K = 0.5
+
+
+# --------------------------------------------------------------------------
+# Per-language length-outlier filter (Tukey fences): docs outside
+# [q1 - 1.5*IQR, q3 + 1.5*IQR] of their language's n_chars distribution —
+# the robust-statistics version of the quality gate's fixed thresholds.
+# Quartiles are computed per language (a GROUP-sized aggregate, exact
+# interpolated percentile on both engines) and broadcast back onto the
+# corpus scan; at 100 TB swap percentile for percentile_approx (the
+# t-digest path price_percentiles_approx pins) and nothing else changes.
+# --------------------------------------------------------------------------
+@query(
+    "doc_length_outliers",
+    oracle=f"""
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents GROUP BY lang
+    )
+    SELECT doc_id, d.lang, n_chars,
+           CASE WHEN n_chars < q1 - {IQR_K} * (q3 - q1) THEN 'short'
+                ELSE 'long' END AS outlier_side
+    FROM documents d JOIN q ON d.lang = q.lang
+    WHERE n_chars < q1 - {IQR_K} * (q3 - q1)
+       OR n_chars > q3 + {IQR_K} * (q3 - q1)
+    """,
+)
+def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    q = docs.groupBy("lang").agg(
+        F.percentile("n_chars", F.lit(0.25)).alias("q1"),
+        F.percentile("n_chars", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    lo = F.col("q1") - IQR_K * iqr
+    hi = F.col("q3") + IQR_K * iqr
+    return (
+        docs.join(q, "lang")
+        .filter((F.col("n_chars") < lo) | (F.col("n_chars") > hi))
+        .select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.when(F.col("n_chars") < lo, F.lit("short"))
+            .otherwise(F.lit("long"))
+            .alias("outlier_side"),
+        )
+    )

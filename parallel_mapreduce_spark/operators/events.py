@@ -430,3 +430,50 @@ def events_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("ts").alias("effective_from"),
         F.unix_timestamp(F.lead("ts").over(w)).alias("effective_to"),
     )
+
+
+INCR_CUTOFF = "2024-01-20 00:00:00"  # "already aggregated" vs "new batch"
+
+
+# --------------------------------------------------------------------------
+# Incremental view maintenance: the hourly aggregate is maintained as
+# OLD-partial ∪ NEW-partial -> merge, instead of recomputing over all
+# history — sum/count merge associatively, so the merged view must equal
+# the from-scratch aggregate (which is exactly what the oracle computes).
+# At 100 TB this is the difference between touching one day of new data
+# and re-scanning the corpus: the old side would be a stored aggregate,
+# and only the delta is scanned+aggregated. The merge itself shuffles
+# GROUP-sized frames, never events.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_merge_incremental",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch")
+
+    def partial(df: DataFrame) -> DataFrame:
+        # Merge-able partials: raw sum + count (round only after the merge —
+        # rounding is not associative, merging rounded partials drifts).
+        return df.groupBy(hour, "event_type").agg(
+            F.count("*").alias("cnt"), F.sum("value").alias("sv")
+        )
+
+    old_agg = partial(ev.filter(F.col("ts") < cutoff))
+    new_agg = partial(ev.filter(F.col("ts") >= cutoff))
+    merged = (
+        old_agg.unionByName(new_agg)
+        .groupBy("hour_epoch", "event_type")
+        .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("sv"), 4).alias("sum_value"))
+    )
+    return merged
