@@ -39,3 +39,19 @@ def test_oracle_map_subset_of_query_map_with_same_leading_order():
     pos = {n: i for i, n in enumerate(queries)}
     assert all(n in pos for n in oracles)
     assert oracles == sorted(oracles, key=pos.__getitem__)
+
+
+def test_cli_list_and_run(capsys, spark):
+    """The __main__ CLI lists the full registry and runs a query end-to-end
+    against the same session-cached scan layer."""
+    from parallel_mapreduce_spark.__main__ import main
+    from parallel_mapreduce_spark.registry import QUERIES
+
+    assert main(["list"]) == 0
+    out = capsys.readouterr().out
+    assert len([l for l in out.splitlines() if l.strip()]) == len(QUERIES)
+    assert main(["run", "wordcount", "--sf-dir", "/root/testdata/sf0.001",
+                 "--limit", "3", "--json"]) == 0
+    lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
+    assert len(lines) == 3
+    assert main(["run", "no_such_query"]) == 2
