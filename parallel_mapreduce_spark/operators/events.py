@@ -477,3 +477,86 @@ def events_hourly_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFra
         .agg(F.sum("cnt").alias("cnt"), F.round(F.sum("sv"), 4).alias("sum_value"))
     )
     return merged
+
+
+# --------------------------------------------------------------------------
+# Event-type transition matrix (first-order Markov): per user-ordered
+# stream, count prev_type -> type transitions and each row's share of its
+# source state's outgoing mass. One window shuffle on user_id (shared shape
+# with the sessionization family) + one GROUP-sized aggregation; the share
+# is a window over the TRANSITION MATRIX (#types², tiny at any corpus
+# size).
+# --------------------------------------------------------------------------
+@query(
+    "events_type_transitions",
+    oracle="""
+    WITH s AS (
+      SELECT event_type AS cur,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev
+      FROM events
+    ), t AS (
+      SELECT prev, cur, COUNT(*) AS cnt
+      FROM s WHERE prev IS NOT NULL
+      GROUP BY prev, cur
+    )
+    SELECT prev, cur, cnt,
+           ROUND(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY prev), 4) AS p_transition
+    FROM t
+    """,
+)
+def events_type_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lag("event_type").over(w).alias("prev"),
+    ).filter(F.col("prev").isNotNull())
+    t = s.groupBy("prev", "cur").agg(F.count("*").alias("cnt"))
+    w_share = W.partitionBy("prev")
+    return t.select(
+        "prev",
+        "cur",
+        "cnt",
+        F.round(F.col("cnt") / F.sum("cnt").over(w_share), 4).alias("p_transition"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Weekly cohort retention: users grouped by first-seen week; for each
+# (cohort, weeks-since-first-seen) cell, how many distinct cohort members
+# were active. The canonical product-analytics rollup: first-seen is a
+# per-user aggregate joined back onto the stream (user-count-sized side —
+# no hint, AQE broadcasts while it fits), then one distinct-count shuffle
+# on the (cohort, offset) grid.
+# --------------------------------------------------------------------------
+@query(
+    "events_weekly_retention",
+    oracle="""
+    WITH first_seen AS (
+      SELECT user_id,
+             CAST(floor(epoch(MIN(ts)) / 604800) AS BIGINT) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(floor(epoch(e.ts) / 604800) AS BIGINT) - cohort_week AS week_offset,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_active
+    FROM events e JOIN first_seen USING (user_id)
+    GROUP BY 1, 2
+    """,
+)
+def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    week = (F.unix_timestamp("ts") / 604800).cast("long")
+    first_seen = ev.groupBy("user_id").agg(
+        (F.unix_timestamp(F.min("ts")) / 604800).cast("long").alias("cohort_week")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .groupBy(
+            "cohort_week", (week - F.col("cohort_week")).alias("week_offset")
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )

@@ -1414,3 +1414,36 @@ def unpivot_pricing_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         variableColumnName="metric",
         valueColumnName="value",
     )
+
+
+# --------------------------------------------------------------------------
+# Bivariate statistics: Pearson correlation, sample covariance, and the
+# least-squares fit of extendedprice on quantity, per return flag — the
+# regr_*/corr aggregate family. All partial-aggregable (sum/sum-of-
+# products moments), so one shuffle on the group key at any scale.
+# --------------------------------------------------------------------------
+@query(
+    "price_qty_correlation",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS fit_slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4) AS fit_intercept
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias("price_qty_corr"),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("fit_slope"),
+        F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias(
+            "fit_intercept"
+        ),
+    )

@@ -55,6 +55,15 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # queries added since — so each round's checked window lands on fresh
 # surface. Names not listed follow in registration order, so the full map
 # always contains every query regardless of this list's contents.
+#
+# ROUND-3 ROTATION NOTE: after round 2's CORRECTNESS lands, the union of
+# r01+r02 driver rows covers r01's first-50 plus this list. Replace this
+# list's contents with the still-unrowed tail — everything registered during
+# round 2 (trainprep additions, corpus-cleaning, embedding analytics,
+# streaming registrations, Q2/Q11/Q21 shapes, UDTF/Arrow slots, round-trips,
+# funnel/retention/transitions, fuzzy/triangles, chunking, SQ ANN, interp
+# gap-fill, incremental merge, outliers, correlation) — keeping r01+r02
+# names OUT so the window lands on fresh surface again.
 DRIVER_PRIORITY: list[str] = [
     # new this round
     "full_outer_customer_orders",
