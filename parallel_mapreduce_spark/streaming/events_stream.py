@@ -47,7 +47,10 @@ def decode_ts(col: str = "ts"):
     so both encodings decode identically for any plausible event time.
     """
     raw = F.col(col)
-    micros = F.when(raw > F.lit(10**17), raw / F.lit(1000)).otherwise(raw)
+    # Integer `div`, not float division: ns-epoch magnitudes (~1.7e18)
+    # exceed double's 2^53 exact-integer range, so `raw / 1000` could be
+    # off by one microsecond on some rows.
+    micros = F.when(raw > F.lit(10**17), F.expr(f"`{col}` div 1000")).otherwise(raw)
     return F.timestamp_micros(micros.cast("long"))
 
 

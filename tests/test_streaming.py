@@ -234,3 +234,21 @@ def test_transform_with_state_gate_matches_environment():
 
     _load_all()
     assert ("stream_user_totals_tws" in QUERIES) == _tws_available()
+
+
+def test_decode_ts_exact_for_both_epoch_units(spark):
+    """decode_ts must invert both raw encodings exactly — including ns
+    magnitudes beyond double's 2^53 exact-integer range, where float
+    division would drift by a microsecond."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.streaming.events_stream import decode_ts
+
+    micros = 1_704_067_798_778_549  # 2024-01-01 00:09:58.778549
+    # An ns value whose /1000 is NOT representable exactly as double math:
+    nanos = 1_704_067_798_778_549_003
+    df = spark.createDataFrame(
+        [(micros,), (nanos,)], "ts long"
+    ).select(F.unix_micros(decode_ts()).alias("us"))
+    got = sorted(r.us for r in df.collect())
+    assert got == sorted([micros, nanos // 1000])
