@@ -46,16 +46,23 @@ def main() -> None:
     # headline plan gets one warm pass.
     for name in names:
         run_query(spark, name, "/root/testdata/sf0.001")
-    # Best of 3 at the target sf: the first full-size run still pays one-off
-    # costs (shuffle-buffer growth, page-cache warm-up on the parquet files)
-    # and this box's wall-clock varies 1.4-10x run-to-run under external
-    # load; the min of three runs is the steady-state number a warmed
-    # cluster would show.
+    # Adaptive best-of-N at the target sf: the first full-size run still pays
+    # one-off costs (shuffle-buffer growth, page-cache warm-up on the parquet
+    # files) and this box's wall-clock varies 1.4-10x run-to-run under
+    # external load. Repeat (min 3, max 5) until the two fastest runs agree
+    # within 15% — then the min is a reproducible steady-state number rather
+    # than whatever the load happened to be, even when a noise burst eats an
+    # entire 3-run window.
     timings: dict[str, float] = {}
     for name in names:
-        timings[name] = round(
-            min(run_query(spark, name, sf_dir) for _ in range(3)), 3
-        )
+        runs: list[float] = []
+        for i in range(5):
+            runs.append(run_query(spark, name, sf_dir))
+            if i >= 2:
+                best2 = sorted(runs)[:2]
+                if best2[1] <= best2[0] * 1.15:
+                    break
+        timings[name] = round(min(runs), 3)
     print(
         json.dumps(
             {
