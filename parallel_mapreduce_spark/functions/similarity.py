@@ -851,3 +851,45 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("q_id", "c_id", F.round("sim6", 4).alias("cosine"))
     )
+
+
+# --------------------------------------------------------------------------
+# Per-dimension embedding moments — the normalization/whitening-prep pass
+# (feature means for centering, stds for scaling, before PCA/quantization).
+# posexplode to a (pos, value) stream, one aggregation keyed by dimension
+# index: 64 groups regardless of corpus size, fully partial-aggregable.
+# Long format on purpose: the oracle compares scalar rows, never float
+# arrays (same stance as source_centroids).
+# --------------------------------------------------------------------------
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT pos,
+           ROUND(AVG(v), 4) AS dim_mean,
+           ROUND(STDDEV_SAMP(v), 4) AS dim_std,
+           ROUND(MIN(v), 4) AS dim_min,
+           ROUND(MAX(v), 4) AS dim_max
+    FROM (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS v
+      FROM embeddings
+    )
+    GROUP BY pos
+    """,
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    dims = (
+        emb.select("embedding")
+        .repartition(n_parts)
+        .select(F.posexplode("embedding").alias("pos", "v"))
+        .select("pos", F.col("v").cast("double").alias("v"))
+    )
+    return dims.groupBy("pos").agg(
+        F.round(F.avg("v"), 4).alias("dim_mean"),
+        F.round(F.stddev_samp("v"), 4).alias("dim_std"),
+        F.round(F.min("v"), 4).alias("dim_min"),
+        F.round(F.max("v"), 4).alias("dim_max"),
+    )

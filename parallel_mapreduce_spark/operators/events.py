@@ -560,3 +560,49 @@ def events_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active"))
     )
+
+
+ANOMALY_Z = 2.0  # |z| threshold on hourly counts
+
+
+# --------------------------------------------------------------------------
+# Hourly anomaly flags: hours whose event count deviates from that type's
+# mean by more than ANOMALY_Z sample standard deviations. Two GROUP-sized
+# aggregations (hourly counts, then per-type moments over ~#hours rows) and
+# a broadcast-back join — the monitoring query that watches a pipeline's
+# event volume; nothing touches raw events twice.
+# --------------------------------------------------------------------------
+@query(
+    "events_hourly_anomalies",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    ), m AS (
+      SELECT event_type, AVG(cnt) AS mu, STDDEV_SAMP(cnt) AS sigma
+      FROM h GROUP BY event_type
+    )
+    SELECT h.event_type, hour_epoch, cnt,
+           ROUND((cnt - mu) / sigma, 4) AS zscore
+    FROM h JOIN m USING (event_type)
+    WHERE sigma > 0 AND abs((cnt - mu) / sigma) > {ANOMALY_Z}
+    """,
+)
+def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type",
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+    ).agg(F.count("*").alias("cnt"))
+    m = h.groupBy("event_type").agg(
+        F.avg("cnt").alias("mu"), F.stddev_samp("cnt").alias("sigma")
+    )
+    z = (F.col("cnt") - F.col("mu")) / F.col("sigma")
+    return (
+        h.join(m, "event_type")
+        .filter((F.col("sigma") > 0) & (F.abs(z) > ANOMALY_Z))
+        .select("event_type", "hour_epoch", "cnt", F.round(z, 4).alias("zscore"))
+    )

@@ -1447,3 +1447,55 @@ def price_qty_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fit_intercept"
         ),
     )
+
+
+DECILES = [i / 10.0 for i in range(1, 10)]
+
+
+# --------------------------------------------------------------------------
+# Equi-height (decile) binning WITHOUT a global window: thresholds come
+# from one exact interpolated-percentile aggregate (partial-aggregable,
+# GROUP-sized output), broadcast back as a 1-row array; each order's decile
+# is then "1 + #thresholds strictly below it" — a narrow map. ntile() would
+# need a global total-order window (one task holds everything); this shape
+# is the one that survives 100 TB.
+# --------------------------------------------------------------------------
+@query(
+    "price_decile_distribution",
+    oracle=f"""
+    WITH t AS (
+      SELECT quantile_cont(o_totalprice, {DECILES}) AS thr FROM orders
+    )
+    SELECT CAST(1 + len(list_filter(thr, x -> o_totalprice > x)) AS BIGINT)
+             AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS spend,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM orders CROSS JOIN t
+    GROUP BY 1
+    """,
+)
+def price_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    thr = orders.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(p) for p in DECILES])).alias(
+            "thr"
+        )
+    )
+    price = F.col("o_totalprice")
+    decile = (
+        F.lit(1)
+        + F.size(F.filter("thr", lambda x: price > x))
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(thr))
+        .groupBy(decile.alias("decile"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+            F.round(F.min("o_totalprice"), 4).alias("lo"),
+            F.round(F.max("o_totalprice"), 4).alias("hi"),
+        )
+    )
