@@ -252,3 +252,69 @@ def test_decode_ts_exact_for_both_epoch_units(spark):
     ).select(F.unix_micros(decode_ts()).alias("us"))
     got = sorted(r.us for r in df.collect())
     assert got == sorted([micros, nanos // 1000])
+
+
+def test_stateful_totals_correct_across_multiple_microbatches(spark, sf_dir, tmp_path):
+    """The stream_user_totals snapshot reduction claims correctness under
+    ANY micro-batch split. Force a real multi-batch run: events split into
+    4 files, maxFilesPerTrigger=1 -> 4 batches, users emit up to 4
+    snapshots each; the max_by reduction must still equal the batch
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.session import apply_runtime_conf
+    from parallel_mapreduce_spark.sources import load_table
+    from parallel_mapreduce_spark.streaming.events_stream import EVENTS_SCHEMA
+    from parallel_mapreduce_spark.streaming.stateful import update_user_totals
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    apply_runtime_conf(spark)
+    ev = load_table(spark, sf_dir, "events")
+    src_dir = str(tmp_path / "events_split")
+    # int64 raw ts like the streaming schema expects
+    # batch ts is TIMESTAMP_NTZ; session tz is UTC so the cast is identity
+    ev.select(
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).repartition(4).write.parquet(src_dir)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+        .select("user_id", "ts", "value")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update_user_totals,
+            outputStructType="user_id bigint, n_events bigint, total_value double, last_seen_epoch bigint",
+            stateStructType="n bigint, total double, last_epoch bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("t_multibatch")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    snaps = spark.table("t_multibatch")
+    # More snapshots than users proves the run really was multi-batch.
+    n_users = snaps.select("user_id").distinct().count()
+    assert snaps.count() > n_users
+    final = (
+        snaps.groupBy("user_id")
+        .agg(F.max(F.struct("n_events", "total_value")).alias("s"))
+        .select("user_id", F.col("s.n_events").alias("n_events"),
+                F.round("s.total_value", 4).alias("total_value"))
+    )
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    got = {r.user_id: (r.n_events, r.total_value) for r in final.collect()}
+    exp = {r.user_id: (r.n_events, r.total_value) for r in want.collect()}
+    assert got == exp
