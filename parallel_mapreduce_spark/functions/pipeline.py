@@ -28,6 +28,7 @@ from parallel_mapreduce_spark.functions.dedup import (
     jaccard_pairs,
     shingles3,
 )
+from parallel_mapreduce_spark.functions.portable import phash60_sql
 from parallel_mapreduce_spark.functions.text import quality_expr, tokens
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.sources import load_table, register_views
@@ -118,4 +119,118 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = s.join(dropped, "doc_id", "left_anti")
     return kept.select(
         "doc_id", "lang", F.size("toks").cast("long").alias("n_tokens")
+    )
+
+
+MIX_Q = 0.4  # keep docs at or above their language's 40th score percentile
+MIX_DENOM2 = 1_000_000
+PACK_CAP = 512
+
+
+# --------------------------------------------------------------------------
+# Second capstone composition — the TRAINING-MIX pipeline: quality score ->
+# per-language percentile gate -> uniform domain rebalance -> contiguous
+# pack assignment. Where pipeline_clean_corpus is the dedup chain, this is
+# the curation/mixing chain a pretraining run feeds from. Stage economics:
+# the score is a narrow map; the percentile gate is one GROUP-sized
+# aggregate broadcast back; the rebalance thresholds are integer-exact and
+# content-hash Bernoulli (deterministic under retries/partitioning); the
+# packer windows per LANGUAGE (never a global order). One corpus scan, two
+# tiny broadcast joins, one window shuffle.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_training_mix",
+    headline=True,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS} AS toks FROM documents
+    ), scored AS (
+      SELECT doc_id, lang, CAST(len(toks) AS BIGINT) AS n_tokens,
+             {_QUALITY} AS score
+      FROM t WHERE len(toks) > 0
+    ), thr AS (
+      SELECT lang, quantile_cont(score, {MIX_Q}) AS q FROM scored GROUP BY lang
+    ), gated AS (
+      SELECT doc_id, scored.lang, n_tokens
+      FROM scored JOIN thr ON scored.lang = thr.lang
+      WHERE score >= q
+    ), c AS (SELECT lang, COUNT(*) AS cnt FROM gated GROUP BY lang),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(COUNT(*) AS BIGINT) AS n_src FROM c),
+    rates AS (
+      SELECT lang,
+             LEAST({MIX_DENOM2},
+                   (total * {MIX_DENOM2}) // (n_src * cnt)) AS keep_thr
+      FROM c, tot
+    ), sampled AS (
+      SELECT doc_id, gated.lang, n_tokens
+      FROM gated JOIN rates ON gated.lang = rates.lang
+      WHERE {phash60_sql("'mix2:' || doc_id::VARCHAR")} % {MIX_DENOM2} < keep_thr
+    )
+    SELECT doc_id, lang, n_tokens,
+           COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             // {PACK_CAP} AS pack_id
+    FROM sampled
+    """,
+)
+def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens, pack_id) of the curated, rebalanced,
+    packed training mix."""
+    from pyspark.sql import Window as W
+
+    from parallel_mapreduce_spark.functions.portable import phash60
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    t = docs.repartition(n_parts, "doc_id").select(
+        "doc_id", "lang", tokens("text").alias("toks")
+    )
+    scored = t.filter(F.size("toks") > 0).select(
+        "doc_id",
+        "lang",
+        F.size("toks").cast("long").alias("n_tokens"),
+        quality_expr(F.col("toks")).alias("score"),
+    )
+    thr = scored.groupBy("lang").agg(
+        F.percentile("score", F.lit(MIX_Q)).alias("q")
+    )
+    gated = (
+        scored.join(F.broadcast(thr), "lang")
+        .filter(F.col("score") >= F.col("q"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    c = gated.groupBy("lang").agg(F.count("*").alias("cnt"))
+    tot = c.agg(
+        F.sum("cnt").cast("long").alias("total"),
+        F.count("*").cast("long").alias("n_src"),
+    )
+    rates = c.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        F.least(
+            F.lit(MIX_DENOM2).cast("long"),
+            F.expr(f"(total * {MIX_DENOM2}) div (n_src * cnt)"),
+        ).alias("keep_thr"),
+    )
+    bucket = phash60(
+        F.concat(F.lit("mix2:"), F.col("doc_id").cast("string"))
+    ) % MIX_DENOM2
+    sampled = (
+        gated.join(F.broadcast(rates), "lang")
+        .filter(bucket < F.col("keep_thr"))
+        .select("doc_id", "lang", "n_tokens")
+    )
+    w = (
+        W.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
+    return sampled.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        (before / F.lit(PACK_CAP)).cast("long").alias("pack_id"),
     )
