@@ -1499,3 +1499,41 @@ def price_decile_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 4).alias("hi"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Period-over-period: month-over-month revenue growth — LAG over the
+# MONTH-GRAIN aggregate (the window input is #months rows, so the single-
+# partition total-order window is bounded by the calendar, not the data;
+# the same query at day/hour grain would partition the window by a coarser
+# period).
+# --------------------------------------------------------------------------
+@query(
+    "monthly_revenue_growth",
+    oracle="""
+    WITH m AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             ROUND(SUM(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT month, revenue,
+           ROUND(revenue - LAG(revenue) OVER (ORDER BY month), 4) AS delta,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 * 100.0 / LAG(revenue) OVER (ORDER BY month), 4) AS mom_pct
+    FROM m
+    """,
+)
+def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    m = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 4).alias("revenue"))
+    w = W.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        F.round(F.col("revenue") - prev, 4).alias("delta"),
+        F.round((F.col("revenue") - prev) * 100.0 / prev, 4).alias("mom_pct"),
+    )

@@ -322,3 +322,25 @@ def test_interp_gapfill_single_window_family(spark, sf_dir):
     # window shuffle, and the grid x types cross stays a broadcast.
     assert plan.count("Exchange hashpartitioning(event_type") <= 2
     assert "CartesianProduct" not in plan
+
+
+def test_headline_relational_plans_are_codegen(spark, sf_dir):
+    """The hot relational paths must run inside WholeStageCodegen spans —
+    the JVM-side property every scalar expression in the engine is written
+    to preserve (no row-wise Python, no interpreted-only operators)."""
+    from parallel_mapreduce_spark.functions.text import wordcount
+    from parallel_mapreduce_spark.operators.relational import (
+        q1_pricing_summary,
+        q3_top_revenue,
+    )
+
+    # Under AQE the pre-execution plan carries no codegen annotation;
+    # execute and inspect the FINAL adaptive plan, where whole-stage
+    # codegen nodes are materialized.
+    for fn in (q1_pricing_summary, q3_top_revenue, wordcount):
+        df = fn(spark, sf_dir)
+        df.collect()  # finalize THIS DataFrame's adaptive plan
+        final = df._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in final, fn.__name__
+        # "*(n)" node prefixes are the compact whole-stage-codegen marker.
+        assert "*(" in final, fn.__name__
