@@ -1537,3 +1537,59 @@ def monthly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("revenue") - prev, 4).alias("delta"),
         F.round((F.col("revenue") - prev) * 100.0 / prev, 4).alias("mom_pct"),
     )
+
+
+ERASE_MOD = 113  # user_id/custkey % 113 == 0 -> erasure request set
+
+
+# --------------------------------------------------------------------------
+# Right-to-erasure audit: before deleting a user set, report the blast
+# radius — affected row counts per table. Each branch is an independent
+# filtered aggregate over ITS table (scan-pruned to the key column); union
+# of one-row frames. The deletion itself would be the same predicates as
+# anti-join filters on rewrite; this query is the audit half that runs
+# first (and the driver-checkable half — a destructive rewrite of shared
+# testdata has no place in a query registry).
+# --------------------------------------------------------------------------
+@query(
+    "user_erasure_audit",
+    oracle=f"""
+    SELECT 'customer' AS table_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_affected
+    FROM customer WHERE c_custkey % {ERASE_MOD} = 0
+    UNION ALL
+    SELECT 'orders', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_custkey % {ERASE_MOD} = 0
+    UNION ALL
+    SELECT 'lineitem', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_custkey % {ERASE_MOD} = 0
+    UNION ALL
+    SELECT 'events', CAST(COUNT(*) AS BIGINT)
+    FROM events WHERE user_id % {ERASE_MOD} = 0
+    """,
+)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % ERASE_MOD == 0
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    erased_orders = orders.filter(F.col("o_custkey") % ERASE_MOD == 0)
+    li = load_table(spark, sf_dir, "lineitem").join(
+        erased_orders.select("o_orderkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % ERASE_MOD == 0
+    )
+    parts = [
+        cust.agg(F.lit("customer").alias("table_name"), F.count("*").alias("n_rows_affected")),
+        erased_orders.agg(F.lit("orders").alias("table_name"), F.count("*").alias("n_rows_affected")),
+        li.agg(F.lit("lineitem").alias("table_name"), F.count("*").alias("n_rows_affected")),
+        ev.agg(F.lit("events").alias("table_name"), F.count("*").alias("n_rows_affected")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out

@@ -40,6 +40,13 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter semi-join pruning: a selective filtered dim
+        # builds a bloom filter that prunes the fact side's shuffle input.
+        # Its size thresholds (10MB creation side / 10GB scan side) only
+        # trigger at real scale — inert on test data, active at 100 TB;
+        # engagement is demonstrated under lowered thresholds in
+        # tests/test_plans.py.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
@@ -75,6 +82,7 @@ def apply_runtime_conf(spark: SparkSession) -> None:
     _CONFED.add(key)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     # events.parquet stores TIMESTAMP(NANOS), illegal for Spark 4's reader;
     # read as int64 nanos and convert in sources.load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

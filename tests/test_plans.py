@@ -344,3 +344,40 @@ def test_headline_relational_plans_are_codegen(spark, sf_dir):
         assert "isFinalPlan=true" in final, fn.__name__
         # "*(n)" node prefixes are the compact whole-stage-codegen marker.
         assert "*(" in final, fn.__name__
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
+    """Runtime bloom-filter semi-join pruning is ON in the engine conf; its
+    size thresholds only trigger at real scale, so engagement is
+    demonstrated here with the thresholds lowered: the selective orders
+    filter must inject a might_contain() probe into the lineitem side."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.sources import load_table
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100GB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    try:
+        for k, v in overrides.items():
+            spark.conf.set(k, v)
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_totalprice") > 400000
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderstatus")
+            .count()
+        )
+        assert "might_contain" in _plan(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
