@@ -864,3 +864,119 @@ def doc_length_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("outlier_side"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Shingle novelty: per document, the share of its distinct 3-shingles whose
+# FIRST appearance (min doc_id order) is this document — the "how much new
+# text does this doc add" signal dedup-aware samplers weight by. Inverted-
+# index shape again: explode distinct shingles, min-aggregate the first
+# owner per shingle (shingle-keyed shuffle), join back, per-doc ratio.
+# --------------------------------------------------------------------------
+@query(
+    "shingle_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+                    i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+      FROM t WHERE len(toks) >= 3
+    ),
+    first_owner AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s)
+    SELECT sh.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) FILTER (first_doc = sh.doc_id) AS BIGINT) AS n_novel,
+           ROUND(COUNT(*) FILTER (first_doc = sh.doc_id) * 1.0 / COUNT(*), 4)
+             AS novelty
+    FROM sh JOIN first_owner USING (s)
+    GROUP BY sh.doc_id
+    """,
+)
+def shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallel_mapreduce_spark.functions.dedup import shingles3
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        _spread(spark, docs, "doc_id", "text")
+        .select("doc_id", F.explode(shingles3(tokens("text"))).alias("s"))
+    )
+    first_owner = sh.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("long")
+    return (
+        sh.join(first_owner, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+            F.round(F.sum(novel) / F.count("*"), 4).alias("novelty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Source vocabulary overlap matrix: pairwise Jaccard similarity between the
+# sources' distinct-token sets — the corpus-mixing diagnostic for "are
+# these crawls the same text". All frames after the distinct are
+# VOCABULARY-sized: per-source set sizes (#sources rows), intersection via
+# a token-keyed self-join of the distinct (source, token) pairs. Same
+# inverted-index economics as the dedup family, one level up (sources
+# instead of documents).
+# --------------------------------------------------------------------------
+@query(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH st AS (
+      SELECT DISTINCT source, unnest({_SQL_TOKS}) AS word FROM documents
+    ),
+    sz AS (SELECT source, COUNT(*) AS n FROM st GROUP BY source),
+    inter AS (
+      SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_common
+      FROM st a JOIN st b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, n_common,
+           ROUND(n_common * 1.0 / (sa.n + sb.n - n_common), 4) AS jaccard
+    FROM inter
+    JOIN sz sa ON src_a = sa.source
+    JOIN sz sb ON src_b = sb.source
+    """,
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    st = (
+        _spread(spark, docs, "source", "text")
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .distinct()
+    )
+    sz = st.groupBy("source").agg(F.count("*").alias("n"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sz.select(F.col("source").alias("src_a"), F.col("n").alias("na"))
+    sb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
