@@ -1593,3 +1593,53 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
+
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+# --------------------------------------------------------------------------
+# Winsorization: clip order prices to the [p01, p99] band and report the
+# per-status effect — the robust-stats transform that tames heavy tails
+# before training/averaging. Same two-phase shape as the decile binning:
+# one exact-percentile aggregate (GROUP-sized), broadcast back, then a
+# narrow clip + re-aggregate. The corpus never shuffles for the clip.
+# --------------------------------------------------------------------------
+@query(
+    "winsorize_order_prices",
+    oracle=f"""
+    WITH t AS (
+      SELECT quantile_cont(o_totalprice, {WINSOR_LO}) AS lo,
+             quantile_cont(o_totalprice, {WINSOR_HI}) AS hi
+      FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (o_totalprice < lo OR o_totalprice > hi)
+                AS BIGINT) AS n_clipped,
+           ROUND(SUM(o_totalprice), 4) AS sum_raw,
+           ROUND(SUM(LEAST(GREATEST(o_totalprice, lo), hi)), 4) AS sum_winsorized
+    FROM orders CROSS JOIN t
+    GROUP BY o_orderstatus
+    """,
+)
+def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    t = orders.agg(
+        F.percentile("o_totalprice", F.lit(WINSOR_LO)).alias("lo"),
+        F.percentile("o_totalprice", F.lit(WINSOR_HI)).alias("hi"),
+    )
+    price = F.col("o_totalprice")
+    clipped = F.least(F.greatest(price, F.col("lo")), F.col("hi"))
+    out_of_band = ((price < F.col("lo")) | (price > F.col("hi"))).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(t))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(out_of_band).alias("n_clipped"),
+            F.round(F.sum(price), 4).alias("sum_raw"),
+            F.round(F.sum(clipped), 4).alias("sum_winsorized"),
+        )
+    )

@@ -318,3 +318,70 @@ def test_stateful_totals_correct_across_multiple_microbatches(spark, sf_dir, tmp
     got = {r.user_id: (r.n_events, r.total_value) for r in final.collect()}
     exp = {r.user_id: (r.n_events, r.total_value) for r in want.collect()}
     assert got == exp
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Watermark semantics pinned end-to-end: an event whose time is far
+    below the committed watermark must be DROPPED from the windowed
+    aggregation — that drop is what bounds state on an unbounded stream.
+    The watermark only binds across COMMITTED batches, so the late batch
+    arrives in a second availableNow run against the same checkpoint
+    (within one run, availableNow plans its batches before the watermark
+    from earlier files takes effect — measured, not assumed)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)
+    src = str(tmp_path / "late_feed")
+    cp = str(tmp_path / "late_cp")
+    base = 1_700_002_800 * 1_000_000  # epoch micros, hour-aligned
+    hour = 3_600_000_000
+
+    import os
+
+    os.makedirs(src)
+    emitted = []
+
+    def run():
+        stream = (
+            spark.readStream.schema("event_id long, ts long, user_id long")
+            .parquet(src)
+            .withColumn("ts", F.timestamp_micros("ts"))
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count("*").alias("cnt"))
+            .select(F.unix_timestamp("w.start").alias("win"), "cnt")
+        )
+
+        def sink(bdf, bid):
+            emitted.extend((r.win, r.cnt) for r in bdf.collect())
+
+        q = (
+            stream.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", cp)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # Run 1: events at t0 and t0+10h -> committed watermark = t0+9h.
+    pd.DataFrame(
+        [(1, base, 1), (2, base + 10 * hour, 1)],
+        columns=["event_id", "ts", "user_id"],
+    ).to_parquet(f"{src}/b1.parquet")
+    run()
+    base_s = base // 1_000_000
+    assert sorted(emitted) == [(base_s, 1), (base_s + 10 * 3600, 1)]
+
+    # Run 2: one event inside the watermark (t0+9.5h) and one 8h BELOW it
+    # (t0+1h). Only the in-window event may surface.
+    emitted.clear()
+    pd.DataFrame(
+        [(3, base + 9 * hour + hour // 2, 1), (4, base + hour, 1)],
+        columns=["event_id", "ts", "user_id"],
+    ).to_parquet(f"{src}/b2.parquet")
+    run()
+    assert sorted(emitted) == [(base_s + 9 * 3600, 1)]  # late event dropped
