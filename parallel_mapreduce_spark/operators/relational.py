@@ -1643,3 +1643,60 @@ def winsorize_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(clipped), 4).alias("sum_winsorized"),
         )
     )
+
+
+MERGE_MOD = 101  # orders with o_orderkey % 101 == 0 receive a change row
+MERGE_INSERT_OFFSET = 10_000_000  # synthetic new-row keys
+
+
+# --------------------------------------------------------------------------
+# MERGE INTO / upsert apply — the batch CDC pattern (Delta/Iceberg MERGE
+# semantics on plain DataFrames): a deterministic change set (price
+# corrections for every MERGE_MOD-th order + brand-new rows) full-outer-
+# joined onto the base table; matched rows take the change, unmatched
+# changes insert, unmatched base rows persist. One shuffle on the merge
+# key for each side; at scale the change set is deltas-sized, so AQE
+# broadcasts it and the base table never reshuffles.
+# --------------------------------------------------------------------------
+@query(
+    "orders_merge_upsert",
+    oracle=f"""
+    WITH chg AS (
+      SELECT o_orderkey AS k, ROUND(o_totalprice * 1.1, 4) AS new_price
+      FROM orders WHERE o_orderkey % {MERGE_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey + {MERGE_INSERT_OFFSET}, ROUND(o_totalprice / 2, 4)
+      FROM orders WHERE o_orderkey % {MERGE_MOD} = 0
+    )
+    SELECT COALESCE(o_orderkey, k) AS o_orderkey,
+           ROUND(COALESCE(new_price, o_totalprice), 4) AS final_price,
+           CASE WHEN o_orderkey IS NULL THEN 'insert'
+                WHEN k IS NULL THEN 'keep'
+                ELSE 'update' END AS action
+    FROM orders FULL OUTER JOIN chg ON o_orderkey = k
+    """,
+)
+def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    base_chg = orders.filter(F.col("o_orderkey") % MERGE_MOD == 0)
+    chg = base_chg.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("new_price"),
+    ).unionByName(
+        base_chg.select(
+            (F.col("o_orderkey") + MERGE_INSERT_OFFSET).alias("k"),
+            F.round(F.col("o_totalprice") / 2, 4).alias("new_price"),
+        )
+    )
+    merged = orders.join(chg, orders.o_orderkey == chg.k, "full_outer")
+    return merged.select(
+        F.coalesce("o_orderkey", "k").alias("o_orderkey"),
+        F.round(F.coalesce("new_price", "o_totalprice"), 4).alias("final_price"),
+        F.when(F.col("o_orderkey").isNull(), F.lit("insert"))
+        .when(F.col("k").isNull(), F.lit("keep"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
