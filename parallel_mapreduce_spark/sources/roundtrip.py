@@ -133,3 +133,61 @@ def json_ingest_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~good).cast("long")).alias("n_corrupt"),
         F.sum(F.when(good, F.col("n_chars"))).alias("good_chars"),
     )
+
+
+_BUCKET_SEQ = 0
+
+
+@query(
+    "bucketed_colocated_join",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey, l_quantity FROM lineitem WHERE l_quantity >= 45
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_lines,
+           ROUND(SUM(l_quantity), 4) AS qty
+    FROM li JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed-sink round trip + co-located join, value-checked: both
+    sides are written bucketed+sorted by the join key (write_bucketed),
+    read back as tables, and joined WITHOUT an exchange — the scan itself
+    satisfies the sort-merge join's distribution (plan pinned in
+    tests/test_sources.py). The oracle computes the same join from the
+    raw tables, so the check covers the bucketed WRITER, the bucketed
+    SCAN, and the join result. At 100 TB this is the ingest-once,
+    join-many layout that removes the dominant shuffle from every
+    downstream join on the key."""
+    import tempfile
+
+    from parallel_mapreduce_spark.sources.tables import write_bucketed
+
+    global _BUCKET_SEQ
+    _BUCKET_SEQ += 1
+    register_views(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="pmr_bucketed_")
+    li_name = f"pmr_li_b_{_BUCKET_SEQ}"
+    o_name = f"pmr_o_b_{_BUCKET_SEQ}"
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_quantity")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    write_bucketed(li, li_name, f"{base}/li", "l_orderkey", buckets=8)
+    write_bucketed(orders, o_name, f"{base}/o", "o_orderkey", buckets=8)
+    li_b = spark.table(li_name)
+    o_b = spark.table(o_name)
+    return (
+        li_b.join(o_b, li_b.l_orderkey == o_b.o_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.round(F.sum("l_quantity"), 4).alias("qty"),
+        )
+    )
