@@ -606,3 +606,41 @@ def events_hourly_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("sigma") > 0) & (F.abs(z) > ANOMALY_Z))
         .select("event_type", "hour_epoch", "cnt", F.round(z, 4).alias("zscore"))
     )
+
+
+# --------------------------------------------------------------------------
+# Day-of-week x hour-of-day seasonality profile: the 7x24 activity grid an
+# ops dashboard draws. One shuffle over a calendar-bounded key space
+# (168 cells x #types); conventions aligned across engines (Sunday=0).
+# --------------------------------------------------------------------------
+@query(
+    "events_dow_hod_profile",
+    oracle="""
+    SELECT CAST(dayofweek(ts) AS BIGINT) AS dow,
+           CAST(hour(ts) AS BIGINT) AS hod,
+           event_type,
+           COUNT(*) AS cnt,
+           -- portable half-up rounding: AVG lands on half-ulp boundaries
+           -- that ROUND splits differently across engines
+           floor(AVG(value) * 10000 + 0.5) / 10000 AS avg_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def events_dow_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    # Spark dayofweek is 1..7 with Sunday=1; DuckDB is 0..6 with Sunday=0.
+    return (
+        ev.groupBy(
+            (F.dayofweek("ts") - 1).cast("long").alias("dow"),
+            F.hour("ts").cast("long").alias("hod"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.floor(F.avg("value") * 10000 + F.lit(0.5)) / 10000).alias(
+                "avg_value"
+            ),
+        )
+    )

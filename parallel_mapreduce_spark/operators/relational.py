@@ -1700,3 +1700,47 @@ def orders_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("update"))
         .alias("action"),
     )
+
+
+# --------------------------------------------------------------------------
+# Argmax aggregate (max_by/min_by): the richest and poorest customer per
+# nation in ONE pass — no self-join, no window. max_by carries its payload
+# through the partial/final aggregation, so this is strictly cheaper than
+# the rank-and-filter formulation wherever only the extreme row matters.
+# Ties broken deterministically by a composite numeric key
+# (acctbal * 1e10 + custkey): both engines compute the identical double,
+# and at the 1e14 magnitude the custkey term stays far above one ulp, so
+# equal balances order by key. (A struct ordering key would be natural in
+# Spark but DuckDB's max_by does not accept one.)
+# --------------------------------------------------------------------------
+@query(
+    "nation_extreme_customers",
+    oracle="""
+    SELECT n_name,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           max_by(c_custkey, c_acctbal * 10000000000 + c_custkey) AS richest_key,
+           ROUND(MAX(c_acctbal), 4) AS max_bal,
+           min_by(c_custkey, c_acctbal * 10000000000 + c_custkey) AS poorest_key,
+           ROUND(MIN(c_acctbal), 4) AS min_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def nation_extreme_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    tie_key = F.col("c_acctbal") * F.lit(10_000_000_000.0) + F.col("c_custkey")
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.max_by("c_custkey", tie_key).alias("richest_key"),
+            F.round(F.max("c_acctbal"), 4).alias("max_bal"),
+            F.min_by("c_custkey", tie_key).alias("poorest_key"),
+            F.round(F.min("c_acctbal"), 4).alias("min_bal"),
+        )
+    )
