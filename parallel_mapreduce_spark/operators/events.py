@@ -644,3 +644,79 @@ def events_dow_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Three-step ordered funnel: per session, did view -> click -> purchase
+# happen IN ORDER? Step timestamps are conditional mins over the same
+# session frame as events_session_funnel (no extra shuffle); the summary
+# collapses to one row per step count — the conversion funnel chart.
+# --------------------------------------------------------------------------
+@query(
+    "events_funnel_steps",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM m
+    ), f AS (
+      SELECT user_id, session_id,
+             MIN(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN epoch(ts) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS t_buy
+      FROM s GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) FILTER (t_view IS NOT NULL) AS BIGINT) AS step_view,
+           CAST(COUNT(*) FILTER (t_view IS NOT NULL AND t_click >= t_view)
+                AS BIGINT) AS step_click,
+           CAST(COUNT(*) FILTER (t_view IS NOT NULL AND t_click >= t_view
+                                 AND t_buy >= t_click)
+                AS BIGINT) AS step_purchase
+    FROM f
+    """,
+)
+def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row funnel: sessions reaching view, view->click (ordered),
+    view->click->purchase (ordered). NULL comparisons drop sessions
+    missing a step, so each stage is a subset of the previous."""
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts"))
+    prev_sec = F.lag(sec).over(w_order)
+    is_new = F.when(
+        prev_sec.isNull() | ((sec - prev_sec) > SESSION_GAP_S), 1
+    ).otherwise(0)
+    with_session = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    )
+    step = lambda t: F.min(F.when(F.col("event_type") == t, sec))  # noqa: E731
+    f = with_session.groupBy("user_id", "session_id").agg(
+        step("view").alias("t_view"),
+        step("click").alias("t_click"),
+        step("purchase").alias("t_buy"),
+    )
+    reached_view = F.col("t_view").isNotNull()
+    reached_click = reached_view & (F.col("t_click") >= F.col("t_view"))
+    reached_buy = reached_click & (F.col("t_buy") >= F.col("t_click"))
+    return f.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(reached_view.cast("long")).alias("step_view"),
+        F.sum(reached_click.cast("long")).alias("step_click"),
+        F.sum(reached_buy.cast("long")).alias("step_purchase"),
+    )
