@@ -127,11 +127,42 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 
+def _driver_rowed_names() -> set[str]:
+    """Query names with a recorded driver correctness row in ANY prior
+    round (union of CORRECTNESS_r*.json at the repo root). Missing or
+    unreadable files contribute nothing — a fresh checkout still orders
+    deterministically."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rowed: set[str] = set()
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rowed |= set(json.load(fh))
+        except (OSError, ValueError):
+            continue
+    return rowed
+
+
 def _ordered_names() -> list[str]:
+    """DRIVER_PRIORITY first (the explicit window for this round's check),
+    then — self-maintaining rotation — every query with NO driver row from
+    any prior round, then the already-rowed tail; registration order within
+    each block. If the driver ever checks more than the priority window,
+    the extra slots land on fresh surface automatically."""
     _load_all()
     pri = [n for n in DRIVER_PRIORITY if n in QUERIES]
     listed = set(pri)
-    return pri + [n for n in QUERIES if n not in listed]
+    rowed = _driver_rowed_names()
+    rest = [n for n in QUERIES if n not in listed]
+    return (
+        pri
+        + [n for n in rest if n not in rowed]
+        + [n for n in rest if n in rowed]
+    )
 
 
 def query_map() -> dict[str, QueryFn]:

@@ -55,3 +55,27 @@ def test_cli_list_and_run(capsys, spark):
     lines = [l for l in capsys.readouterr().out.splitlines() if l.startswith("{")]
     assert len(lines) == 3
     assert main(["run", "no_such_query"]) == 2
+
+
+def test_ordering_rotates_unrowed_queries_forward():
+    """Beyond the explicit priority window, queries with no driver
+    correctness row from any prior round must come before already-rowed
+    ones, so a wider driver window always lands on fresh surface."""
+    from parallel_mapreduce_spark.registry import (
+        DRIVER_PRIORITY,
+        QUERIES,
+        _driver_rowed_names,
+        _ordered_names,
+    )
+
+    names = _ordered_names()
+    assert names[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+    rowed = _driver_rowed_names()
+    tail = names[len(DRIVER_PRIORITY):]
+    seen_rowed = False
+    for n in tail:
+        if n in rowed:
+            seen_rowed = True
+        else:
+            assert not seen_rowed, f"unrowed {n} after a rowed query"
+    assert len(names) == len(QUERIES)
