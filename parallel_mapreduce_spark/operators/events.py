@@ -362,8 +362,13 @@ def events_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_clicks,
            CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
              AS n_purchases,
-           CAST(CASE WHEN MIN(CASE WHEN event_type = 'click' THEN epoch(ts) END)
-                          <= MAX(CASE WHEN event_type = 'purchase' THEN epoch(ts) END)
+           -- second-truncated epochs: the engine-side comparison is at
+           -- second granularity (unix_timestamp), so the oracle must not
+           -- resolve sub-second orderings the engine cannot see
+           CAST(CASE WHEN MIN(CASE WHEN event_type = 'click'
+                                   THEN epoch(date_trunc('second', ts)) END)
+                          <= MAX(CASE WHEN event_type = 'purchase'
+                                      THEN epoch(date_trunc('second', ts)) END)
                      THEN 1 ELSE 0 END AS BIGINT) AS converted
     FROM s GROUP BY 1, 2
     """,
@@ -672,9 +677,13 @@ def events_dow_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     ), f AS (
       SELECT user_id, session_id,
-             MIN(CASE WHEN event_type = 'view' THEN epoch(ts) END) AS t_view,
-             MIN(CASE WHEN event_type = 'click' THEN epoch(ts) END) AS t_click,
-             MIN(CASE WHEN event_type = 'purchase' THEN epoch(ts) END) AS t_buy
+             -- second-truncated: engine-side comparisons use unix_timestamp
+             MIN(CASE WHEN event_type = 'view'
+                      THEN epoch(date_trunc('second', ts)) END) AS t_view,
+             MIN(CASE WHEN event_type = 'click'
+                      THEN epoch(date_trunc('second', ts)) END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase'
+                      THEN epoch(date_trunc('second', ts)) END) AS t_buy
       FROM s GROUP BY 1, 2
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
