@@ -79,3 +79,27 @@ def test_ordering_rotates_unrowed_queries_forward():
         else:
             assert not seen_rowed, f"unrowed {n} after a rowed query"
     assert len(names) == len(QUERIES)
+
+
+def test_oracle_timestamps_never_compare_fractional_epochs():
+    """Regression guard for the sub-second granularity bug class: engine
+    plans compare event times via unix_timestamp (whole seconds), so any
+    oracle using epoch(ts) must truncate first (date_trunc/floor) — a raw
+    fractional epoch can resolve orderings the engine cannot see. The two
+    intentional exceptions (date_diff arithmetic, window-start epochs on
+    already-truncated values) don't use the bare pattern."""
+    import re
+
+    from parallel_mapreduce_spark.registry import QUERIES, _load_all
+
+    _load_all()
+    bare = re.compile(r"epoch\(ts\)")
+    guarded = re.compile(r"(floor\s*\(\s*epoch\(ts\)|epoch\(date_trunc)", re.I)
+    offenders = []
+    for name, spec in QUERIES.items():
+        if not spec.oracle:
+            continue
+        for line in spec.oracle.splitlines():
+            if bare.search(line) and not guarded.search(line):
+                offenders.append((name, line.strip()))
+    assert not offenders, offenders
