@@ -102,6 +102,52 @@ def repetition_bigram_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CAPACITY_TOKENS = 512
+# Hierarchical-packing shard width: docs are range-sharded by doc_id
+# (shard = doc_id div span) so the running sum inside a shard plus the
+# broadcast sum of all earlier shards reconstructs the exact per-source
+# prefix sum. Contiguous ranges (not hash) keep the (source, doc_id)
+# order: every doc in shard k precedes every doc in shard k+1.
+PACK_SHARD_SPAN = 4096
+
+
+def _pack_prefix(t: DataFrame, span: int) -> DataFrame:
+    """tokens-before-this-doc in (source, doc_id) order, hierarchically:
+    (1) window prefix-sum within (source, shard) — thousands of bounded
+    partitions even when one source is 90% of the corpus; (2) per-shard
+    totals aggregated to a tiny (source, shard) frame; (3) base offset =
+    running sum of earlier shard totals, computed on that tiny frame and
+    broadcast-joined back. Two narrow passes + one broadcast join replace
+    the per-source window whose biggest partition was the biggest source.
+    Returns t plus a `before` column; exact same value as
+    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ROWS
+    UNBOUNDED PRECEDING AND 1 PRECEDING), so oracles need not know the
+    shard span."""
+    t = t.withColumn("_shard", (F.col("doc_id") / F.lit(span)).cast("long"))
+    w_local = (
+        W.partitionBy("source", "_shard")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0).cast("long"))
+    shard_totals = t.groupBy("source", "_shard").agg(
+        F.sum("n_tokens").alias("_shard_total")
+    )
+    w_base = (
+        W.partitionBy("source").orderBy("_shard").rowsBetween(W.unboundedPreceding, -1)
+    )
+    bases = shard_totals.select(
+        "source",
+        "_shard",
+        F.coalesce(F.sum("_shard_total").over(w_base), F.lit(0).cast("long")).alias(
+            "_base"
+        ),
+    )
+    return (
+        t.withColumn("_local_before", local_before)
+        .join(F.broadcast(bases), ["source", "_shard"])
+        .withColumn("before", F.col("_base") + F.col("_local_before"))
+        .drop("_shard", "_local_before", "_base")
+    )
 
 
 # --------------------------------------------------------------------------
@@ -111,11 +157,12 @@ PACK_CAPACITY_TOKENS = 512
 # boundary; the tokenizer downstream splits it (standard contiguous packing,
 # the shuffle-free alternative to bin-packing).
 #
-# Scale: the running sum is windowed PER SOURCE, not globally — a global
-# ORDER BY window would serialize the corpus through one task; per-source
-# windows parallelize across sources and each source's partition sorts
-# locally. At 100 TB, source is the natural sharding unit (crawl snapshot,
-# dump file), so thousands of independent windows.
+# Scale: the prefix sum is HIERARCHICAL (see _pack_prefix) — never a
+# per-source window. A real corpus is source-skewed (one crawl source can
+# be 90% of 100 TB), so PARTITION BY source alone would serialize that
+# source through one sorted task; range shards of doc_id bound every
+# window partition at ~PACK_SHARD_SPAN docs regardless of skew, and the
+# per-shard base offsets are a broadcast-sized frame (|docs|/span rows).
 # --------------------------------------------------------------------------
 @query(
     "seq_pack_contiguous",
@@ -142,18 +189,12 @@ def seq_pack_contiguous(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = docs.select(
         "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
     )
-    w = (
-        W.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
-    return t.select(
+    return _pack_prefix(t, PACK_SHARD_SPAN).select(
         "doc_id",
         "source",
         "n_tokens",
-        (before / F.lit(PACK_CAPACITY_TOKENS)).cast("long").alias("pack_id"),
-        (before % PACK_CAPACITY_TOKENS).alias("tok_offset"),
+        (F.col("before") / F.lit(PACK_CAPACITY_TOKENS)).cast("long").alias("pack_id"),
+        (F.col("before") % PACK_CAPACITY_TOKENS).alias("tok_offset"),
     )
 
 
@@ -318,7 +359,8 @@ def vocab_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH t AS (
       SELECT vec_id,
-             list_max(list_transform(embedding, x -> abs(x))) AS scale
+             greatest(list_max(list_transform(embedding, x -> abs(x))),
+                      1e-30) AS scale
       FROM embeddings
     )
     SELECT t.vec_id,
@@ -334,7 +376,11 @@ def vocab_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    # greatest(., eps): an all-zero vector would otherwise quantize to NaN
+    # (0/0) — same guard as ann_sq_topk, mirrored literally in the oracle.
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))), F.lit(1e-30)
+    )
     with_scale = emb.select("vec_id", "embedding", scale.alias("scale"))
     q = F.transform(
         "embedding",
@@ -934,11 +980,11 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def write_partitioned_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Round-trip manifest of a lang-partitioned parquet write."""
-    import tempfile
+    from parallel_mapreduce_spark.sources.tables import sink_dir
 
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    out = tempfile.mkdtemp(prefix="pmr_part_sink_") + "/docs"
+    out = sink_dir("part_sink") + "/docs"
     (
         docs.repartition("lang")
         .write.mode("overwrite")

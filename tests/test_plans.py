@@ -192,14 +192,18 @@ def test_domain_rebalance_broadcasts_rate_table(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
-def test_seq_pack_windows_per_source_not_globally(spark, sf_dir):
+def test_seq_pack_windows_are_sharded_not_per_source(spark, sf_dir):
     from parallel_mapreduce_spark.functions.trainprep import seq_pack_contiguous
 
     plan = _plan(seq_pack_contiguous(spark, sf_dir))
-    # Window partitioned by source: hashpartitioning on source, never a
-    # single-partition global sort (SinglePartition exchange).
+    # Hierarchical packing: the corpus-sized window must partition by
+    # (source, shard) — bounded partitions even when one source dominates —
+    # never by source alone or a single-partition global sort; the shard
+    # base offsets join back as a broadcast.
     assert "hashpartitioning(source" in plan
+    assert "_shard" in plan.split("hashpartitioning(source", 1)[1][:80]
     assert "SinglePartition" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_vocab_window_runs_after_aggregation(spark, sf_dir):

@@ -9,30 +9,35 @@ from parallel_mapreduce_spark.functions.trainprep import PACK_CAPACITY_TOKENS
 
 
 def test_seq_pack_matches_sequential_replay(spark):
-    """Pack ids/offsets must equal a driver-side sequential replay of the
-    contiguous-fill algorithm, per source, in doc_id order."""
+    """Pack ids/offsets from the hierarchical prefix sum (_pack_prefix)
+    must equal a driver-side sequential replay of the contiguous-fill
+    algorithm, per source, in doc_id order — on a source-SKEWED corpus
+    (one source is ~90% of docs, the case the per-shard decomposition
+    exists for) and with a span small enough that every source crosses
+    many shard boundaries, including shards where a source is absent."""
     import random
 
     rng = random.Random(7)
     rows = [
-        (i, f"src{i % 3}", rng.randint(0, 2 * PACK_CAPACITY_TOKENS))
-        for i in range(200)
+        (i, "big" if i % 10 else f"src{i % 3}",
+         rng.randint(0, 2 * PACK_CAPACITY_TOKENS))
+        for i in range(500)
     ]
     df = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
 
-    from pyspark.sql import Window as W
+    from parallel_mapreduce_spark.functions.trainprep import _pack_prefix
 
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(
-        W.unboundedPreceding, -1
-    )
-    before = F.coalesce(F.sum("n_tokens").over(w), F.lit(0).cast("long"))
     got = {
         r.doc_id: (r.pack_id, r.tok_offset)
-        for r in df.select(
+        for r in _pack_prefix(df, span=64)
+        .select(
             "doc_id",
-            (before / F.lit(PACK_CAPACITY_TOKENS)).cast("long").alias("pack_id"),
-            (before % PACK_CAPACITY_TOKENS).alias("tok_offset"),
-        ).collect()
+            (F.col("before") / F.lit(PACK_CAPACITY_TOKENS))
+            .cast("long")
+            .alias("pack_id"),
+            (F.col("before") % PACK_CAPACITY_TOKENS).alias("tok_offset"),
+        )
+        .collect()
     }
 
     # sequential replay
