@@ -551,17 +551,24 @@ def emb_neardup_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Collapse identical vectors first (same shape as the text-dedup paths):
     # exact copies share every bucket, so the bucket join fans out
     # quadratically per copy group unless pairs are computed on distinct
-    # vectors and expanded back afterwards. Grouping key is the raw float
-    # array — bit-identical copies only, which is exactly the duplication
-    # replication produces.
-    members = (
-        emb.groupBy("embedding")
-        .agg(F.min("vec_id").alias("rep"), F.collect_list("vec_id").alias("ids"))
-        .select("rep", F.explode("ids").alias("vec_id"), "embedding")
+    # vectors and expanded back afterwards. The SHUFFLE KEY is a 128-bit
+    # digest of the vector bytes (md5 over the JSON rendering + length
+    # tiebreak), exactly as dedup._digest_groups keys text groups — the
+    # raw 64-float array (~512 B/row + per-row array hashing) never keys a
+    # shuffle; vector bytes cross once, as the min_by group survivor.
+    # Bit-identical copies only, which is exactly what replication produces.
+    digest = F.md5(F.to_json(F.struct(F.col("embedding").alias("e"))))
+    keyed = emb.select("vec_id", "embedding", digest.alias("_k"),
+                       F.size("embedding").alias("_l"))
+    groups = keyed.groupBy("_k", "_l").agg(
+        F.min("vec_id").alias("rep"),
+        F.min_by("embedding", "vec_id").alias("embedding"),
     )
+    members = keyed.select("vec_id", "_k", "_l").join(
+        groups.select("_k", "_l", "rep"), ["_k", "_l"]
+    ).select("rep", "vec_id")
     reps = (
-        members.filter(F.col("vec_id") == F.col("rep"))
-        .repartition(n_parts, "rep")
+        groups.repartition(n_parts, "rep")
         .select(
             F.col("rep").alias("vec_id"),
             as_double("embedding").alias("v"),
@@ -763,7 +770,8 @@ def _int_dot(a: Column, b: Column) -> Column:
     oracle=f"""
     WITH base AS (
       SELECT vec_id, embedding,
-             list_max(list_transform(embedding, x -> abs(x))) AS scale
+             greatest(list_max(list_transform(embedding, x -> abs(x))),
+                      1e-30) AS scale
       FROM embeddings
     ), qz AS (
       SELECT vec_id AS q_id,
@@ -809,7 +817,12 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x)))
+    # greatest(., eps): an all-zero vector would otherwise divide by zero
+    # into NaN quantized values, and NaN orders differently in Spark (sorts
+    # largest) vs DuckDB — the guard keeps the candidate cut deterministic.
+    scale = F.greatest(
+        F.array_max(F.transform("embedding", lambda x: F.abs(x))), F.lit(1e-30)
+    )
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
         as_double("embedding").alias("qv"),
