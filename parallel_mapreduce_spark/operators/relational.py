@@ -1279,9 +1279,11 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # --------------------------------------------------------------------------
 # TPC-H Q15-style top supplier: argmax over an aggregate — per-supplier
-# revenue, then the supplier(s) hitting the global maximum. The max is an
-# unpartitioned window over the ALREADY-AGGREGATED (suppliers-sized) frame,
-# not over the fact table.
+# revenue, then the supplier(s) hitting the global maximum. The max is a
+# one-row aggregate of the per-supplier frame joined back as a BROADCAST
+# scalar (same pattern as q11's total / winsorize's thresholds) — never an
+# empty-partition window, which would pull all |suppliers| rows through a
+# single task at scale.
 # --------------------------------------------------------------------------
 @query(
     "q15_top_supplier",
@@ -1310,8 +1312,10 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_rev"
         )
     )
-    mx = F.max("total_rev").over(W.partitionBy())
-    top = rev.withColumn("mx", mx).filter(F.col("total_rev") == F.col("mx"))
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    top = rev.crossJoin(F.broadcast(mx)).filter(
+        F.col("total_rev") == F.col("mx")
+    )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return top.join(supp, top.suppkey == supp.s_suppkey).select(
         "s_suppkey", "s_name", "total_rev"
