@@ -17,8 +17,6 @@ Format caveats encoded here (and why parquet is the default at scale):
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -28,6 +26,7 @@ from parallel_mapreduce_spark.sources.tables import (
     read_csv,
     read_json,
     register_views,
+    sink_dir,
 )
 
 
@@ -50,7 +49,7 @@ def csv_roundtrip_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 100000)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
     )
-    out = tempfile.mkdtemp(prefix="pmr_csv_sink_") + "/orders"
+    out = sink_dir("csv_sink") + "/orders"
     sub.write.mode("overwrite").option("header", "true").csv(out)
     back = read_csv(
         spark, out,
@@ -78,7 +77,7 @@ def json_roundtrip_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "lang", "n_chars"
     )
-    out = tempfile.mkdtemp(prefix="pmr_json_sink_") + "/docs"
+    out = sink_dir("json_sink") + "/docs"
     docs.write.mode("overwrite").json(out)
     back = read_json(
         spark, out, schema="doc_id bigint, lang string, n_chars bigint"
@@ -119,7 +118,7 @@ def json_ingest_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
     mangled = F.when(
         F.col("doc_id") % CORRUPT_MOD == 0, F.substring(line, 1, 9)
     ).otherwise(line)
-    out = tempfile.mkdtemp(prefix="pmr_corrupt_feed_") + "/feed"
+    out = sink_dir("corrupt_feed") + "/feed"
     docs.select(mangled.alias("value")).write.mode("overwrite").text(out)
     back = (
         spark.read.schema("doc_id bigint, lang string, n_chars bigint")
@@ -133,9 +132,6 @@ def json_ingest_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((~good).cast("long")).alias("n_corrupt"),
         F.sum(F.when(good, F.col("n_chars"))).alias("good_chars"),
     )
-
-
-_BUCKET_SEQ = 0
 
 
 @query(
@@ -160,17 +156,19 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     raw tables, so the check covers the bucketed WRITER, the bucketed
     SCAN, and the join result. At 100 TB this is the ingest-once,
     join-many layout that removes the dominant shuffle from every
-    downstream join on the key."""
-    import tempfile
+    downstream join on the key.
+
+    Table names are per-process constants and write_bucketed overwrites,
+    so repeated invocations (bench best-of-N) reuse one catalog entry +
+    one on-disk copy per side instead of accumulating a pair per call."""
+    import os
 
     from parallel_mapreduce_spark.sources.tables import write_bucketed
 
-    global _BUCKET_SEQ
-    _BUCKET_SEQ += 1
     register_views(spark, sf_dir)
-    base = tempfile.mkdtemp(prefix="pmr_bucketed_")
-    li_name = f"pmr_li_b_{_BUCKET_SEQ}"
-    o_name = f"pmr_o_b_{_BUCKET_SEQ}"
+    base = sink_dir("bucketed")
+    li_name = f"pmr_li_b_{os.getpid()}"
+    o_name = f"pmr_o_b_{os.getpid()}"
     li = (
         load_table(spark, sf_dir, "lineitem")
         .filter(F.col("l_quantity") >= 45)

@@ -104,6 +104,33 @@ def read_json(
     return reader.json(paths)
 
 
+_SINK_ROOT: str | None = None
+
+
+def sink_dir(kind: str) -> str:
+    """Deterministic per-process scratch directory for sink round-trip
+    queries (csv/json/partitioned/bucketed/stream snapshots).
+
+    One mkdtemp root per process — no cross-process collisions — with one
+    subdirectory per sink kind REUSED across invocations: every writer here
+    runs in overwrite mode, so bench's adaptive best-of-N overwrites one
+    copy in place instead of accumulating dozens of full table copies. The
+    whole root is removed at interpreter exit."""
+    global _SINK_ROOT
+    if _SINK_ROOT is None:
+        import atexit
+        import shutil
+        import tempfile
+
+        _SINK_ROOT = tempfile.mkdtemp(prefix="pmr_sinks_")
+        atexit.register(shutil.rmtree, _SINK_ROOT, ignore_errors=True)
+    import os
+
+    path = os.path.join(_SINK_ROOT, kind)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
 def write_table(
     df: DataFrame,
     path: str,

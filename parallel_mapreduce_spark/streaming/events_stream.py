@@ -258,7 +258,7 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, ts,
-             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
       FROM events
     ), m AS (
       SELECT user_id, event_id, ts,
@@ -268,7 +268,7 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), s AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM m
     )
@@ -313,9 +313,10 @@ def stream_hourly_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     as a registered query: drains the source with availableNow, snapshots
     the complete-mode aggregation to parquet per batch, returns the final
     snapshot read back from disk — so the oracle checks the SINK contents,
-    not just the in-memory result. Fresh temp dir per run keeps the
-    overwrite snapshot isolated."""
-    import tempfile
+    not just the in-memory result. The per-process sink dir is reused
+    across invocations (each batch snapshot overwrites; no checkpoint, so
+    no resume coupling between runs)."""
+    from parallel_mapreduce_spark.sources.tables import sink_dir
 
-    out = tempfile.mkdtemp(prefix="pmr_stream_sink_")
+    out = sink_dir("stream_sink")
     return run_hourly_stream_to_parquet(spark, sf_dir, out + "/agg")
