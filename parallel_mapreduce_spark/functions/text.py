@@ -716,7 +716,7 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(st.s_total AS BIGINT) AS n_tokens,
            ROUND(SUM((c.cnt * 1.0 / st.s_total)
                      * ln((c.cnt * 1.0 / st.s_total)
-                          / (tt.w_total * 1.0 / g.g_total))), 4) AS kl_bits
+                          / (tt.w_total * 1.0 / g.g_total))), 4) AS kl_nats
     FROM c
     JOIN st USING (source)
     JOIN tt USING (word)
@@ -743,11 +743,11 @@ def source_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(tt, "word")
         .crossJoin(F.broadcast(g))
         .groupBy("source", "s_total")
-        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_bits"))
+        .agg(F.round(F.sum(p * F.log(p / q)), 4).alias("kl_nats"))
         .select(
             "source",
             F.col("s_total").cast("long").alias("n_tokens"),
-            "kl_bits",
+            "kl_nats",
         )
     )
 

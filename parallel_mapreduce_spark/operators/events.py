@@ -90,7 +90,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, ts,
-             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
       FROM events
     ), m AS (
       SELECT user_id, event_id, ts,
@@ -100,7 +100,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), s AS (
       SELECT user_id, ts,
-             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM m
     )
@@ -261,7 +261,7 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, ts,
-             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
       FROM events
     ), m AS (
       SELECT user_id, event_id, ts,
@@ -271,7 +271,7 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), s AS (
       SELECT user_id, ts,
-             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                                ROWS UNBOUNDED PRECEDING) AS session_id
       FROM m
     )
@@ -343,7 +343,7 @@ def events_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, ts, event_type,
-             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
       FROM events
     ), m AS (
       SELECT user_id, event_id, ts, event_type,
@@ -353,7 +353,7 @@ def events_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), s AS (
       SELECT user_id, ts, event_type,
-             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM m
     )
@@ -419,7 +419,7 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT user_id, event_id, event_type,
            CAST(epoch(date_trunc('second', ts)) AS BIGINT) AS effective_from,
            CAST(epoch(date_trunc('second',
-                LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)))
+                LEAD(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)))
                 AS BIGINT) AS effective_to
     FROM events
     """,
@@ -497,7 +497,7 @@ def events_hourly_merge_incremental(spark: SparkSession, sf_dir: str) -> DataFra
     oracle="""
     WITH s AS (
       SELECT event_type AS cur,
-             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)
                AS prev
       FROM events
     ), t AS (
@@ -662,7 +662,7 @@ def events_dow_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH e AS (
       SELECT user_id, event_id, ts, event_type,
-             LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
       FROM events
     ), m AS (
       SELECT user_id, event_id, ts, event_type,
@@ -672,7 +672,7 @@ def events_dow_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), s AS (
       SELECT user_id, ts, event_type,
-             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
                                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
       FROM m
     ), f AS (

@@ -93,13 +93,42 @@ def test_oracle_timestamps_never_compare_fractional_epochs():
     from parallel_mapreduce_spark.registry import QUERIES, _load_all
 
     _load_all()
-    bare = re.compile(r"epoch\(ts\)")
-    guarded = re.compile(r"(floor\s*\(\s*epoch\(ts\)|epoch\(date_trunc)", re.I)
+    # Any epoch(...) applied to the raw event-time column — bare, qualified
+    # (epoch(e.ts)) or over an aggregate of it (epoch(MIN(ts))) — yields a
+    # fractional-second DOUBLE in DuckDB while the engine compares whole
+    # seconds; it must be floor()ed or fed a date_trunc'd value.
+    bare = re.compile(r"epoch\(\s*(?:\w+\.)?(?:MIN\(|MAX\()?\s*(?:\w+\.)?ts\s*\)?", re.I)
+    guarded = re.compile(
+        r"(floor\s*\(\s*epoch\(|epoch\(\s*date_trunc)", re.I
+    )
     offenders = []
     for name, spec in QUERIES.items():
         if not spec.oracle:
             continue
         for line in spec.oracle.splitlines():
             if bare.search(line) and not guarded.search(line):
+                offenders.append((name, line.strip()))
+    assert not offenders, offenders
+
+
+def test_oracle_window_orderings_truncate_event_time():
+    """Companion guard for ORDERINGS: a window ORDER BY on the raw ts
+    column compares parquet-native precision in DuckDB while the engine's
+    decode is micro-truncated — if the testdata generator ever flips
+    events.ts back to TIMESTAMP(NANOS) (it has flipped units between
+    rounds), nanosecond-only ties would order differently. Oracles must
+    order by CAST(ts AS TIMESTAMP) (micros; a no-op today) instead."""
+    import re
+
+    from parallel_mapreduce_spark.registry import QUERIES, _load_all
+
+    _load_all()
+    bad = re.compile(r"ORDER\s+BY\s+(?:\w+\.)?ts\b", re.I)
+    offenders = []
+    for name, spec in QUERIES.items():
+        if not spec.oracle:
+            continue
+        for line in spec.oracle.splitlines():
+            if bad.search(line):
                 offenders.append((name, line.strip()))
     assert not offenders, offenders
