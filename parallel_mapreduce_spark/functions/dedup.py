@@ -888,3 +888,170 @@ def name_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_triangles"),
         F.countDistinct("a").alias("n_apex_names"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-duplicate rate per source: the dedup observability rollup a corpus
+# report leads with — how much of each source is redundant copies. Built on
+# the same digest-keyed member mapping as every dedup path (text never keys
+# a shuffle); the final aggregation is per-source counts.
+# --------------------------------------------------------------------------
+@query(
+    "exact_dup_rate_by_source",
+    oracle="""
+    WITH m AS (
+      SELECT doc_id, source,
+             MIN(doc_id) OVER (PARTITION BY text) AS rep
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (doc_id <> rep) AS BIGINT) AS n_dup_members,
+           floor(COUNT(*) FILTER (doc_id <> rep) * 1.0 / COUNT(*)
+                 * 10000 + 0.5) / 10000 AS dup_rate
+    FROM m GROUP BY source
+    """,
+)
+def exact_dup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    members = exact_dup_members(docs)
+    joined = members.join(docs.select("doc_id", "source"), "doc_id")
+    is_dup = (F.col("doc_id") != F.col("rep")).cast("long")
+    return joined.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(is_dup).alias("n_dup_members"),
+        (F.floor(F.sum(is_dup) * F.lit(1.0) / F.count("*") * 10000 + F.lit(0.5))
+         / 10000).alias("dup_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
+# MinHash calibration: for every LSH candidate pair, the signature-agreement
+# Jaccard ESTIMATE (matching components / N_PERMUTATIONS — the unbiased
+# MinHash estimator) next to the EXACT shingle Jaccard — the query an
+# engineer runs to pick band/row settings before a 100 TB dedup pass.
+# Candidates come from the banded equi-join on distinct-text
+# representatives (never all pairs); the exact side reuses the inverted
+# shingle index, output-bound like neardup_jaccard_pairs. A candidate pair
+# can share bands yet zero shingles (band-hash collision), hence the LEFT
+# join with shared defaulted to 0.
+# --------------------------------------------------------------------------
+@query(
+    "minhash_jaccard_estimate",
+    oracle=f"""
+    WITH r AS (SELECT MIN(doc_id) AS doc_id, text FROM documents GROUP BY text),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM r),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t WHERE len(toks) >= 3),
+    ph AS (SELECT doc_id, {phash60_sql("s")} % {MINHASH_PRIME} AS ph FROM sh),
+    mh AS (
+      SELECT doc_id, i,
+             MIN(({_SQL_A_LIST}[i + 1] * ph + {_SQL_B_LIST}[i + 1])
+                 % {MINHASH_PRIME}) AS h
+      FROM ph CROSS JOIN range({N_PERMUTATIONS}) perm(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h ORDER BY i) AS sg FROM mh GROUP BY doc_id),
+    sigs AS (SELECT doc_id, list(h::VARCHAR ORDER BY i) AS sg FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band_idx,
+             {phash60_sql(_SQL_BAND_CONCAT)} AS band_hash
+      FROM sigs CROSS JOIN range({N_BANDS}) b(band_idx)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+           ROUND(len(list_filter(range(1, {N_PERMUTATIONS} + 1),
+                                 i -> sa.sg[i] = sb.sg[i]))
+                 * 1.0 / {N_PERMUTATIONS}, 4) AS est_jaccard,
+           ROUND(COALESCE(s.shared, 0) * 1.0
+                 / (za.sz + zb.sz - COALESCE(s.shared, 0)), 4) AS exact_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.doc_a
+    JOIN sig sb ON sb.doc_id = c.doc_b
+    LEFT JOIN shared s ON s.doc_a = c.doc_a AND s.doc_b = c.doc_b
+    JOIN sz za ON za.doc_id = c.doc_a
+    JOIN sz zb ON zb.doc_id = c.doc_b
+    """,
+)
+def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    reps = _rep_texts(docs, n)
+    sigs = _minhash_of(reps)
+    bands = _lsh_bands(sigs)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # shingle index on reps; set size rides with each row (shingles3 is
+    # already distinct) so no extra per-doc aggregate scan.
+    sh = (
+        reps.select("doc_id", shingles3(tokens("text")).alias("shs"))
+        .filter(F.size("shs") > 0)
+        .select("doc_id", F.size("shs").alias("sz"), F.explode("shs").alias("s"))
+    )
+    sha, shb = sh.alias("sa"), sh.alias("sb")
+    shared = (
+        sha.join(
+            shb,
+            (F.col("sa.s") == F.col("sb.s"))
+            & (F.col("sa.doc_id") < F.col("sb.doc_id")),
+        )
+        .groupBy(
+            F.col("sa.doc_id").alias("doc_a"),
+            F.col("sb.doc_id").alias("doc_b"),
+        )
+        .agg(
+            F.count("*").alias("shared"),
+            F.first(F.col("sa.sz")).alias("sz_a"),
+            F.first(F.col("sb.sz")).alias("sz_b"),
+        )
+    )
+    sz = sh.groupBy("doc_id").agg(F.first("sz").alias("sz"))
+    est_matches = F.size(
+        F.filter(
+            F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: x == y),
+            lambda eq: eq,
+        )
+    )
+    out = (
+        cand.join(
+            sigs.select(F.col("doc_id").alias("doc_a"), F.col("sig").alias("sig_a")),
+            "doc_a",
+        )
+        .join(
+            sigs.select(F.col("doc_id").alias("doc_b"), F.col("sig").alias("sig_b")),
+            "doc_b",
+        )
+        .join(shared.select("doc_a", "doc_b", "shared"), ["doc_a", "doc_b"], "left")
+        .join(sz.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sz.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+    )
+    shared0 = F.coalesce(F.col("shared"), F.lit(0))
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.round(est_matches * F.lit(1.0) / N_PERMUTATIONS, 4).alias("est_jaccard"),
+        F.round(
+            shared0 * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - shared0), 4
+        ).alias("exact_jaccard"),
+    )

@@ -906,3 +906,193 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("v"), 4).alias("dim_min"),
         F.round(F.max("v"), 4).alias("dim_max"),
     )
+
+
+KNN_MAX_ID = 300  # bounded eval set for the exact leave-one-out pass
+
+
+# --------------------------------------------------------------------------
+# 1-NN label accuracy (leave-one-out): predict each vector's label from its
+# nearest neighbor by cosine, report accuracy per true label — the
+# embedding-quality eval that decides whether an ANN index is worth
+# building. Exact brute force over a bounded eval sample (the standard
+# recipe: evaluate on a sample, deploy ANN on the corpus); ranking on
+# ROUND(cos, 6) with a vec_id tie-break, same determinism stance as the
+# ANN family.
+# --------------------------------------------------------------------------
+@query(
+    "knn_label_accuracy",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings WHERE vec_id < {KNN_MAX_ID}
+    ), p AS (
+      SELECT a.vec_id, a.label AS true_label, b.label AS pred_label,
+             ROW_NUMBER() OVER (
+               PARTITION BY a.vec_id
+               ORDER BY ROUND(list_cosine_similarity(a.e, b.e), 6) DESC,
+                        b.vec_id) AS rk
+      FROM v a JOIN v b ON a.vec_id <> b.vec_id
+    )
+    SELECT true_label AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(*) FILTER (pred_label = true_label) AS BIGINT)
+             AS n_correct,
+           floor(COUNT(*) FILTER (pred_label = true_label) * 1.0 / COUNT(*)
+                 * 10000 + 0.5) / 10000 AS accuracy
+    FROM p WHERE rk = 1 GROUP BY 1
+    """,
+)
+def knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < KNN_MAX_ID
+    )
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    v = emb.select(
+        "vec_id",
+        "label",
+        as_double("embedding").alias("e"),
+        l2_norm(as_double("embedding")).alias("nrm"),
+    )
+    a = v.repartition(n_parts).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("true_label"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("c_id"),
+        F.col("label").alias("pred_label"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim6 = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    ranked = (
+        a.join(F.broadcast(b), F.col("q_id") != F.col("c_id"))
+        .select("q_id", "true_label", "pred_label", sim6.alias("sim6"), "c_id")
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy(F.col("sim6").desc(), "c_id")
+            ),
+        )
+        .filter(F.col("rk") == 1)
+    )
+    correct = (F.col("pred_label") == F.col("true_label")).cast("long")
+    return ranked.groupBy(F.col("true_label").alias("label")).agg(
+        F.count("*").alias("n_vecs"),
+        F.sum(correct).alias("n_correct"),
+        (
+            F.floor(F.sum(correct) * F.lit(1.0) / F.count("*") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("accuracy"),
+    )
+
+
+PCA_V0 = 0.125  # 1/sqrt(64): uniform unit start vector (exact in binary)
+
+
+# --------------------------------------------------------------------------
+# Top principal direction via POWER ITERATION (2 unrolled steps of
+# v <- normalize(Sum_rows e * (e . v)) on the uncentered Gram matrix) —
+# the iterative-numerical-algorithm slot, fully value-checked: every
+# stage that sums across ROWS (whose order differs between engines) is
+# rounded to 6 decimals as part of the algorithm spec, so both engines
+# walk bit-identical intermediate vectors and the oracle replays the
+# entire iteration literally in SQL.
+#
+# Plan shape per iteration: one posexplode aggregation keyed by dimension
+# (64 groups, partial-aggregable) + a broadcast of the 64-value direction
+# back to the rows — matrix-vector products as map-side joins; no
+# |corpus|-keyed shuffle, no collect, no UDF.
+# --------------------------------------------------------------------------
+@query(
+    "embedding_pca_power_iter",
+    oracle=f"""
+    WITH d0 AS (
+      SELECT vec_id, embedding,
+             ROUND({PCA_V0} * list_sum(
+               list_transform(embedding, x -> CAST(x AS DOUBLE))), 6) AS d0
+      FROM embeddings
+    ), x0 AS (
+      SELECT generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val, d0
+      FROM d0
+    ), s1 AS (
+      SELECT pos, ROUND(SUM(val * d0), 6) AS s1 FROM x0 GROUP BY pos
+    ), n1 AS (SELECT sqrt(SUM(s1 * s1)) AS n1 FROM s1),
+    v1 AS (SELECT pos, ROUND(s1 / n1, 6) AS v1 FROM s1 CROSS JOIN n1),
+    d1 AS (
+      SELECT x.vec_id, ROUND(SUM(x.val * v1.v1), 6) AS d1
+      FROM (SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+                   CAST(unnest(embedding) AS DOUBLE) AS val
+            FROM embeddings) x
+      JOIN v1 USING (pos)
+      GROUP BY x.vec_id
+    ), x1 AS (
+      SELECT generate_subscripts(e.embedding, 1) - 1 AS pos,
+             CAST(unnest(e.embedding) AS DOUBLE) AS val, d1.d1
+      FROM embeddings e JOIN d1 USING (vec_id)
+    ), s2 AS (
+      SELECT pos, ROUND(SUM(val * d1), 6) AS s2 FROM x1 GROUP BY pos
+    ), n2 AS (SELECT sqrt(SUM(s2 * s2)) AS n2 FROM s2)
+    SELECT pos, ROUND(s2 / n2, 4) + 0.0 AS loading
+    FROM s2 CROSS JOIN n2
+    """,
+)
+def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    e = as_double(F.col("embedding"))
+    rows = emb.repartition(n_parts).select(
+        "vec_id",
+        e.alias("e"),
+        F.round(
+            F.lit(PCA_V0)
+            * F.aggregate(e, F.lit(0.0), lambda acc, x: acc + x),
+            6,
+        ).alias("d0"),
+    )
+    s1 = (
+        rows.select(F.posexplode("e").alias("pos", "val"), "d0")
+        .groupBy("pos")
+        .agg(F.round(F.sum(F.col("val") * F.col("d0")), 6).alias("s1"))
+    )
+    n1 = s1.agg(F.sqrt(F.sum(F.col("s1") * F.col("s1"))).alias("n1"))
+    v1 = s1.crossJoin(F.broadcast(n1)).select(
+        "pos", F.round(F.col("s1") / F.col("n1"), 6).alias("v1")
+    )
+    # Reshape the 64-row direction into ONE array row and broadcast it to
+    # the corpus — the second matvec needs no corpus-keyed join.
+    v1_arr = v1.agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("v1")))
+            ),
+            lambda s: s.getField("v1"),
+        ).alias("varr")
+    )
+    d1 = rows.crossJoin(F.broadcast(v1_arr)).select(
+        "e",
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("e"), F.col("varr"), lambda x, y: x * y),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d1"),
+    )
+    s2 = (
+        d1.select(F.posexplode("e").alias("pos", "val"), "d1")
+        .groupBy("pos")
+        .agg(F.round(F.sum(F.col("val") * F.col("d1")), 6).alias("s2"))
+    )
+    n2 = s2.agg(F.sqrt(F.sum(F.col("s2") * F.col("s2"))).alias("n2"))
+    return s2.crossJoin(F.broadcast(n2)).select(
+        "pos",
+        (F.round(F.col("s2") / F.col("n2"), 4) + F.lit(0.0)).alias("loading"),
+    )

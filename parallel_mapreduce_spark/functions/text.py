@@ -980,3 +980,316 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+def _pr4(c: Column) -> Column:
+    """Portable 4-decimal rounding: floor(x*1e4 + 0.5)/1e4 on BOTH engines.
+    Spark round() and DuckDB ROUND() can split on half-ulp boundaries for
+    freshly computed doubles at some scale factors; floor is floor
+    everywhere (same idiom as events_dow_hod_profile / q2 shape)."""
+    return F.floor(c * 10000 + F.lit(0.5)) / 10000
+
+
+# DuckDB twin of _pr4 (wrap an SQL expression string).
+def _sql_pr4(expr: str) -> str:
+    return f"floor(({expr}) * 10000 + 0.5) / 10000"
+
+
+# --------------------------------------------------------------------------
+# Per-document lexical quality features: the feature vector a quality
+# classifier (fastText/logistic filter a la CCNet/Gopher) consumes —
+# token count, mean token length, type-token ratio, the share of the most
+# frequent token (repetition/spam flag), and the hapax fraction of the
+# vocabulary (low hapax = templated text). Everything is a per-row
+# higher-order array expression — shuffle-FREE, whole-stage codegen; the
+# nested occurrence counts run over the per-doc DISTINCT vocabulary, so
+# cost is O(|vocab| * |tokens|) per doc, bounded by doc length, not
+# corpus size. At 100 TB this is a pure map stage.
+# --------------------------------------------------------------------------
+@query(
+    "doc_quality_features",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    f AS (
+      SELECT doc_id, toks, len(toks) AS n, list_distinct(toks) AS d
+      FROM t WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           {_sql_pr4("list_sum(list_transform(toks, x -> len(x))) * 1.0 / n")}
+             AS avg_tok_len,
+           {_sql_pr4("len(d) * 1.0 / n")} AS ttr,
+           {_sql_pr4("list_max(list_transform(d,"
+                     " w -> len(list_filter(toks, x -> x = w)))) * 1.0 / n")}
+             AS top_tok_share,
+           {_sql_pr4("len(list_filter(d,"
+                     " w -> len(list_filter(toks, x -> x = w)) = 1))"
+                     " * 1.0 / len(d)")} AS hapax_frac
+    FROM f
+    """,
+)
+def doc_quality_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = (
+        _spread(spark, docs, "doc_id", "text")
+        .select("doc_id", tokens("text").alias("toks"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "toks",
+            F.size("toks").alias("n"),
+            F.array_distinct("toks").alias("d"),
+        )
+    )
+    occ_counts = F.transform(
+        "d", lambda w: F.size(F.filter(F.col("toks"), lambda x: x == w))
+    )
+    # One projection computes the occurrence-count array once; the three
+    # features that consume it derive from the materialized column.
+    t = t.withColumn("occ", occ_counts)
+    return t.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        _pr4(
+            F.aggregate(
+                "toks", F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+            * F.lit(1.0)
+            / F.col("n")
+        ).alias("avg_tok_len"),
+        _pr4(F.size("d") * F.lit(1.0) / F.col("n")).alias("ttr"),
+        _pr4(F.array_max("occ") * F.lit(1.0) / F.col("n")).alias("top_tok_share"),
+        _pr4(
+            F.size(F.filter("occ", lambda c: c == F.lit(1)))
+            * F.lit(1.0)
+            / F.size("d")
+        ).alias("hapax_frac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source hapax statistics: vocabulary size, hapax legomena count and
+# ratio per source — the vocabulary-health rollup (synthetic/templated
+# sources show collapsed hapax mass). One (source, word) count shuffle;
+# the per-source aggregation runs on vocab-sized data.
+# --------------------------------------------------------------------------
+@query(
+    "hapax_ratio_by_source",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, word, COUNT(*) AS cnt
+      FROM (SELECT source, unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(COUNT(*) FILTER (cnt = 1) AS BIGINT) AS hapax,
+           {_sql_pr4("COUNT(*) FILTER (cnt = 1) * 1.0 / COUNT(*)")}
+             AS hapax_ratio
+    FROM c GROUP BY source
+    """,
+)
+def hapax_ratio_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        _spread(spark, docs, "source", "text")
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    is_hapax = (F.col("cnt") == 1).cast("long")
+    return c.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.count("*").alias("vocab"),
+        F.sum(is_hapax).alias("hapax"),
+        _pr4(F.sum(is_hapax) * F.lit(1.0) / F.count("*")).alias("hapax_ratio"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Token-length histogram: corpus-wide distribution of token lengths — the
+# sanity check ahead of tokenizer/vocab decisions (a long tail of huge
+# "tokens" flags concatenation bugs or binary junk). Pure map + one
+# small-keyed count aggregation (as many groups as distinct lengths).
+# --------------------------------------------------------------------------
+@query(
+    "token_length_histogram",
+    oracle=f"""
+    SELECT CAST(len(word) AS BIGINT) AS tok_len,
+           COUNT(*) AS cnt
+    FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+    GROUP BY 1
+    """,
+)
+def token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        _spread(spark, docs, "text")
+        .select(F.explode(tokens("text")).alias("word"))
+        .select(F.length("word").cast("long").alias("tok_len"))
+        .groupBy("tok_len")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Zipf slope PER SOURCE: the per-domain version of zipf_slope — rank the
+# vocabulary within each source, least-squares ln(freq)~ln(rank) slope per
+# source. The ranking window partitions by source over VOCAB-sized counts
+# (never corpus rows), and regr_slope stays one partial-aggregable pass.
+# --------------------------------------------------------------------------
+@query(
+    "zipf_slope_by_source",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, word, COUNT(*) AS cnt
+      FROM (SELECT source, unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY source, word
+    ), ranked AS (
+      SELECT source, cnt,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY cnt DESC, word) AS rank
+      FROM counts
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_terms,
+           ROUND(regr_slope(ln(cnt), ln(rank)), 4) AS slope
+    FROM ranked GROUP BY source
+    """,
+)
+def zipf_slope_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        _spread(spark, docs, "source", "text")
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    ranked = counts.select(
+        "source",
+        "cnt",
+        F.row_number()
+        .over(W.partitionBy("source").orderBy(F.col("cnt").desc(), "word"))
+        .alias("rank"),
+    )
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4).alias("slope"),
+    )
+
+
+PMI_MIN_COUNT = 5  # collocation floor: pairs below this are noise
+PMI_TOP_N = 30
+
+
+# --------------------------------------------------------------------------
+# Top PMI collocations: pointwise mutual information of adjacent token
+# pairs, ln(p(a,b) / (p(a) p(b))), over pairs seen >= PMI_MIN_COUNT times —
+# the standard collocation extractor (phrase mining ahead of tokenizer
+# training). Shuffles: one token count, one bigram count (both vocab-ish
+# sized after aggregation); the unigram table joins back to the bigram
+# table twice on the word key, and the two corpus totals attach as
+# broadcast one-row frames. Ranking happens on ROUND(pmi, 6) with a
+# bigram tie-break so cross-engine ulp drift in ln() cannot reorder the
+# cut (same stance as the ANN sim6 rankings).
+# --------------------------------------------------------------------------
+@query(
+    "token_pmi_top_pairs",
+    oracle=f"""
+    WITH t AS (SELECT {_SQL_TOKS} AS toks FROM documents),
+    uni AS (
+      SELECT word, COUNT(*) AS cnt
+      FROM (SELECT unnest(toks) AS word FROM t)
+      GROUP BY word
+    ),
+    bi AS (
+      SELECT w1, w2, COUNT(*) AS cnt
+      FROM (
+        SELECT unnest(list_transform(range(1, len(toks)), i -> toks[i])) AS w1,
+               unnest(list_transform(range(1, len(toks)), i -> toks[i + 1])) AS w2
+        FROM t WHERE len(toks) >= 2
+      )
+      GROUP BY w1, w2
+    ),
+    nu AS (SELECT SUM(cnt) AS n_uni FROM uni),
+    nb AS (SELECT SUM(cnt) AS n_bi FROM bi),
+    scored AS (
+      SELECT bi.w1 || ' ' || bi.w2 AS bigram,
+             CAST(bi.cnt AS BIGINT) AS pair_count,
+             ROUND(ln((bi.cnt * 1.0 / nb.n_bi)
+                      / ((a.cnt * 1.0 / nu.n_uni) * (b.cnt * 1.0 / nu.n_uni))),
+                   6) AS pmi6
+      FROM bi
+      JOIN uni a ON bi.w1 = a.word
+      JOIN uni b ON bi.w2 = b.word
+      CROSS JOIN nu CROSS JOIN nb
+      WHERE bi.cnt >= {PMI_MIN_COUNT}
+    )
+    SELECT bigram, pair_count, ROUND(pmi6, 4) AS pmi
+    FROM scored
+    ORDER BY pmi6 DESC, bigram
+    LIMIT {PMI_TOP_N}
+    """,
+)
+def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = _spread(spark, docs, "doc_id", "text").select(
+        tokens("text").alias("toks")
+    )
+    uni = (
+        t.select(F.explode("toks").alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    n = F.size("toks")
+    cnt2 = F.greatest(n - 1, F.lit(0))
+    pairs = t.filter(n >= 2).select(
+        F.explode(
+            F.zip_with(
+                F.slice("toks", 1, cnt2),
+                F.slice("toks", 2, cnt2),
+                lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+            )
+        ).alias("p")
+    )
+    bi = (
+        pairs.select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= PMI_MIN_COUNT)
+    )
+    nu = uni.agg(F.sum("cnt").alias("n_uni"))
+    nb_tot = (
+        t.select(cnt2.cast("long").alias("c")).agg(F.sum("c").alias("n_bi"))
+    )
+    a = uni.select(F.col("word").alias("w1"), F.col("cnt").alias("cnt_a"))
+    b = uni.select(F.col("word").alias("w2"), F.col("cnt").alias("cnt_b"))
+    pmi = F.log(
+        (F.col("cnt") * F.lit(1.0) / F.col("n_bi"))
+        / (
+            (F.col("cnt_a") * F.lit(1.0) / F.col("n_uni"))
+            * (F.col("cnt_b") * F.lit(1.0) / F.col("n_uni"))
+        )
+    )
+    scored = (
+        bi.join(a, "w1")
+        .join(b, "w2")
+        .crossJoin(F.broadcast(nu))
+        .crossJoin(F.broadcast(nb_tot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            F.col("cnt").cast("long").alias("pair_count"),
+            F.round(pmi, 6).alias("pmi6"),
+        )
+    )
+    return (
+        scored.orderBy(F.col("pmi6").desc(), "bigram")
+        .limit(PMI_TOP_N)
+        .select("bigram", "pair_count", F.round("pmi6", 4).alias("pmi"))
+    )

@@ -999,3 +999,76 @@ def write_partitioned_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").alias("sum_chars"),
         F.countDistinct("_file").alias("n_files"),
     )
+
+
+# --------------------------------------------------------------------------
+# Packing efficiency report: per-source pack counts, fill ratio, and the
+# number of pack-boundary-straddling docs — the observability companion to
+# seq_pack_contiguous (how much compute the packing wastes and how many
+# docs the downstream tokenizer must split). Engine side reuses the
+# hierarchical _pack_prefix (skew-proof); the oracle recomputes the prefix
+# with the naive per-source window, proving the hierarchy is value-exact.
+# Final aggregation is per-source — tiny.
+# --------------------------------------------------------------------------
+@query(
+    "pack_fill_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), p AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS bef
+      FROM t
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CEIL(SUM(n_tokens) * 1.0 / {PACK_CAPACITY_TOKENS}) AS BIGINT)
+             AS n_packs,
+           floor(SUM(n_tokens) * 1.0
+                 / (GREATEST(CEIL(SUM(n_tokens) * 1.0 / {PACK_CAPACITY_TOKENS}), 1)
+                    * {PACK_CAPACITY_TOKENS}) * 10000 + 0.5) / 10000
+             AS fill_ratio,
+           CAST(COUNT(*) FILTER (n_tokens > 0
+                 AND bef // {PACK_CAPACITY_TOKENS}
+                     <> (bef + n_tokens - 1) // {PACK_CAPACITY_TOKENS})
+                AS BIGINT) AS straddle_docs
+    FROM p GROUP BY source
+    """,
+)
+def pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    p = _pack_prefix(t, PACK_SHARD_SPAN)
+    cap = F.lit(PACK_CAPACITY_TOKENS)
+    straddle = (
+        (F.col("n_tokens") > 0)
+        & (
+            (F.col("before") / cap).cast("long")
+            != ((F.col("before") + F.col("n_tokens") - 1) / cap).cast("long")
+        )
+    ).cast("long")
+    n_packs = F.ceil(F.sum("n_tokens") * F.lit(1.0) / cap)
+    return p.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        n_packs.cast("long").alias("n_packs"),
+        (
+            F.floor(
+                F.sum("n_tokens")
+                * F.lit(1.0)
+                / (F.greatest(n_packs, F.lit(1)) * cap)
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("fill_ratio"),
+        F.sum(straddle).alias("straddle_docs"),
+    )

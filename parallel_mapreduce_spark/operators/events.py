@@ -729,3 +729,196 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(reached_click.cast("long")).alias("step_click"),
         F.sum(reached_buy.cast("long")).alias("step_purchase"),
     )
+
+
+DEBOUNCE_GAP_S = 60  # same-user same-type events closer than this are throttled
+
+
+# --------------------------------------------------------------------------
+# Debounce/throttle dedup: flag events arriving within DEBOUNCE_GAP_S of
+# the PREVIOUS same-user same-type event (double-click / retry collapse —
+# the event-stream analogue of document dedup). LAG-based gap semantics,
+# one (user_id, event_type) shuffle reused by the window; the report is a
+# per-type rollup. Second-granularity gaps by design (the funnel-family
+# convention: engine compares unix_timestamp whole seconds, oracle uses
+# date_diff('second', ...) which counts the same boundaries).
+# --------------------------------------------------------------------------
+@query(
+    "events_debounce_dedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_type, ts,
+             LAG(ts) OVER (PARTITION BY user_id, event_type
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(*) FILTER (prev_ts IS NOT NULL
+                AND date_diff('second', prev_ts, ts) < {DEBOUNCE_GAP_S})
+                AS BIGINT) AS n_suppressed,
+           floor(COUNT(*) FILTER (prev_ts IS NOT NULL
+                 AND date_diff('second', prev_ts, ts) < {DEBOUNCE_GAP_S})
+                 * 1.0 / COUNT(*) * 10000 + 0.5) / 10000 AS suppressed_rate
+    FROM e GROUP BY event_type
+    """,
+)
+def events_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    sec = F.unix_timestamp(F.col("ts"))
+    prev_sec = F.lag(sec).over(w)
+    suppressed = (
+        prev_sec.isNotNull() & ((sec - prev_sec) < DEBOUNCE_GAP_S)
+    ).cast("long")
+    flagged = ev.select("event_type", suppressed.alias("sup"))
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("sup").alias("n_suppressed"),
+        (
+            F.floor(F.sum("sup") * F.lit(1.0) / F.count("*") * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("suppressed_rate"),
+    )
+
+
+TOPK_TYPES_PER_HOUR = 2
+
+
+# --------------------------------------------------------------------------
+# Top-k event types per hour: rank WITHIN each hour over the
+# already-aggregated (hour, type) frame — the window never sees raw events,
+# so each partition holds at most |event_types| rows regardless of scale
+# (the aggregate-then-window ordering vocab_min_count pins in test_plans).
+# --------------------------------------------------------------------------
+@query(
+    "events_topk_types_per_hour",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+             event_type, COUNT(*) AS cnt
+      FROM events GROUP BY 1, 2
+    )
+    SELECT hour_epoch, event_type, cnt, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hour_epoch
+                                   ORDER BY cnt DESC, event_type) AS rk
+      FROM h
+    )
+    WHERE rk <= {TOPK_TYPES_PER_HOUR}
+    """,
+)
+def events_topk_types_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select(
+            F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("hour_epoch"),
+            "event_type",
+        )
+        .groupBy("hour_epoch", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    rk = F.row_number().over(
+        W.partitionBy("hour_epoch").orderBy(F.col("cnt").desc(), "event_type")
+    )
+    return (
+        h.withColumn("rk", rk.cast("long"))
+        .filter(F.col("rk") <= TOPK_TYPES_PER_HOUR)
+        .select("hour_epoch", "event_type", "cnt", "rk")
+    )
+
+
+# --------------------------------------------------------------------------
+# Session-duration distribution: exact interpolated percentiles over the
+# sessionized stream — the latency-style SLO readout for engagement. The
+# sessionization windows shuffle once on user_id; durations (one row per
+# session) then feed a single partial-aggregable percentile pass, same
+# convention as price_percentiles.
+# --------------------------------------------------------------------------
+@query(
+    "session_duration_percentiles",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             LAG(ts) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM m
+    ), d AS (
+      SELECT CAST(date_diff('second', MIN(ts), MAX(ts)) AS BIGINT) AS duration_s
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           ROUND(quantile_cont(duration_s, 0.5), 4) AS p50_s,
+           ROUND(quantile_cont(duration_s, 0.9), 4) AS p90_s,
+           ROUND(quantile_cont(duration_s, 0.99), 4) AS p99_s
+    FROM d
+    """,
+)
+def session_duration_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sessions = events_sessionize(spark, sf_dir)
+    return sessions.agg(
+        F.count("*").alias("n_sessions"),
+        F.round(F.percentile("duration_s", F.lit(0.5)), 4).alias("p50_s"),
+        F.round(F.percentile("duration_s", F.lit(0.9)), 4).alias("p90_s"),
+        F.round(F.percentile("duration_s", F.lit(0.99)), 4).alias("p99_s"),
+    )
+
+
+ECDF_PROBES = (10, 50, 100, 200)
+
+
+# --------------------------------------------------------------------------
+# Empirical CDF probes of purchase value: P(value <= p) at fixed probe
+# points — the distribution fingerprint a drift monitor compares release
+# to release. ONE aggregation pass computes every probe as a conditional
+# counter (never a per-probe scan), then the 4-row result unpivots.
+# --------------------------------------------------------------------------
+@query(
+    "events_value_ecdf",
+    oracle=f"""
+    SELECT CAST(p AS BIGINT) AS probe,
+           floor(COUNT(*) FILTER (value <= p) * 1.0 / COUNT(*)
+                 * 10000 + 0.5) / 10000 AS cdf
+    FROM events CROSS JOIN unnest([{", ".join(str(p) for p in ECDF_PROBES)}]) t(p)
+    WHERE event_type = 'purchase'
+    GROUP BY p
+    """,
+)
+def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    aggs = [F.count("*").alias("n")] + [
+        F.sum((F.col("value") <= p).cast("long")).alias(f"le_{p}")
+        for p in ECDF_PROBES
+    ]
+    one = ev.agg(*aggs)
+    probes = F.array(
+        *[
+            F.struct(
+                F.lit(p).cast("long").alias("probe"),
+                (
+                    F.floor(
+                        F.col(f"le_{p}") * F.lit(1.0) / F.col("n") * 10000
+                        + F.lit(0.5)
+                    )
+                    / 10000
+                ).alias("cdf"),
+            )
+            for p in ECDF_PROBES
+        ]
+    )
+    return one.select(F.explode(probes).alias("r")).select("r.probe", "r.cdf")

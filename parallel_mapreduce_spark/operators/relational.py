@@ -1748,3 +1748,167 @@ def nation_extreme_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("c_acctbal"), 4).alias("min_bal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Relative-standing windows: percent_rank + cume_dist of order value within
+# (priority, order month) — the two rank-normalization window forms the
+# suite didn't yet pin (row_number/rank/dense_rank/ntile/nth are covered).
+# Partitioning by (priority, month) rather than priority alone keeps window
+# partitions bounded as history grows — 5 priorities would be 5 giant
+# sorted tasks at 100 TB; priority x month is the same analytics at ~100x
+# the parallelism. Ratios are rational (rank-1)/(n-1) — floor-rounded
+# portably on both sides.
+# --------------------------------------------------------------------------
+@query(
+    "orders_percent_rank_cume",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           CAST(epoch(date_trunc('month', o_orderdate)) AS BIGINT) AS month_epoch,
+           floor(percent_rank() OVER w * 10000 + 0.5) / 10000 AS pr,
+           floor(cume_dist() OVER w * 10000 + 0.5) / 10000 AS cd
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority, date_trunc('month', o_orderdate)
+                 ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def orders_percent_rank_cume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    month = F.date_trunc("month", F.col("o_orderdate"))
+    w = W.partitionBy("o_orderpriority", month).orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    pr4 = lambda c: F.floor(c * 10000 + F.lit(0.5)) / 10000  # noqa: E731
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.unix_timestamp(month).alias("month_epoch"),
+        pr4(F.percent_rank().over(w)).alias("pr"),
+        pr4(F.cume_dist().over(w)).alias("cd"),
+    )
+
+
+PARETO_QUANTILE = 0.8  # "top 20% of customers" threshold
+
+
+# --------------------------------------------------------------------------
+# Revenue Pareto share: what fraction of total order revenue the top-20%
+# customers (by spend) contribute. The cut is the exact interpolated 0.8
+# quantile of per-customer spend joined back as a BROADCAST scalar — never
+# a global ranking sort of the customer frame (ties at the threshold fall
+# into the top bucket on both engines, so the cut is deterministic).
+# --------------------------------------------------------------------------
+@query(
+    "revenue_pareto_share",
+    oracle=f"""
+    WITH spend AS (
+      SELECT o_custkey, SUM(o_totalprice) AS spend
+      FROM orders GROUP BY o_custkey
+    ), thr AS (
+      SELECT quantile_cont(spend, {PARETO_QUANTILE}) AS thr FROM spend
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(*) FILTER (spend >= thr) AS BIGINT) AS n_top,
+           ROUND(ANY_VALUE(thr), 4) AS spend_threshold,
+           floor(SUM(CASE WHEN spend >= thr THEN spend ELSE 0 END)
+                 / SUM(spend) * 10000 + 0.5) / 10000 AS top_share
+    FROM spend CROSS JOIN thr
+    """,
+)
+def revenue_pareto_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("spend"))
+    thr = spend.agg(
+        F.percentile("spend", F.lit(PARETO_QUANTILE)).alias("thr")
+    )
+    top = F.col("spend") >= F.col("thr")
+    return (
+        spend.crossJoin(F.broadcast(thr))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(top.cast("long")).alias("n_top"),
+            F.round(F.first("thr"), 4).alias("spend_threshold"),
+            (
+                F.floor(
+                    F.sum(F.when(top, F.col("spend")).otherwise(0.0))
+                    / F.sum("spend")
+                    * 10000
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("top_share"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Supplier concentration per nation (Herfindahl-Hirschman index): sum of
+# squared revenue shares of each nation's suppliers — the market-structure
+# rollup (HHI -> 1 means one supplier owns the nation's volume). One fact
+# aggregation keyed (nationkey, suppkey); the per-nation share/HHI pass
+# runs on the supplier-sized aggregate, and nation names attach broadcast.
+# --------------------------------------------------------------------------
+@query(
+    "nation_supplier_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+      FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      GROUP BY 1, 2
+    ), tot AS (
+      SELECT s_nationkey, SUM(rev) AS nat_rev, COUNT(*) AS n_suppliers
+      FROM rev GROUP BY 1
+    )
+    SELECT n.n_name AS nation,
+           CAST(t.n_suppliers AS BIGINT) AS n_suppliers,
+           ROUND(t.nat_rev, 4) AS nation_revenue,
+           floor(SUM((r.rev / t.nat_rev) * (r.rev / t.nat_rev))
+                 * 10000 + 0.5) / 10000 AS hhi
+    FROM rev r
+    JOIN tot t USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = r.s_nationkey
+    GROUP BY 1, 2, 3
+    """,
+)
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            )
+        )
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("rev").alias("nat_rev"), F.count("*").alias("n_suppliers")
+    )
+    share2 = (F.col("rev") / F.col("nat_rev")) * (F.col("rev") / F.col("nat_rev"))
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(nat), rev.s_nationkey == nat.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.col("n_suppliers"),
+            F.round("nat_rev", 4).alias("nation_revenue"),
+        )
+        .agg(
+            (F.floor(F.sum(share2) * 10000 + F.lit(0.5)) / 10000).alias("hhi")
+        )
+        .select(
+            "nation",
+            F.col("n_suppliers").cast("long").alias("n_suppliers"),
+            "nation_revenue",
+            "hhi",
+        )
+    )

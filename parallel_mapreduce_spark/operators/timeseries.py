@@ -40,14 +40,19 @@ def asof_join(
     on: str,
     ts: str = "ts",
     right_payload: tuple[str, ...] = (),
+    direction: str = "backward",
 ) -> DataFrame:
     """Generic as-of join: for every left row, attach the latest right row
-    with ``right.ts <= left.ts`` within the same ``on`` key.
+    with ``right.ts <= left.ts`` (direction="backward", default) or the
+    EARLIEST right row with ``right.ts >= left.ts`` (direction="forward")
+    within the same ``on`` key. Both are inclusive at equal timestamps.
 
     Right payload columns come back as ``asof_<name>`` (nullable — left rows
-    with no preceding right row keep nulls) plus ``asof_ts``. Right must be
+    with no matching right row keep nulls) plus ``asof_ts``. Right must be
     unique per (on, ts); callers pre-aggregate duplicates so tie-breaks are
-    deterministic.
+    deterministic. The forward form is the backward scan mirrored: the
+    merged stream orders by ts DESC, so "last right seen" is the earliest
+    right at-or-after the left row — same single shuffle on the key.
     """
     l_tag = left.withColumn("_tag", F.lit(1))
     r_tag = right.withColumn("_tag", F.lit(0))
@@ -59,9 +64,10 @@ def asof_join(
         if c not in dict(l_tag.dtypes):
             l_tag = l_tag.withColumn(c, F.lit(None).cast(t))
     u = r_tag.unionByName(l_tag.select(*r_tag.columns))
+    ts_key = F.col(ts) if direction == "backward" else F.col(ts).desc()
     w = (
         W.partitionBy(on)
-        .orderBy(ts, "_tag")
+        .orderBy(ts_key, "_tag")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     payload: Column = F.struct(
@@ -349,4 +355,63 @@ def events_hourly_gapfill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("pv").isNotNull(), F.col("pv"))
         .otherwise(F.col("nv"))
         .alias("sum_interp"),
+    )
+
+
+# --------------------------------------------------------------------------
+# FORWARD as-of join instance: for every purchase, the user's next click
+# at-or-after it (time-to-next-engagement — the mirror of
+# asof_purchase_attribution, exercising asof_join's forward direction).
+# Oracle decorrelates the "earliest following" subquery into a MIN
+# aggregate join, so the value check pins the forward semantics including
+# the inclusive tie at equal timestamps.
+# --------------------------------------------------------------------------
+@query(
+    "asof_next_click_after_purchase",
+    oracle="""
+    WITH l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), r AS (
+      SELECT user_id, ts, MAX(event_id) AS click_id
+      FROM events WHERE event_type = 'click' GROUP BY 1, 2
+    ), m AS (
+      SELECT l.event_id, l.user_id, l.ts, MIN(r.ts) AS nts
+      FROM l LEFT JOIN r ON l.user_id = r.user_id AND r.ts >= l.ts
+      GROUP BY 1, 2, 3
+    )
+    SELECT m.event_id AS purchase_id,
+           m.user_id,
+           CAST(epoch(date_trunc('second', m.ts)) AS BIGINT) AS ts_epoch,
+           r.click_id AS next_click_id,
+           CAST(date_diff('second', m.ts, m.nts) AS BIGINT) AS gap_s
+    FROM m LEFT JOIN r ON r.user_id = m.user_id AND r.ts = m.nts
+    """,
+)
+def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    right = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_id"))
+    )
+    joined = asof_join(
+        left,
+        right,
+        on="user_id",
+        ts="ts",
+        right_payload=("click_id",),
+        direction="forward",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        F.col("asof_click_id").alias("next_click_id"),
+        (F.unix_timestamp("asof_ts") - F.unix_timestamp("ts"))
+        .cast("long")
+        .alias("gap_s"),
     )
