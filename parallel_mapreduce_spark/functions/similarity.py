@@ -1096,3 +1096,140 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         (F.round(F.col("s2") / F.col("n2"), 4) + F.lit(0.0)).alias("loading"),
     )
+
+
+# --------------------------------------------------------------------------
+# K-means (Lloyd's algorithm), 2 fixed iterations: the canonical iterative-
+# ML shape on Spark. Deterministic everything: init centroids are the K
+# lowest-vec_id embeddings; assignment rounds squared L2 distance to 6 dp
+# and breaks ties toward the lower centroid id; centroid updates round to
+# 6 dp — so the DuckDB oracle can replay both iterations bit-for-bit.
+#
+# Scale posture: each assignment pass is a crossJoin against ONE broadcast
+# row holding all K centroids (K*dim doubles) — the distances and the
+# argmin run inside the projection via array functions, so assignment adds
+# NO shuffle; each update pass is one (cid, pos) hash aggregate over the
+# posexploded assigned vectors (K*dim result rows). Per iteration: one
+# corpus-scale aggregate, nothing else. An empty cluster (possible when
+# duplicate init vectors tie every member toward the lower cid) simply
+# contributes no centroid row, and both engines drop it identically.
+# --------------------------------------------------------------------------
+KMEANS_K = 4
+
+
+def _kmeans_assign(vecs: DataFrame, cents_row: DataFrame) -> DataFrame:
+    """vecs(vec_id, e) x one-row cents(cents: array<struct<cid,c>>) ->
+    (vec_id, e, cid) via in-projection argmin (no shuffle)."""
+    dists = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"), s.getField("c"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("d"),
+            s.getField("cid").alias("cid"),
+        ),
+    )
+    return vecs.crossJoin(F.broadcast(cents_row)).select(
+        "vec_id", "e", F.array_min(dists).getField("cid").alias("cid")
+    )
+
+
+def _kmeans_cents_row(long: DataFrame) -> DataFrame:
+    """(cid, pos, cval) -> one row with array<struct<cid, c:array<double>>>,
+    positions and cids ordered by array_sort on the struct keys."""
+    per_cid = long.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("pos"), F.col("cval")))),
+            lambda s: s.getField("cval"),
+        ).alias("c")
+    )
+    return per_cid.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("c")))).alias(
+            "cents"
+        )
+    )
+
+
+@query(
+    "kmeans_lloyd_2iter",
+    headline=True,
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+    ), c0v AS (
+      SELECT c0.cid, v.pos, v.val AS cval FROM c0 JOIN v USING (vec_id)
+    ), d1 AS (
+      SELECT v.vec_id, c.cid, ROUND(SUM((v.val - c.cval) ^ 2), 6) AS d
+      FROM v JOIN c0v c USING (pos) GROUP BY v.vec_id, c.cid
+    ), a1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ), c1 AS (
+      SELECT a1.cid, v.pos, ROUND(AVG(v.val), 6) AS cval
+      FROM a1 JOIN v USING (vec_id) GROUP BY a1.cid, v.pos
+    ), d2 AS (
+      SELECT v.vec_id, c.cid, ROUND(SUM((v.val - c.cval) ^ 2), 6) AS d
+      FROM v JOIN c1 c USING (pos) GROUP BY v.vec_id, c.cid
+    ), a2 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d2) WHERE rn = 1
+    ), sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n FROM a2 GROUP BY cid
+    ), c2 AS (
+      SELECT a2.cid, v.pos, ROUND(AVG(v.val), 4) + 0.0 AS center
+      FROM a2 JOIN v USING (vec_id) GROUP BY a2.cid, v.pos
+    )
+    SELECT c2.cid, c2.pos, c2.center, sizes.n
+    FROM c2 JOIN sizes USING (cid)
+    """,
+)
+def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.repartition(n_parts, "vec_id").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    init = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select("vec_id", as_double(F.col("embedding")).alias("c"))
+        .withColumn(
+            "cid", F.row_number().over(W.orderBy("vec_id")) - 1
+        )
+    )
+    cents0 = init.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("c")))).alias(
+            "cents"
+        )
+    )
+    a1 = _kmeans_assign(vecs, cents0)
+    c1_long = (
+        a1.select("cid", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+    )
+    a2 = _kmeans_assign(vecs, _kmeans_cents_row(c1_long))
+    sizes = a2.groupBy("cid").agg(F.count("*").alias("n"))
+    c2 = (
+        a2.select("cid", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("center"))
+    )
+    return c2.join(F.broadcast(sizes), "cid").select("cid", "pos", "center", "n")

@@ -1293,3 +1293,67 @@ def token_pmi_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(PMI_TOP_N)
         .select("bigram", "pair_count", F.round("pmi6", 4).alias("pmi"))
     )
+
+
+# --------------------------------------------------------------------------
+# BPE-style pair statistics: the inner loop of byte-pair-encoding training
+# is "count adjacent symbol pairs across the corpus, weighted by word
+# frequency; merge the top pair". This computes that first merge step over
+# the character alphabet: distinct words with counts (the word-count
+# aggregate — BPE's standard preprocessing, so the corpus text is touched
+# once), then each word explodes to its len-1 adjacent 2-char pairs and the
+# weighted counts rank the merge candidates. The ranking window is a single
+# partition, but its input is the distinct-PAIR frame — bounded by the
+# alphabet squared, not the corpus — same bounded-input carve-out as
+# events_type_share.
+# --------------------------------------------------------------------------
+BPE_TOP_PAIRS = 20
+
+
+@query(
+    "bpe_pair_merge_step",
+    oracle=f"""
+    WITH wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(word)),
+                                   i -> substr(word, i, 2))) AS pair,
+             cnt
+      FROM wc WHERE length(word) >= 2
+    ), totals AS (
+      SELECT pair, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM pairs GROUP BY pair
+    )
+    SELECT pair, pair_count,
+           CAST(ROW_NUMBER() OVER (ORDER BY pair_count DESC, pair) AS INT)
+             AS merge_rank
+    FROM totals
+    QUALIFY merge_rank <= {BPE_TOP_PAIRS}
+    """,
+)
+def bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    wc = (
+        token_df(spark, sf_dir)
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pairs = wc.filter(F.length("word") >= 2).select(
+        "cnt",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("pair"),
+    )
+    totals = pairs.groupBy("pair").agg(
+        F.sum("cnt").cast("long").alias("pair_count")
+    )
+    w_rank = W.orderBy(F.desc("pair_count"), "pair")
+    return (
+        totals.withColumn("merge_rank", F.row_number().over(w_rank))
+        .filter(F.col("merge_rank") <= BPE_TOP_PAIRS)
+    )

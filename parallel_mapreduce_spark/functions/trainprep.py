@@ -1072,3 +1072,403 @@ def pack_fill_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fill_ratio"),
         F.sum(straddle).alias("straddle_docs"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch shuffle order: every training run needs a reproducible
+# pseudo-random permutation of the corpus (data order is part of the recipe;
+# retries/re-runs must see the identical order). A naive ORDER BY random()
+# is non-deterministic AND a global sort. Here the permutation key is the
+# portable content hash of (epoch_tag, doc_id); the global position is
+# assigned HIERARCHICALLY, exactly like _pack_prefix: rank within one of
+# N_SHUFFLE_SHARDS hash shards (bounded window partitions regardless of
+# corpus size), plus a broadcast running-sum base of earlier shards' counts.
+# The resulting position is identical to ROW_NUMBER() OVER (ORDER BY shard,
+# h, doc_id) — which is exactly what the oracle computes — without any
+# global ORDER BY in the engine plan.
+# --------------------------------------------------------------------------
+N_SHUFFLE_SHARDS = 64
+EPOCH_TAG = "epoch0"
+
+
+@query(
+    "epoch_shuffle_order",
+    headline=True,
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             {phash60_sql(f"'{EPOCH_TAG}:' || doc_id")} AS h
+      FROM documents
+    )
+    SELECT doc_id,
+           h % {N_SHUFFLE_SHARDS} AS shard,
+           ROW_NUMBER() OVER (ORDER BY h % {N_SHUFFLE_SHARDS}, h, doc_id) - 1
+             AS global_pos
+    FROM t
+    """,
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        phash60(F.concat_ws(":", F.lit(EPOCH_TAG), F.col("doc_id"))).alias("h"),
+    ).withColumn("shard", F.col("h") % N_SHUFFLE_SHARDS)
+    w_local = W.partitionBy("shard").orderBy("h", "doc_id")
+    ranked = t.withColumn("rank_local", F.row_number().over(w_local) - 1)
+    counts = t.groupBy("shard").agg(F.count("*").alias("_n"))
+    w_base = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    bases = counts.select(
+        "shard",
+        F.coalesce(F.sum("_n").over(w_base), F.lit(0).cast("long")).alias("_base"),
+    )
+    return ranked.join(F.broadcast(bases), "shard").select(
+        "doc_id",
+        "shard",
+        (F.col("_base") + F.col("rank_local")).alias("global_pos"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-bucketed batching: group documents into power-of-two token-length
+# buckets (floor 16) and report the padding cost of batching each bucket to
+# its boundary — the standard alternative to sequence packing when examples
+# must stay un-split (SFT, eval). Integer-exact bucket edges: ceil(log2 n)
+# is read off the binary representation's length (length(bin(n-1))), never
+# a float log that can land on 7.9999... at an exact power of two.
+# Shuffle-free per doc; the only exchange carries |buckets| rows.
+# --------------------------------------------------------------------------
+MIN_LEN_BUCKET = 16
+
+
+@query(
+    "length_bucket_padding",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    ), b AS (
+      SELECT n_tokens,
+             GREATEST({MIN_LEN_BUCKET},
+                      CASE WHEN n_tokens <= 1 THEN 1
+                           ELSE CAST(pow(2, length(bin(n_tokens - 1))) AS BIGINT)
+                      END) AS bucket
+      FROM t
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           CAST(SUM(bucket - n_tokens) AS BIGINT) AS padding_tokens,
+           FLOOR(SUM(n_tokens) * 10000.0 / (COUNT(*) * bucket) + 0.5) / 10000
+             AS fill_ratio
+    FROM b GROUP BY bucket
+    """,
+)
+def length_bucket_padding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(tokens("text")).cast("long")
+    t = docs.select(n.alias("n_tokens"))
+    p = F.length(F.bin(F.col("n_tokens") - 1))
+    bucket = F.greatest(
+        F.lit(MIN_LEN_BUCKET).cast("long"),
+        F.when(F.col("n_tokens") <= 1, F.lit(1).cast("long")).otherwise(
+            F.pow(F.lit(2.0), p).cast("long")
+        ),
+    )
+    return (
+        t.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.sum(F.col("bucket") - F.col("n_tokens"))
+            .cast("long")
+            .alias("padding_tokens"),
+            (
+                F.floor(
+                    F.sum("n_tokens")
+                    * 10000.0
+                    / (F.count("*") * F.first("bucket"))
+                    + F.lit(0.5)
+                )
+                / 10000
+            ).alias("fill_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Corpus-derived stopword strip with ORDER-PRESERVING reassembly: the K
+# tokens with the highest document frequency (ties broken by token) are
+# removed from every document and the cleaned text is rebuilt in original
+# token order — the shape of every span-removal cleaner (boilerplate, PII
+# spans, stop-token pruning) whose output must remain running text.
+#
+# Scale: the stoplist is K rows (broadcast anti-join); document frequency
+# is a two-level hash aggregate over (word, doc_id); the reassembly groups
+# the kept token stream by doc_id — the one corpus-scale shuffle, inherent
+# to reassembly (same class as the corpus itself, key is the doc id, never
+# skewed beyond the longest document).
+# --------------------------------------------------------------------------
+STRIP_TOP_K_DF = 5
+
+
+@query(
+    "strip_boilerplate_tokens",
+    headline=True,
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, generate_subscripts(t, 1) AS pos, unnest(t) AS word
+      FROM (SELECT doc_id, {_SQL_TOKS} AS t FROM documents)
+    ), stop AS (
+      SELECT word FROM (
+        SELECT word, COUNT(DISTINCT doc_id) AS dfc FROM toks GROUP BY word
+      ) ORDER BY dfc DESC, word LIMIT {STRIP_TOP_K_DF}
+    ), kept AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(word, ' ' ORDER BY pos)) AS clean_md5
+      FROM toks WHERE word NOT IN (SELECT word FROM stop)
+      GROUP BY doc_id
+    ), base AS (
+      SELECT doc_id, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens FROM documents
+    )
+    SELECT b.doc_id,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           b.n_tokens - COALESCE(k.n_kept, 0) AS n_removed,
+           COALESCE(k.clean_md5, md5('')) AS clean_md5
+    FROM base b LEFT JOIN kept k USING (doc_id)
+    """,
+)
+def strip_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "word")
+    )
+    stop = (
+        toks.groupBy("word")
+        .agg(F.countDistinct("doc_id").alias("dfc"))
+        .orderBy(F.desc("dfc"), "word")
+        .limit(STRIP_TOP_K_DF)
+        .select("word")
+    )
+    kept = (
+        toks.join(F.broadcast(stop), "word", "left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct(F.col("pos"), F.col("word")))
+                        ),
+                        lambda s: s.getField("word"),
+                    ),
+                )
+            ).alias("clean_md5"),
+        )
+    )
+    base = docs.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return base.join(kept, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+        (F.col("n_tokens") - F.coalesce(F.col("n_kept"), F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce(F.col("clean_md5"), F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model scoring (the CCNet/unigram_logprob_score idea, one
+# order up): per-document mean ln P(w_i | w_{i-1}) under the corpus bigram
+# model with add-one smoothing — P = (c(prev,cur) + 1) / (c(prev) + V).
+# Low scores mark incoherent or out-of-domain text that a unigram model
+# cannot distinguish (it sees only marginal frequencies).
+#
+# Scale: two corpus-scale equi-joins key the exploded bigram stream by the
+# bigram string and by the preceding token; both count frames are
+# vocabulary-sized (AQE broadcasts them when they fit); V is a broadcast
+# one-row scalar. Docs with < 2 tokens have no bigrams and are excluded on
+# both sides.
+# --------------------------------------------------------------------------
+@query(
+    "bigram_logprob_score",
+    headline=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    bg AS (
+      SELECT doc_id, unnest({_SQL_BIGRAMS}) AS bigram
+      FROM t WHERE len(toks) >= 2
+    ),
+    bc AS (SELECT bigram, COUNT(*) AS bcnt FROM bg GROUP BY bigram),
+    uc AS (
+      SELECT unnest(toks) AS tok FROM t
+    ),
+    ucnt AS (SELECT tok, COUNT(*) AS tcnt FROM uc GROUP BY tok),
+    vv AS (SELECT COUNT(*) AS v FROM ucnt)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((bc.bcnt + 1.0)
+                        / (ucnt.tcnt + (SELECT v FROM vv)))), 4)
+             AS mean_bigram_lp
+    FROM bg
+    JOIN bc USING (bigram)
+    JOIN ucnt ON ucnt.tok = string_split(bg.bigram, ' ')[1]
+    GROUP BY bg.doc_id
+    """,
+)
+def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = _spread(spark, docs, "doc_id", "text").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    bg = t.filter(F.size("toks") >= 2).select(
+        "doc_id", F.explode(bigrams(F.col("toks"))).alias("bigram")
+    )
+    bc = bg.groupBy("bigram").agg(F.count("*").alias("bcnt"))
+    uc = t.select(F.explode("toks").alias("tok"))
+    ucnt = uc.groupBy("tok").agg(F.count("*").alias("tcnt"))
+    vv = ucnt.agg(F.count("*").alias("v"))
+    prev_tok = F.split(F.col("bigram"), " ").getItem(0)
+    return (
+        bg.join(bc, "bigram")
+        .withColumn("tok", prev_tok)
+        .join(ucnt, "tok")
+        .crossJoin(F.broadcast(vv))
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.col("bcnt") + F.lit(1.0))
+                        / (F.col("tcnt") + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("mean_bigram_lp"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Detokenize round trip: decode tokens_to_ids' id sequences back through
+# the id->token side of the vocabulary and verify that the reconstruction
+# equals the original token stream with OOV tokens replaced by '<unk>' —
+# the integrity check a tokenization pipeline runs before shipping shards
+# (an id mapping that cannot round-trip corrupts training text silently).
+# Decode joins the exploded id stream to the vocab on token_id; the
+# expected side re-walks the original tokens against the vocab membership;
+# both reassemble order-preserving and compare digests per document.
+# --------------------------------------------------------------------------
+@query(
+    "detokenize_ids_roundtrip",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    u AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1),
+                    i -> struct_pack(pos := i, token := toks[i]))) AS u
+      FROM t WHERE len(toks) >= 1
+    ),
+    c AS (SELECT u.token AS token, COUNT(*) AS cnt FROM u GROUP BY u.token
+          HAVING COUNT(*) >= {VOCAB_MIN_COUNT}),
+    v AS (SELECT token,
+                 CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, token) - 1
+                      AS BIGINT) AS token_id
+          FROM c),
+    j AS (
+      SELECT doc_id, u.pos AS pos, u.token AS token, v.token_id
+      FROM u LEFT JOIN v ON u.token = v.token
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) FILTER (j.token_id IS NULL) AS BIGINT) AS n_oov,
+           md5(string_agg(COALESCE(dv.token, '<unk>'), ' ' ORDER BY pos))
+             = md5(string_agg(CASE WHEN j.token_id IS NULL THEN '<unk>'
+                                   ELSE j.token END, ' ' ORDER BY pos))
+             AS roundtrip_ok
+    FROM j LEFT JOIN v dv ON dv.token_id = j.token_id
+    GROUP BY doc_id
+    """,
+)
+def detokenize_ids_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    vocab = vocab_min_count(spark, sf_dir).select("token", "token_id")
+    enc = tokens_to_ids(spark, sf_dir)
+    ids = enc.select(
+        "doc_id",
+        F.posexplode(F.split("ids_csv", ",")).alias("pos", "id_str"),
+    ).withColumn("id", F.col("id_str").cast("long"))
+    decoded = ids.join(
+        vocab.select(
+            F.col("token_id").alias("id"), F.col("token").alias("dec_token")
+        ),
+        "id",
+        "left",
+    )
+    dec_agg = decoded.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum((F.col("id") == -1).cast("long")).alias("n_oov"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("pos"),
+                                F.coalesce(
+                                    F.col("dec_token"), F.lit("<unk>")
+                                ).alias("w"),
+                            )
+                        )
+                    ),
+                    lambda s: s.getField("w"),
+                ),
+            )
+        ).alias("dec_md5"),
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos", "token")
+    )
+    exp_agg = (
+        tok.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(
+                                    F.col("pos"),
+                                    F.when(
+                                        F.col("token_id").isNull(),
+                                        F.lit("<unk>"),
+                                    )
+                                    .otherwise(F.col("token"))
+                                    .alias("w"),
+                                )
+                            )
+                        ),
+                        lambda s: s.getField("w"),
+                    ),
+                )
+            ).alias("exp_md5"),
+        )
+    )
+    return dec_agg.join(exp_agg, "doc_id").select(
+        "doc_id",
+        "n_tokens",
+        "n_oov",
+        (F.col("dec_md5") == F.col("exp_md5")).alias("roundtrip_ok"),
+    )

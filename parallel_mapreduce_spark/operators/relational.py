@@ -1912,3 +1912,132 @@ def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hhi",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Equi-WIDTH histogram (the companion to price_decile_distribution's
+# equi-HEIGHT bins): bounds come from one min/max aggregate broadcast back
+# onto the scan; the bin index is a narrow map (floor((x-lo)/width), top
+# edge clamped into the last bin). Two passes over the column, zero
+# windows, bin count fixed — the histogram every profiler/BI layer wants,
+# in the shape that survives any scale. Bin edges are reported so the
+# result is self-describing.
+# --------------------------------------------------------------------------
+PRICE_HIST_BINS = 20
+
+
+@query(
+    "orders_price_histogram",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(o_totalprice) AS lo,
+             (MAX(o_totalprice) - MIN(o_totalprice)) / {PRICE_HIST_BINS} AS width
+      FROM orders
+    )
+    SELECT LEAST({PRICE_HIST_BINS - 1},
+                 CAST(FLOOR((o_totalprice - lo) / width) AS BIGINT)) AS bin,
+           ROUND(lo + LEAST({PRICE_HIST_BINS - 1},
+                 CAST(FLOOR((o_totalprice - lo) / width) AS BIGINT)) * width, 4)
+             AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS spend
+    FROM orders CROSS JOIN b
+    GROUP BY 1, 2
+    """,
+)
+def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    b = orders.agg(
+        F.min("o_totalprice").alias("lo"),
+        (
+            (F.max("o_totalprice") - F.min("o_totalprice")) / PRICE_HIST_BINS
+        ).alias("width"),
+    )
+    bin_idx = F.least(
+        F.lit(PRICE_HIST_BINS - 1),
+        F.floor((F.col("o_totalprice") - F.col("lo")) / F.col("width")),
+    ).cast("long")
+    return (
+        orders.crossJoin(F.broadcast(b))
+        .groupBy(
+            bin_idx.alias("bin"),
+            F.round(F.col("lo") + bin_idx * F.col("width"), 4).alias("bin_lo"),
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("spend"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# RFM segmentation: per-customer Recency / Frequency / Monetary metrics,
+# each scored into quartiles against corpus-wide thresholds, concatenated
+# to the classic 'R#F#M#' segment code. Same scale discipline as
+# price_decile_distribution: the three threshold arrays come from ONE
+# percentile aggregate over the customer-grain frame and are broadcast
+# back — no global ntile window ever orders all customers in one task.
+# Score = 1 + #thresholds strictly below the value, identically in both
+# engines, so quartile boundaries are value-pinned.
+# --------------------------------------------------------------------------
+RFM_QUARTILES = [0.25, 0.5, 0.75]
+
+
+@query(
+    "customer_rfm_segments",
+    oracle=f"""
+    WITH rfm AS (
+      SELECT o_custkey,
+             floor(epoch(MAX(o_orderdate))) AS rec,
+             COUNT(*) * 1.0 AS freq,
+             SUM(o_totalprice) AS mon
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT quantile_cont(rec, {RFM_QUARTILES}) AS tr,
+             quantile_cont(freq, {RFM_QUARTILES}) AS tf,
+             quantile_cont(mon, {RFM_QUARTILES}) AS tm
+      FROM rfm
+    )
+    SELECT 'R' || CAST(1 + len(list_filter(tr, x -> rec > x)) AS VARCHAR)
+        || 'F' || CAST(1 + len(list_filter(tf, x -> freq > x)) AS VARCHAR)
+        || 'M' || CAST(1 + len(list_filter(tm, x -> mon > x)) AS VARCHAR)
+             AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(mon), 4) AS segment_spend
+    FROM rfm CROSS JOIN t
+    GROUP BY 1
+    """,
+)
+def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    rfm = orders.groupBy("o_custkey").agg(
+        F.floor(F.unix_timestamp(F.max("o_orderdate"))).alias("rec"),
+        (F.count("*") * F.lit(1.0)).alias("freq"),
+        F.sum("o_totalprice").alias("mon"),
+    )
+    qs = F.array(*[F.lit(p) for p in RFM_QUARTILES])
+    t = rfm.agg(
+        F.percentile("rec", qs).alias("tr"),
+        F.percentile("freq", qs).alias("tf"),
+        F.percentile("mon", qs).alias("tm"),
+    )
+
+    def score(col: str, thr: str):
+        v = F.col(col)
+        return (F.lit(1) + F.size(F.filter(thr, lambda x: v > x))).cast("string")
+
+    segment = F.concat(
+        F.lit("R"), score("rec", "tr"),
+        F.lit("F"), score("freq", "tf"),
+        F.lit("M"), score("mon", "tm"),
+    )
+    return (
+        rfm.crossJoin(F.broadcast(t))
+        .groupBy(segment.alias("segment"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("mon"), 4).alias("segment_spend"),
+        )
+    )

@@ -85,3 +85,51 @@ def salted_join_user_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("tier", "event_type").agg(
         F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value")
     )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew census: the diagnostic that decides WHICH mitigation a
+# join needs (plain shuffle vs broadcast vs salting vs AQE skew-split).
+# One hash aggregate produces the per-key counts; the distribution stats
+# reduce that keyspace-sized frame to a single row. percentile() uses the
+# standard linear-interpolation definition — identical to DuckDB's
+# quantile_cont — so the quantiles are value-checkable, unlike the
+# approx_percentile sketch. At 100 TB the per-key count frame is |keys|
+# rows (already the shuffle the candidate join would pay); the census adds
+# one tiny reduction on top.
+# --------------------------------------------------------------------------
+@query(
+    "join_key_skew_census",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS cnt FROM events GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_key_share,
+           ROUND(AVG(cnt), 4) AS mean_cnt,
+           ROUND(quantile_cont(cnt, 0.5), 4) AS p50_cnt,
+           ROUND(quantile_cont(cnt, 0.9), 4) AS p90_cnt,
+           ROUND(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           ROUND(quantile_cont(cnt, 0.99) / quantile_cont(cnt, 0.5), 4)
+             AS p99_over_p50
+    FROM c
+    """,
+)
+def join_key_skew_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count("*").alias("cnt"))
+    pct = lambda p: F.percentile(F.col("cnt"), F.lit(p))  # noqa: E731
+    return c.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+        F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_key_share"),
+        F.round(F.avg("cnt"), 4).alias("mean_cnt"),
+        F.round(pct(0.5), 4).alias("p50_cnt"),
+        F.round(pct(0.9), 4).alias("p90_cnt"),
+        F.round(pct(0.99), 4).alias("p99_cnt"),
+        F.round(pct(0.99) / pct(0.5), 4).alias("p99_over_p50"),
+    )

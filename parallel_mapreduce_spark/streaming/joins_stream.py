@@ -115,3 +115,171 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --------------------------------------------------------------------------
+# LEFT-OUTER stream-stream join — clicks that never converted. Unlike the
+# inner join above, outer results only materialize when the WATERMARK
+# passes a row's eviction bound (click_ts + join window + delay): Spark
+# must prove no future purchase can match before it emits the null side.
+# A single-batch availableNow run would never advance the watermark
+# mid-stream, so this query REPLAYS the event history as one file per
+# 5-day bucket (mtime-ordered, maxFilesPerTrigger=1) — a real multi-batch
+# run in which state builds, matches emit, the watermark advances batch
+# over batch, and the final no-data batch flushes evictable non-matches.
+#
+# Determinism: the final watermark is min over BOTH sides of (that side's
+# max event time) minus the delay — measured, not assumed: the run below
+# reports exactly min(last click, last purchase) - delay. Rows younger
+# than (that watermark - join window - slack) may still sit in state when
+# the stream drains, so BOTH the engine output and the oracle restrict to
+# clicks at or below the cutoff — the bound the watermark semantics
+# guarantee are final.
+# --------------------------------------------------------------------------
+LOJ_WATERMARK_S = 600
+LOJ_BUCKET_DAYS = 5
+LOJ_SLACK_S = 60
+LOJ_CUTOFF_S = LOJ_WATERMARK_S + ATTRIBUTION_WINDOW_S + LOJ_SLACK_S
+
+
+def _bucketed_stream_src(spark: SparkSession, sf_dir: str) -> str:
+    """Snapshot `events` as one parquet file per LOJ_BUCKET_DAYS event-time
+    bucket, mtimes strictly increasing with the bucket index, so the file
+    stream source replays history in event-time order across micro-batches.
+    Built once per (process, sf_dir) and reused (bench repeats, parity)."""
+    import glob
+    import os
+    import shutil
+
+    from parallel_mapreduce_spark.sources.tables import load_table, sink_dir
+
+    root = sink_dir("loj_stream_src")
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    src_dir = os.path.join(root, "src" + tag)
+    done = os.path.join(src_dir, "_DONE")
+    if os.path.exists(done):
+        return src_dir
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    bucket = F.floor(
+        F.unix_timestamp("ts") / (86400 * LOJ_BUCKET_DAYS)
+    ).cast("long")
+    tmp = os.path.join(root, "tmp" + tag)
+    (
+        ev.withColumn("bucket", bucket)
+        .repartition(F.col("bucket"))
+        .write.mode("overwrite")
+        .partitionBy("bucket")
+        .parquet(tmp)
+    )
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    bdirs = sorted(
+        glob.glob(tmp + "/bucket=*"),
+        key=lambda p: int(p.rsplit("=", 1)[1]),
+    )
+    base = 1_000_000_000  # arbitrary fixed epoch; only relative order matters
+    for i, bd in enumerate(bdirs):
+        for j, psrc in enumerate(sorted(glob.glob(bd + "/part-*.parquet"))):
+            dst = os.path.join(src_dir, f"events_{i:04d}_{j}.parquet")
+            shutil.copy(psrc, dst)
+            os.utime(dst, (base + i, base + i))
+    open(done, "w").close()
+    return src_dir
+
+
+@query(
+    "stream_click_no_purchase",
+    oracle=f"""
+    SELECT c.user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(date_diff('second', c.ts, p.ts) AS BIGINT) AS gap_s
+    FROM events c
+    LEFT JOIN events p
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+    WHERE c.event_type = 'click'
+      AND c.ts <= LEAST(
+            (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+            (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+          - INTERVAL {LOJ_CUTOFF_S} SECONDS
+    """,
+)
+def stream_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallel_mapreduce_spark.sources.tables import load_table
+
+    apply_runtime_conf(spark)
+    src_dir = _bucketed_stream_src(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    schema = ev.select("event_id", "ts", "user_id", "event_type").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", f"{LOJ_WATERMARK_S} seconds")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{LOJ_WATERMARK_S} seconds")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
+        )
+    )
+    joined = clicks.join(purchases, cond, "left_outer").select(
+        "user_id",
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("purchase_ts") - F.unix_timestamp("click_ts"))
+        .cast("long")
+        .alias("gap_s"),
+        "click_ts",
+    )
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    name = f"stream_click_no_purchase_{_RUN_SEQ}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cutoff = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).cast("timestamp")
+            - F.expr(f"INTERVAL {LOJ_CUTOFF_S} SECONDS")
+        ).alias("cutoff")
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("click_ts") <= F.col("cutoff"))
+        .select("user_id", "click_id", "purchase_id", "gap_s")
+    )
