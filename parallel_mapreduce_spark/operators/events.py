@@ -21,6 +21,15 @@ from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.sources import load_table, register_views
 
 SESSION_GAP_S = 1800
+# Gap/ordering comparisons in the sessionize/funnel family run at the
+# engine's full event-time precision (microseconds — unix_micros /
+# epoch_us on both sides); only REPORTED epochs/durations stay at the
+# second grain. This closes the round-2 second-truncation carve-out
+# (a click 59 ms after a purchase in the same second now orders
+# correctly) and makes the lag-based oracles semantically identical to
+# the native session_window operator, which always merged at full
+# precision.
+SESSION_GAP_US = SESSION_GAP_S * 1_000_000
 
 
 # --------------------------------------------------------------------------
@@ -95,7 +104,7 @@ def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
-                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                       OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM e
     ), s AS (
@@ -114,10 +123,10 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.unix_timestamp(F.col("ts"))
-    prev_sec = F.lag(sec).over(w_order)
+    usec = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_usec = F.lag(usec).over(w_order)
     is_new = F.when(
-        prev_sec.isNull() | ((sec - prev_sec) > SESSION_GAP_S), 1
+        prev_usec.isNull() | ((usec - prev_usec) > SESSION_GAP_US), 1
     ).otherwise(0)
     with_session = ev.withColumn(
         "session_id",
@@ -254,7 +263,9 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the same `gap > SESSION_GAP_S` splitting convention events_sessionize
 # uses. The fixture test pins both surfaces on an explicit exact-gap event
 # so any future change in the native operator's boundary rule surfaces
-# as a test failure rather than a silent oracle drift.
+# as a test failure rather than a silent oracle drift. The lag-based
+# oracle compares gaps at MICROSECOND precision — the native operator
+# always merged at full precision, so the oracle must too.
 # --------------------------------------------------------------------------
 @query(
     "events_session_window",
@@ -266,7 +277,7 @@ def events_props_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
-                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                       OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM e
     ), s AS (
@@ -348,7 +359,7 @@ def events_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT user_id, event_id, ts, event_type,
              CASE WHEN prev_ts IS NULL
-                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                       OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM e
     ), s AS (
@@ -362,13 +373,12 @@ def events_user_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
              AS n_clicks,
            CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS BIGINT)
              AS n_purchases,
-           -- second-truncated epochs: the engine-side comparison is at
-           -- second granularity (unix_timestamp), so the oracle must not
-           -- resolve sub-second orderings the engine cannot see
+           -- full-precision comparison (micros) on BOTH sides; see the
+           -- SESSION_GAP_US note at the top of this module
            CAST(CASE WHEN MIN(CASE WHEN event_type = 'click'
-                                   THEN epoch(date_trunc('second', ts)) END)
+                                   THEN epoch_us(ts) END)
                           <= MAX(CASE WHEN event_type = 'purchase'
-                                      THEN epoch(date_trunc('second', ts)) END)
+                                      THEN epoch_us(ts) END)
                      THEN 1 ELSE 0 END AS BIGINT) AS converted
     FROM s GROUP BY 1, 2
     """,
@@ -380,10 +390,10 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.unix_timestamp(F.col("ts"))
-    prev_sec = F.lag(sec).over(w_order)
+    usec = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_usec = F.lag(usec).over(w_order)
     is_new = F.when(
-        prev_sec.isNull() | ((sec - prev_sec) > SESSION_GAP_S), 1
+        prev_usec.isNull() | ((usec - prev_usec) > SESSION_GAP_US), 1
     ).otherwise(0)
     with_session = ev.withColumn(
         "session_id",
@@ -391,8 +401,8 @@ def events_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("long"),
     )
-    click_sec = F.when(F.col("event_type") == "click", sec)
-    purchase_sec = F.when(F.col("event_type") == "purchase", sec)
+    click_sec = F.when(F.col("event_type") == "click", usec)
+    purchase_sec = F.when(F.col("event_type") == "purchase", usec)
     first_click = F.min(click_sec)
     last_purchase = F.max(purchase_sec)
     return with_session.groupBy("user_id", "session_id").agg(
@@ -667,7 +677,7 @@ def events_dow_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT user_id, event_id, ts, event_type,
              CASE WHEN prev_ts IS NULL
-                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                       OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM e
     ), s AS (
@@ -677,13 +687,13 @@ def events_dow_hod_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM m
     ), f AS (
       SELECT user_id, session_id,
-             -- second-truncated: engine-side comparisons use unix_timestamp
+             -- full-precision step times (micros), matching unix_micros
              MIN(CASE WHEN event_type = 'view'
-                      THEN epoch(date_trunc('second', ts)) END) AS t_view,
+                      THEN epoch_us(ts) END) AS t_view,
              MIN(CASE WHEN event_type = 'click'
-                      THEN epoch(date_trunc('second', ts)) END) AS t_click,
+                      THEN epoch_us(ts) END) AS t_click,
              MIN(CASE WHEN event_type = 'purchase'
-                      THEN epoch(date_trunc('second', ts)) END) AS t_buy
+                      THEN epoch_us(ts) END) AS t_buy
       FROM s GROUP BY 1, 2
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
@@ -703,10 +713,10 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
-    sec = F.unix_timestamp(F.col("ts"))
-    prev_sec = F.lag(sec).over(w_order)
+    usec = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_usec = F.lag(usec).over(w_order)
     is_new = F.when(
-        prev_sec.isNull() | ((sec - prev_sec) > SESSION_GAP_S), 1
+        prev_usec.isNull() | ((usec - prev_usec) > SESSION_GAP_US), 1
     ).otherwise(0)
     with_session = ev.withColumn(
         "session_id",
@@ -714,7 +724,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
         .cast("long"),
     )
-    step = lambda t: F.min(F.when(F.col("event_type") == t, sec))  # noqa: E731
+    step = lambda t: F.min(F.when(F.col("event_type") == t, usec))  # noqa: E731
     f = with_session.groupBy("user_id", "session_id").agg(
         step("view").alias("t_view"),
         step("click").alias("t_click"),
@@ -732,6 +742,7 @@ def events_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DEBOUNCE_GAP_S = 60  # same-user same-type events closer than this are throttled
+DEBOUNCE_GAP_US = DEBOUNCE_GAP_S * 1_000_000
 
 
 # --------------------------------------------------------------------------
@@ -739,9 +750,9 @@ DEBOUNCE_GAP_S = 60  # same-user same-type events closer than this are throttled
 # the PREVIOUS same-user same-type event (double-click / retry collapse —
 # the event-stream analogue of document dedup). LAG-based gap semantics,
 # one (user_id, event_type) shuffle reused by the window; the report is a
-# per-type rollup. Second-granularity gaps by design (the funnel-family
-# convention: engine compares unix_timestamp whole seconds, oracle uses
-# date_diff('second', ...) which counts the same boundaries).
+# per-type rollup. Gaps compare at full microsecond precision on both
+# sides (unix_micros vs date_diff('microsecond', ...)), like the rest of
+# the sessionize/funnel family.
 # --------------------------------------------------------------------------
 @query(
     "events_debounce_dedup",
@@ -755,10 +766,10 @@ DEBOUNCE_GAP_S = 60  # same-user same-type events closer than this are throttled
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_events,
            CAST(COUNT(*) FILTER (prev_ts IS NOT NULL
-                AND date_diff('second', prev_ts, ts) < {DEBOUNCE_GAP_S})
+                AND date_diff('microsecond', prev_ts, ts) < {DEBOUNCE_GAP_US})
                 AS BIGINT) AS n_suppressed,
            floor(COUNT(*) FILTER (prev_ts IS NOT NULL
-                 AND date_diff('second', prev_ts, ts) < {DEBOUNCE_GAP_S})
+                 AND date_diff('microsecond', prev_ts, ts) < {DEBOUNCE_GAP_US})
                  * 1.0 / COUNT(*) * 10000 + 0.5) / 10000 AS suppressed_rate
     FROM e GROUP BY event_type
     """,
@@ -767,10 +778,10 @@ def events_debounce_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     ev = load_table(spark, sf_dir, "events")
     w = W.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
-    sec = F.unix_timestamp(F.col("ts"))
-    prev_sec = F.lag(sec).over(w)
+    usec = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_usec = F.lag(usec).over(w)
     suppressed = (
-        prev_sec.isNotNull() & ((sec - prev_sec) < DEBOUNCE_GAP_S)
+        prev_usec.isNotNull() & ((usec - prev_usec) < DEBOUNCE_GAP_US)
     ).cast("long")
     flagged = ev.select("event_type", suppressed.alias("sup"))
     return flagged.groupBy("event_type").agg(
@@ -847,7 +858,7 @@ def events_topk_types_per_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
-                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                       OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_US}
                   THEN 1 ELSE 0 END AS is_new
       FROM e
     ), s AS (
@@ -922,3 +933,164 @@ def events_value_ecdf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return one.select(F.explode(probes).alias("r")).select("r.probe", "r.cdf")
+
+
+# --------------------------------------------------------------------------
+# PageRank over the event-type transition graph: nodes are event types,
+# edges are per-user consecutive transitions weighted by count (the same
+# LAG/LEAD derivation as events_type_transitions). Demonstrates the
+# iterative-graph-algorithm shape on Spark: ONE corpus-scale pass builds
+# the weighted edge list; every PageRank iteration after that joins frames
+# bounded by |event types|^2 (broadcast-sized at any corpus scale, since
+# the type vocabulary does not grow with rows). Mass of types with no
+# outgoing transitions leaks (no dangling redistribution) — the oracle
+# applies the identical recurrence, so the semantics are value-pinned.
+# Per-iteration rounding (8 dp) keeps the float recurrence engine-portable;
+# the final report rounds to 6.
+# --------------------------------------------------------------------------
+PR_DAMPING = 0.85
+PR_ITERS = 3
+
+
+@query(
+    "pagerank_event_types",
+    headline=True,
+    oracle=f"""
+    WITH seq AS (
+      SELECT event_type AS src,
+             LEAD(event_type) OVER (
+               PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id
+             ) AS dst
+      FROM events
+    ), edges AS (
+      SELECT src, dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+    ), outw AS (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src),
+    nodes AS (SELECT DISTINCT event_type AS node FROM events),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    pr0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), 8) AS pr FROM nodes),
+    c1 AS (
+      SELECT e.dst AS node, SUM(p.pr * e.w / o.out_w) AS mass
+      FROM edges e JOIN outw o USING (src) JOIN pr0 p ON p.node = e.src
+      GROUP BY e.dst
+    ), it1 AS (
+      SELECT n.node,
+             ROUND({1 - PR_DAMPING} / (SELECT n FROM nn)
+                   + {PR_DAMPING} * COALESCE(c1.mass, 0.0), 8) AS pr
+      FROM nodes n LEFT JOIN c1 USING (node)
+    ), c2 AS (
+      SELECT e.dst AS node, SUM(p.pr * e.w / o.out_w) AS mass
+      FROM edges e JOIN outw o USING (src) JOIN it1 p ON p.node = e.src
+      GROUP BY e.dst
+    ), it2 AS (
+      SELECT n.node,
+             ROUND({1 - PR_DAMPING} / (SELECT n FROM nn)
+                   + {PR_DAMPING} * COALESCE(c2.mass, 0.0), 8) AS pr
+      FROM nodes n LEFT JOIN c2 USING (node)
+    ), c3 AS (
+      SELECT e.dst AS node, SUM(p.pr * e.w / o.out_w) AS mass
+      FROM edges e JOIN outw o USING (src) JOIN it2 p ON p.node = e.src
+      GROUP BY e.dst
+    ), it3 AS (
+      SELECT n.node,
+             ROUND({1 - PR_DAMPING} / (SELECT n FROM nn)
+                   + {PR_DAMPING} * COALESCE(c3.mass, 0.0), 8) AS pr
+      FROM nodes n LEFT JOIN c3 USING (node)
+    )
+    SELECT node, ROUND(pr, 6) + 0.0 AS pagerank FROM it3
+    """,
+)
+def pagerank_event_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).filter(F.col("dst").isNotNull())
+    edges = seq.groupBy("src", "dst").agg(F.count("*").alias("w"))
+    outw = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    e = edges.join(F.broadcast(outw), "src")
+    nodes = ev.select(F.col("event_type").alias("node")).distinct()
+    nn = nodes.agg(F.count("*").alias("n_nodes"))
+    pr = nodes.crossJoin(F.broadcast(nn)).select(
+        "node", F.round(F.lit(1.0) / F.col("n_nodes"), 8).alias("pr")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            e.join(F.broadcast(pr.withColumnRenamed("node", "src")), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") * F.col("w") / F.col("out_w")).alias("mass"))
+        )
+        pr = (
+            nodes.join(
+                F.broadcast(contrib.withColumnRenamed("dst", "node")),
+                "node",
+                "left",
+            )
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "node",
+                F.round(
+                    F.lit(1 - PR_DAMPING) / F.col("n_nodes")
+                    + F.lit(PR_DAMPING) * F.coalesce(F.col("mass"), F.lit(0.0)),
+                    8,
+                ).alias("pr"),
+            )
+        )
+    return pr.select("node", (F.round("pr", 6) + F.lit(0.0)).alias("pagerank"))
+
+
+# --------------------------------------------------------------------------
+# Sliding-window DISTINCT count: distinct active users over the trailing
+# 24 hours, evaluated at every hour that has traffic. COUNT(DISTINCT) has
+# no incremental window form (unlike SUM), so the engine uses the bounded
+# fan-out trick: each event contributes its user to the 24 hourly buckets
+# whose trailing window covers it (explode of a 24-element sequence — a
+# fixed 24x row multiplier, NOT data-dependent), then one exact distinct
+# aggregate per (bucket). The alternative — a range self-join of the hour
+# grid against raw events — rescans events per hour; the fan-out touches
+# each event once and partial-aggregates (hr, user) map-side.
+# --------------------------------------------------------------------------
+TRAILING_WINDOW_H = 24
+
+
+@query(
+    "active_users_trailing_24h",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, user_id
+      FROM events
+    ), hours AS (SELECT DISTINCT hr FROM e)
+    SELECT h.hr AS hour_epoch_h,
+           CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS active_users
+    FROM hours h
+    JOIN e ON e.hr BETWEEN h.hr - {TRAILING_WINDOW_H - 1} AND h.hr
+    GROUP BY h.hr
+    """,
+)
+def active_users_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.floor(F.unix_timestamp("ts") / 3600).cast("long").alias("hr"),
+        "user_id",
+    )
+    hours = e.select("hr").distinct()
+    contrib = e.select(
+        "user_id",
+        F.explode(
+            F.sequence(
+                F.col("hr"), F.col("hr") + F.lit(TRAILING_WINDOW_H - 1)
+            )
+        ).alias("bucket_hr"),
+    )
+    return (
+        contrib.join(
+            F.broadcast(hours).withColumnRenamed("hr", "bucket_hr"),
+            "bucket_hr",
+            "left_semi",
+        )
+        .groupBy(F.col("bucket_hr").alias("hour_epoch_h"))
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )

@@ -263,7 +263,7 @@ def session_windows_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
       SELECT user_id, event_id, ts,
              CASE WHEN prev_ts IS NULL
-                       OR date_diff('second', prev_ts, ts) > {SESSION_GAP_S}
+                       OR date_diff('microsecond', prev_ts, ts) > {SESSION_GAP_S * 1_000_000}
                   THEN 1 ELSE 0 END AS is_new
       FROM e
     ), s AS (
