@@ -221,3 +221,57 @@ def arrow_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         _arrow_lengths_kernel, schema="doc_id bigint, n_cp bigint, n_bytes bigint"
     )
+
+
+# --------------------------------------------------------------------------
+# Grouped-AGGREGATE pandas UDF — the true UDAF slot (one Arrow batch of a
+# group's column in, ONE scalar out), distinct from applyInPandas (which
+# returns a frame). Catalyst runs it inside a hash aggregate, so unlike
+# applyInPandas there is no per-group pandas frame materialization beyond
+# the aggregated column. Built-in twin: percentile(0.75) - percentile(0.25)
+# — numpy's default linear interpolation IS quantile_cont's formula, which
+# is what makes the oracle exact.
+# --------------------------------------------------------------------------
+def iqr_udf():
+    @pandas_udf("double")
+    def _iqr(v: pd.Series) -> float:
+        import numpy as np
+
+        q75, q25 = np.percentile(v.to_numpy(dtype="float64"), [75.0, 25.0])
+        return float(np.floor((q75 - q25) * 10000 + 0.5) / 10000)
+
+    return _iqr
+
+
+def count_udf():
+    # Spark refuses to mix grouped-agg pandas UDFs with built-in aggregates
+    # in one agg() (INVALID_PANDAS_UDF_PLACEMENT), so the row count is a
+    # second pandas aggregate rather than F.count.
+    @pandas_udf("long")
+    def _n(v: pd.Series) -> int:
+        return int(len(v))
+
+    return _n
+
+
+@query(
+    "pandas_grouped_agg_iqr",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           FLOOR((quantile_cont(n_chars, 0.75)
+                  - quantile_cont(n_chars, 0.25)) * 10000 + 0.5) / 10000
+             AS iqr_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def pandas_grouped_agg_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interquartile range of document length per language via a
+    grouped-agg pandas UDF (built-in twin: F.percentile deltas)."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    chars = F.col("n_chars").cast("double")
+    return docs.groupBy("lang").agg(
+        count_udf()(chars).alias("n_docs"),
+        iqr_udf()(chars).alias("iqr_chars"),
+    )

@@ -1323,25 +1323,41 @@ def strip_boilerplate_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collapse-first like the dedup/repetition family: identical texts
+    have identical scores, so tokenization, the bigram explode, and the
+    scoring joins run once per DISTINCT text; the corpus-level counts stay
+    exact by weighting each representative's occurrences with its copy
+    count, and scores expand back to members over the digest join."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        _rep_texts,
+        exact_dup_members,
+    )
+
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
-    t = _spread(spark, docs, "doc_id", "text").select(
-        "doc_id", tokens("text").alias("toks")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    members = exact_dup_members(docs)
+    weights = members.groupBy("rep").agg(F.count("*").alias("w"))
+    reps = (
+        _rep_texts(docs, n_parts)
+        .withColumnRenamed("doc_id", "rep")
+        .join(weights, "rep")
+        .select("rep", "w", tokens("text").alias("toks"))
     )
-    bg = t.filter(F.size("toks") >= 2).select(
-        "doc_id", F.explode(bigrams(F.col("toks"))).alias("bigram")
+    bg = reps.filter(F.size("toks") >= 2).select(
+        "rep", "w", F.explode(bigrams(F.col("toks"))).alias("bigram")
     )
-    bc = bg.groupBy("bigram").agg(F.count("*").alias("bcnt"))
-    uc = t.select(F.explode("toks").alias("tok"))
-    ucnt = uc.groupBy("tok").agg(F.count("*").alias("tcnt"))
+    bc = bg.groupBy("bigram").agg(F.sum("w").alias("bcnt"))
+    uc = reps.select("w", F.explode("toks").alias("tok"))
+    ucnt = uc.groupBy("tok").agg(F.sum("w").alias("tcnt"))
     vv = ucnt.agg(F.count("*").alias("v"))
     prev_tok = F.split(F.col("bigram"), " ").getItem(0)
-    return (
+    per_rep = (
         bg.join(bc, "bigram")
         .withColumn("tok", prev_tok)
         .join(ucnt, "tok")
         .crossJoin(F.broadcast(vv))
-        .groupBy("doc_id")
+        .groupBy("rep")
         .agg(
             F.count("*").alias("n_bigrams"),
             F.round(
@@ -1354,6 +1370,9 @@ def bigram_logprob_score(spark: SparkSession, sf_dir: str) -> DataFrame:
                 4,
             ).alias("mean_bigram_lp"),
         )
+    )
+    return members.join(per_rep, "rep").select(
+        "doc_id", "n_bigrams", "mean_bigram_lp"
     )
 
 

@@ -1094,3 +1094,49 @@ def active_users_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("bucket_hr").alias("hour_epoch_h"))
         .agg(F.countDistinct("user_id").alias("active_users"))
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (Spark 4 WITH RECURSIVE): breadth-first reachability over
+# the event-type transition graph — min hops from the 'signup' state to
+# every reachable state. The one corpus-scale stage is the edge derivation
+# (the same LEAD + DISTINCT the transition matrix uses); the recursion
+# itself iterates frames bounded by |event types| x path count with a hop
+# cap, so the recursive part never touches raw events. Both engines run
+# the IDENTICAL SQL text (modulo the STRING/VARCHAR cast spelling) — the
+# recursion semantics themselves are what's being value-pinned.
+# --------------------------------------------------------------------------
+REACH_START = "signup"
+REACH_MAX_HOPS = 4
+
+_REACH_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id
+             ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+    FROM events) t WHERE dst IS NOT NULL
+), reach(node, hops) AS (
+  SELECT CAST('{start}' AS {strtype}) AS node, 0 AS hops
+  UNION ALL
+  SELECT e.dst AS node, r.hops + 1 AS hops
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.hops < {max_hops}
+)
+SELECT node, CAST(MIN(hops) AS BIGINT) AS min_hops FROM reach GROUP BY node
+"""
+
+
+@query(
+    "recursive_cte_reachability",
+    oracle=_REACH_SQL.format(
+        start=REACH_START, strtype="VARCHAR", max_hops=REACH_MAX_HOPS
+    ),
+)
+def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        _REACH_SQL.format(
+            start=REACH_START, strtype="STRING", max_hops=REACH_MAX_HOPS
+        )
+    )

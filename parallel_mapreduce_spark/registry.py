@@ -56,16 +56,21 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # surface. Names not listed follow in registration order, so the full map
 # always contains every query regardless of this list's contents.
 #
-# ROUND-3 WINDOW: r01+r02 rows cover 100/164 names; this list is the first
-# 50 of the 64 still-unrowed queries (registration order) — the round-2
+# ROUND-3 WINDOW: r01+r02 rows cover 100 names; this list is the first
+# 50 of the then-unrowed queries (registration order) — the round-2
 # additions: text-analysis tail, fuzzy/triangles, training-mix pipeline,
 # UDTF/Arrow slots, embedding analytics + SQ ANN, the trainprep family,
 # events funnel/retention/SCD2/transitions/anomalies, sketch twins, ALL-form
-# set ops, pricing analytics, CDC/merge, winsorize. The 14 left unrowed
-# (q2/q11/q21 shapes, nation_extreme_customers, interp gap-fill,
-# round-trips, bucketed join, 5 streaming registrations) are placed at
-# positions 51-64 by the self-maintaining unrowed-first block in
-# ``_ordered_names`` and form the round-4 window.
+# set ops, pricing analytics, CDC/merge, winsorize. Every OTHER unrowed
+# query — the round-2 tail (18 queries: quality features, PMI, k-NN, PCA,
+# pack stats, debounce/top-k/ECDF, percent_rank, Pareto, HHI, forward
+# as-of...), the 14 round-2 leftovers (q2/q11/q21 shapes, round-trips,
+# bucketed join, streaming registrations), and everything added in round 3
+# (k-means, PageRank, recursive CTE, stream left-outer join, trainprep/
+# analytics batch, ORC/pruning, grouped-agg UDAF) — is placed immediately
+# after this window by the self-maintaining unrowed-first block in
+# ``_ordered_names``, in registration order, and forms the round-4+
+# windows without further edits to this list.
 DRIVER_PRIORITY: list[str] = [
     # text-analysis tail
     "zipf_slope",

@@ -189,3 +189,64 @@ def bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 4).alias("qty"),
         )
     )
+
+
+@query(
+    "orc_roundtrip_lineitem_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice), 4) AS sum_price
+    FROM lineitem
+    WHERE l_quantity > 30
+    GROUP BY l_returnflag
+    """,
+)
+def orc_roundtrip_lineitem_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lineitem (filtered) -> ORC sink -> ORC scan -> agg. ORC is Spark's
+    other built-in columnar format (predicate pushdown + column pruning
+    like parquet, zlib by default); the round trip proves the writer and
+    the vectorized ORC reader agree with the parquet truth."""
+    register_views(spark, sf_dir)
+    sub = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") > 30)
+        .select("l_orderkey", "l_returnflag", "l_extendedprice")
+    )
+    out = sink_dir("orc_sink") + "/lineitem"
+    sub.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum("l_extendedprice"), 4).alias("sum_price"),
+    )
+
+
+@query(
+    "partition_pruned_read",
+    oracle="""
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+    FROM documents
+    WHERE lang = 'en'
+    GROUP BY source
+    """,
+)
+def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> hive-partitioned (by lang) parquet sink -> scan with a
+    partition-key filter -> agg. The filter prunes whole directories at
+    planning time (PartitionFilters in the scan node, pinned by
+    tests/test_plans.py) — the read never opens the non-matching
+    partitions' files, which is the 100 TB point of partitioned layouts."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    out = sink_dir("pruned_sink") + "/docs_by_lang"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(out)
+    back = spark.read.parquet(out).filter(F.col("lang") == "en")
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+    )

@@ -385,3 +385,42 @@ def test_runtime_bloom_filter_prunes_fact_side(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_partition_pruned_read_prunes_directories(spark, sf_dir):
+    """The lang='en' filter on the hive-partitioned sink must become a
+    PartitionFilters entry on the scan (planning-time directory pruning),
+    not a post-scan Filter over all partitions' rows."""
+    from parallel_mapreduce_spark.sources.roundtrip import partition_pruned_read
+
+    plan = _plan(partition_pruned_read(spark, sf_dir))
+    assert "PartitionFilters" in plan
+    assert "lang" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_kmeans_assignment_adds_no_shuffle(spark, sf_dir):
+    """Both Lloyd assignment passes run in-projection against the broadcast
+    centroid row: the plan's only exchanges are the two (cid, pos) update
+    aggregates, the init TakeOrdered, and the final count — no exchange
+    keyed by vec_id ever appears."""
+    from parallel_mapreduce_spark.functions.similarity import kmeans_lloyd_2iter
+
+    opt = _optimized(kmeans_lloyd_2iter(spark, sf_dir))
+    assert "vec_id" in opt  # sanity: the corpus column is in the plan
+    plan = _plan(kmeans_lloyd_2iter(spark, sf_dir))
+    import re
+
+    # No Exchange hashpartitioning on vec_id (assignment is shuffle-free).
+    assert not re.search(r"Exchange hashpartitioning\(vec_id", plan)
+
+
+def test_recursive_reachability_recursion_is_post_aggregate(spark, sf_dir):
+    """The recursion's per-iteration frames join the AGGREGATED edge list
+    (|types|^2), never raw events: exactly one scan of the events file
+    appears under the edge derivation."""
+    from parallel_mapreduce_spark.operators.events import (
+        recursive_cte_reachability,
+    )
+
+    plan = _plan(recursive_cte_reachability(spark, sf_dir))
+    assert plan.count("Scan parquet") <= 2  # events scan (+ possible reuse)
