@@ -244,3 +244,161 @@ def pipeline_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         (before / F.lit(PACK_CAP)).cast("long").alias("pack_id"),
     )
+
+
+# --------------------------------------------------------------------------
+# Third capstone: RAG-ingest pipeline — chunk -> embed -> index search.
+# The retrieval-corpus build every RAG/agent system runs over its document
+# store: overlapping context-window chunks (chunk_documents' exact logic),
+# a per-chunk embedding, and cosine top-k retrieval for a fixed probe set.
+#
+# The "embedding model" here is a deterministic hash projection (dim i =
+# scaled md5 of chunk_hash:i) — the same stance as the multimodal decode
+# stub: the env ships no model, so the MODEL is faked but every piece of
+# Spark machinery around it (chunking, vectorization, broadcast probes,
+# norm-once computation, hierarchical top-k) is real, runs at full scale,
+# and is value-checked end to end because the fake is pure math both
+# engines can compute.
+#
+# Scale posture: chunking + embedding are shuffle-free narrow maps; the
+# probe set is broadcast (Q rows); scoring is one pass over chunks; top-k
+# is HIERARCHICAL — per (query, salt-of-16) partial top-k first, then the
+# final top-k over Q x 16 x K survivors — so no window ever orders the
+# full chunk corpus in one task (the same two-level shape as
+# epoch_shuffle_order / _pack_prefix).
+# --------------------------------------------------------------------------
+RAG_EMB_DIM = 8
+RAG_TOP_K = 5
+RAG_N_QUERIES = 3
+RAG_SALT = 16
+
+
+def _rag_probe_vec(q: int) -> list[float]:
+    """Deterministic probe-query vector (python-side literal; both the
+    engine and the oracle receive these as inline constants)."""
+    import hashlib
+
+    out = []
+    for i in range(RAG_EMB_DIM):
+        h = hashlib.md5(f"probe:{q}:{i}".encode()).hexdigest()
+        out.append(int(h[:15], 16) % 2000 / 1000.0 - 1.0)
+    return out
+
+
+def _rag_emb(hash_col) -> "F.Column":
+    """array<double> embedding from a chunk-hash column: dim i =
+    (first-60-bits of md5(hash:i)) % 2000 scaled into [-1, 1)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(RAG_EMB_DIM - 1)),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(":", hash_col, i)), 1, 15), 16, 10
+        ).cast("long")
+        % 2000
+        / F.lit(1000.0)
+        - F.lit(1.0),
+    )
+
+
+def _rag_emb_sql(hash_expr: str) -> str:
+    return (
+        f"list_transform(range(0, {RAG_EMB_DIM}), i -> "
+        f"(('0x' || substr(md5({hash_expr} || ':' || i), 1, 15))::BIGINT"
+        f" % 2000) / 1000.0 - 1.0)"
+    )
+
+
+def _rag_queries_sql() -> str:
+    rows = ", ".join(
+        f"({q}, {_rag_probe_vec(q)})" for q in range(RAG_N_QUERIES)
+    )
+    return f"(VALUES {rows}) AS q(q_id, qv)"
+
+
+@query(
+    "pipeline_chunk_index_search",
+    headline=True,
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    n AS (SELECT doc_id, toks, len(toks) AS n_tok FROM t WHERE len(toks) > 0),
+    starts AS (
+      SELECT doc_id, toks, n_tok,
+             unnest(range(0, n_tok, 96)) AS start
+      FROM n
+    ), chunks AS (
+      SELECT doc_id,
+             CAST(start / 96 AS BIGINT) AS chunk_idx,
+             md5(array_to_string(toks[start + 1 : least(start + 128, n_tok)],
+                                 ' ')) AS chunk_hash
+      FROM starts
+    ), emb AS (
+      SELECT doc_id, chunk_idx,
+             {_rag_emb_sql("chunk_hash")} AS cv
+      FROM chunks
+    ), scored AS (
+      SELECT q.q_id, e.doc_id, e.chunk_idx,
+             ROUND(
+               list_dot_product(q.qv, e.cv)
+               / (GREATEST(sqrt(list_dot_product(q.qv, q.qv)), 1e-12)
+                  * GREATEST(sqrt(list_dot_product(e.cv, e.cv)), 1e-12)),
+               6) AS sim6
+      FROM emb e CROSS JOIN {_rag_queries_sql()}
+    )
+    SELECT q_id, doc_id, chunk_idx, ROUND(sim6, 4) AS score
+    FROM (SELECT q_id, doc_id, chunk_idx, sim6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY sim6 DESC, doc_id, chunk_idx)
+                   AS rk
+          FROM scored)
+    WHERE rk <= {RAG_TOP_K}
+    """,
+)
+def pipeline_chunk_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from parallel_mapreduce_spark.functions.similarity import dot
+    from parallel_mapreduce_spark.functions.trainprep import (
+        CHUNK_STRIDE,
+        CHUNK_TOKENS,
+        chunk_documents,
+    )
+
+    assert CHUNK_STRIDE == 96 and CHUNK_TOKENS == 128  # oracle inlines these
+    register_views(spark, sf_dir)
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    chunks = chunk_documents(spark, sf_dir).select(
+        "doc_id", "chunk_idx", "chunk_hash"
+    )
+    emb = chunks.repartition(n_parts).select(
+        "doc_id", "chunk_idx", _rag_emb(F.col("chunk_hash")).alias("cv")
+    )
+    qrows = [(q, _rag_probe_vec(q)) for q in range(RAG_N_QUERIES)]
+    queries = spark.createDataFrame(qrows, "q_id int, qv array<double>")
+    cn = F.greatest(F.sqrt(dot(F.col("cv"), F.col("cv"))), F.lit(1e-12))
+    qn = F.greatest(F.sqrt(dot(F.col("qv"), F.col("qv"))), F.lit(1e-12))
+    scored = emb.crossJoin(F.broadcast(queries)).select(
+        "q_id",
+        "doc_id",
+        "chunk_idx",
+        F.round(dot(F.col("qv"), F.col("cv")) / (qn * cn), 6).alias("sim6"),
+    )
+    # Hierarchical top-k: per-(query, salt) partial cut, then the final cut
+    # over Q x RAG_SALT x K survivors.
+    salted = scored.withColumn(
+        "_salt", F.pmod(F.col("doc_id") + F.col("chunk_idx"), F.lit(RAG_SALT))
+    )
+    w_local = W.partitionBy("q_id", "_salt").orderBy(
+        F.col("sim6").desc(), "doc_id", "chunk_idx"
+    )
+    partial = (
+        salted.withColumn("_rk", F.row_number().over(w_local))
+        .filter(F.col("_rk") <= RAG_TOP_K)
+        .drop("_rk", "_salt")
+    )
+    w_final = W.partitionBy("q_id").orderBy(
+        F.col("sim6").desc(), "doc_id", "chunk_idx"
+    )
+    return (
+        partial.withColumn("rk", F.row_number().over(w_final))
+        .filter(F.col("rk") <= RAG_TOP_K)
+        .select("q_id", "doc_id", "chunk_idx", F.round("sim6", 4).alias("score"))
+    )

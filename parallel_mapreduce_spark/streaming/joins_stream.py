@@ -124,7 +124,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # must prove no future purchase can match before it emits the null side.
 # A single-batch availableNow run would never advance the watermark
 # mid-stream, so this query REPLAYS the event history as one file per
-# 5-day bucket (mtime-ordered, maxFilesPerTrigger=1) — a real multi-batch
+# LOJ_BUCKET_DAYS-day bucket (mtime-ordered, maxFilesPerTrigger=1) — a real multi-batch
 # run in which state builds, matches emit, the watermark advances batch
 # over batch, and the final no-data batch flushes evictable non-matches.
 #
@@ -137,7 +137,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # guarantee are final.
 # --------------------------------------------------------------------------
 LOJ_WATERMARK_S = 600
-LOJ_BUCKET_DAYS = 5
+LOJ_BUCKET_DAYS = 8
 LOJ_SLACK_S = 60
 LOJ_CUTOFF_S = LOJ_WATERMARK_S + ATTRIBUTION_WINDOW_S + LOJ_SLACK_S
 

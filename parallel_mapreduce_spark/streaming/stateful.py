@@ -265,3 +265,65 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("s.total_value", 4).alias("total_value"),
         F.col("s.last_seen_epoch").alias("last_seen_epoch"),
     )
+
+
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+@query(
+    "stream_user_totals_rocksdb",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           MAX(CAST(FLOOR(epoch(ts)) AS BIGINT)) AS last_seen_epoch
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_totals_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stream_user_totals pinned to the RocksDB state store provider — the
+    production configuration at 100 TB/day: the default HDFS-backed
+    provider keeps every key's state on the executor HEAP (state size is
+    bounded by executor memory), while RocksDB spills to local SSD and
+    bounds memory via block cache, which is what lets stateful queries
+    hold billions of keys. Same batch-equality oracle as the default-
+    provider twin, so the value semantics are proven identical across
+    providers. The conf is set for the duration of the run and restored
+    (provider choice is latched per query at start)."""
+    apply_runtime_conf(spark)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, ROCKSDB_PROVIDER)
+    try:
+        global _RUN_SEQ
+        _RUN_SEQ += 1
+        name = f"stream_user_totals_rocksdb_{_RUN_SEQ}"
+        q = (
+            user_totals_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    snapshots = spark.table(name)
+    final = snapshots.groupBy("user_id").agg(
+        F.max(
+            F.struct("n_events", "total_value", "last_seen_epoch")
+        ).alias("s")
+    )
+    return final.select(
+        "user_id",
+        F.col("s.n_events").alias("n_events"),
+        F.round("s.total_value", 4).alias("total_value"),
+        F.col("s.last_seen_epoch").alias("last_seen_epoch"),
+    )
