@@ -1357,3 +1357,95 @@ def bpe_pair_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         totals.withColumn("merge_rank", F.row_number().over(w_rank))
         .filter(F.col("merge_rank") <= BPE_TOP_PAIRS)
     )
+
+
+# --------------------------------------------------------------------------
+# Count-min sketch, value-checked: unlike the HLL / t-digest queries (whose
+# estimates are engine-specific, so the driver can only rows-check them),
+# this sketch is built from the engine-portable hash — both engines
+# construct the IDENTICAL d x w counter table, so the estimates themselves
+# are value-checked. The query reports, for the corpus's top terms, the
+# exact count next to the CMS estimate and the overestimate (which CMS
+# guarantees is >= 0: every collision only inflates).
+#
+# Scale: the token stream aggregates once per hash row into (row, bucket)
+# cells — the sketch is d*w cells TOTAL regardless of corpus size, which
+# is the whole point: a heavy-hitter census over 100 TB of tokens reduces
+# to a 4x1024 table plus a probe join. The probe set (top-K exact terms)
+# is TakeOrdered + broadcast.
+# --------------------------------------------------------------------------
+CMS_DEPTH = 4
+CMS_WIDTH = 1024
+CMS_PROBE_K = 10
+
+
+@query(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest({_SQL_TOKS}) AS word FROM documents
+    ), exact AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS exact_cnt
+      FROM tok GROUP BY word
+    ), cells AS (
+      SELECT r.r AS row_id,
+             {phash60_sql("CAST(r.r AS VARCHAR) || ':' || word")}
+               % {CMS_WIDTH} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cell
+      FROM tok CROSS JOIN range({CMS_DEPTH}) r(r)
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT word, exact_cnt FROM exact
+      ORDER BY exact_cnt DESC, word LIMIT {CMS_PROBE_K}
+    )
+    SELECT p.word, p.exact_cnt,
+           CAST(MIN(c.cell) AS BIGINT) AS cms_est,
+           CAST(MIN(c.cell) - p.exact_cnt AS BIGINT) AS overestimate
+    FROM probes p
+    CROSS JOIN range({CMS_DEPTH}) r(r)
+    JOIN cells c
+      ON c.row_id = r.r
+     AND c.bucket = {phash60_sql("CAST(r.r AS VARCHAR) || ':' || p.word")}
+                    % {CMS_WIDTH}
+    GROUP BY p.word, p.exact_cnt
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    tok = token_df(spark, sf_dir).select("word")
+    rows = F.explode(
+        F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
+    ).alias("row_id")
+    hashed = tok.select("word", rows).select(
+        "row_id",
+        (
+            phash60(F.concat_ws(":", F.col("row_id").cast("string"), F.col("word")))
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    cells = hashed.groupBy("row_id", "bucket").agg(
+        F.count("*").alias("cell")
+    )
+    exact = tok.groupBy("word").agg(F.count("*").alias("exact_cnt"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "word").limit(CMS_PROBE_K)
+    probe_cells = probes.select(
+        "word",
+        "exact_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("row_id"),
+    ).select(
+        "word",
+        "exact_cnt",
+        "row_id",
+        (
+            phash60(F.concat_ws(":", F.col("row_id").cast("string"), F.col("word")))
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    return (
+        probe_cells.join(F.broadcast(cells), ["row_id", "bucket"])
+        .groupBy("word", "exact_cnt")
+        .agg(
+            F.min("cell").alias("cms_est"),
+            (F.min("cell") - F.col("exact_cnt")).alias("overestimate"),
+        )
+    )
