@@ -1449,3 +1449,99 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("cell") - F.col("exact_cnt")).alias("overestimate"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter, value-checked (companion to countmin_heavy_hitters): built
+# from the portable hash, so both engines derive the identical bit set and
+# the membership verdicts — including which probes FALSE-POSITIVE — are
+# value-checked, not rows-only. The filter is built over the words of 'en'
+# documents; the probe set is every distinct corpus word; the output is
+# each probe's true membership, filter verdict, and false-positive flag.
+#
+# Scale: the "bitset" is the distinct position table (at most m = 8192
+# rows, broadcast); membership = probe-side explode of k positions + one
+# broadcast join + count == k. A 100 TB build side reduces to <= m rows
+# the moment it passes the distinct — the same reduction that makes the
+# engine's runtime bloom-join pruning viable.
+# --------------------------------------------------------------------------
+BLOOM_M = 8192
+BLOOM_K = 3
+
+
+def _bloom_positions_sql(expr: str) -> str:
+    """k hash positions of a word expression (DuckDB side)."""
+    parts = []
+    for j in range(BLOOM_K):
+        inner = f"'b{j}:' || {expr}"
+        parts.append(f"({phash60_sql(inner)} % {BLOOM_M})")
+    return ", ".join(parts)
+
+
+@query(
+    "bloom_word_membership",
+    oracle=f"""
+    WITH build AS (
+      SELECT DISTINCT unnest({_SQL_TOKS}) AS word
+      FROM documents WHERE lang = 'en'
+    ), bits AS (
+      SELECT DISTINCT pos FROM build
+      CROSS JOIN unnest([{_bloom_positions_sql("word")}]) t(pos)
+    ), probes AS (
+      SELECT DISTINCT unnest({_SQL_TOKS}) AS word FROM documents
+    ), verdicts AS (
+      SELECT p.word,
+             CAST(COUNT(b.pos) AS BIGINT) AS n_hit
+      FROM probes p
+      CROSS JOIN unnest([{_bloom_positions_sql("p.word")}]) t(pos)
+      LEFT JOIN bits b ON b.pos = t.pos
+      GROUP BY p.word
+    )
+    SELECT v.word,
+           v.n_hit = {BLOOM_K} AS bloom_member,
+           bu.word IS NOT NULL AS true_member,
+           (v.n_hit = {BLOOM_K} AND bu.word IS NULL) AS false_positive
+    FROM verdicts v LEFT JOIN build bu ON bu.word = v.word
+    """,
+)
+def bloom_word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    build = (
+        docs.filter(F.col("lang") == "en")
+        .select(F.explode(tokens("text")).alias("word"))
+        .distinct()
+    )
+    positions = F.array(
+        *[
+            phash60(
+                F.concat_ws(
+                    ":", F.concat(F.lit("b"), F.lit(str(j))), F.col("word")
+                )
+            )
+            % BLOOM_M
+            for j in range(BLOOM_K)
+        ]
+    )
+    bits = build.select(F.explode(positions).alias("pos")).distinct()
+    probes = docs.select(F.explode(tokens("text")).alias("word")).distinct()
+    hits = (
+        probes.select("word", F.explode(positions).alias("pos"))
+        .join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy("word")
+        .agg(F.count("*").alias("n_hit"))
+    )
+    verdicts = probes.join(hits, "word", "left").select(
+        "word",
+        (F.coalesce(F.col("n_hit"), F.lit(0)) == BLOOM_K).alias("bloom_member"),
+    )
+    truth = build.withColumn("true_member", F.lit(True))
+    return verdicts.join(truth, "word", "left").select(
+        "word",
+        "bloom_member",
+        F.coalesce(F.col("true_member"), F.lit(False)).alias("true_member"),
+        (
+            F.col("bloom_member")
+            & ~F.coalesce(F.col("true_member"), F.lit(False))
+        ).alias("false_positive"),
+    )

@@ -250,3 +250,65 @@ def partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("long").alias("sum_chars"),
     )
+
+
+@query(
+    "range_clustered_write_stats",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(o_totalprice), 4) AS min_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price,
+           CAST(0 AS BIGINT) AS overlapping_file_pairs
+    FROM orders
+    """,
+)
+def range_clustered_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-clustered layout: repartitionByRange + sortWithinPartitions
+    before the write gives each output file a DISJOINT value range — the
+    layout that lets any min/max-stats-aware reader (parquet row-group
+    stats, file skipping) prune files for range predicates. The query
+    writes the layout, reads it back, recomputes per-file [min, max]
+    intervals from the data, and reports the number of OVERLAPPING file
+    pairs — the oracle pins it to zero, so the clustering property itself
+    is value-checked (plus row/min/max conservation through the round
+    trip). At 100 TB this layout is the poor-man's z-order for one key:
+    range exchange + local sort, no global single-task sort anywhere."""
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = sink_dir("range_sink") + "/orders_by_price"
+    (
+        orders.repartitionByRange(8, "o_totalprice")
+        .sortWithinPartitions("o_totalprice")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out).select(
+        "o_totalprice", F.input_file_name().alias("f")
+    )
+    ranges = back.groupBy("f").agg(
+        F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi")
+    )
+    a = ranges.select(
+        F.col("f").alias("fa"), F.col("lo").alias("la"), F.col("hi").alias("ha")
+    )
+    b = ranges.select(
+        F.col("f").alias("fb"), F.col("lo").alias("lb"), F.col("hi").alias("hb")
+    )
+    overlaps = (
+        a.join(
+            b,
+            (F.col("fa") < F.col("fb"))
+            & (F.col("la") <= F.col("hb"))
+            & (F.col("lb") <= F.col("ha")),
+            "inner",
+        )
+        .agg(F.count("*").alias("overlapping_file_pairs"))
+    )
+    totals = back.agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.min("o_totalprice"), 4).alias("min_price"),
+        F.round(F.max("o_totalprice"), 4).alias("max_price"),
+    )
+    return totals.crossJoin(F.broadcast(overlaps))
