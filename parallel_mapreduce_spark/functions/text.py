@@ -1412,7 +1412,14 @@ CMS_PROBE_K = 10
 )
 def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    tok = token_df(spark, sf_dir).select("word")
+    docs = load_table(spark, sf_dir, "documents")
+    # _spread BEFORE the explode: the 4x per-token md5 fan-out below is the
+    # CPU-heavy stage, and the single-row-group testdata scan would
+    # otherwise evaluate all of it in one task (measured 20s -> 1.3s on
+    # the 10x probe corpus).
+    tok = _spread(spark, docs, "doc_id", "text").select(
+        F.explode(tokens("text")).alias("word")
+    )
     rows = F.explode(
         F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))
     ).alias("row_id")
