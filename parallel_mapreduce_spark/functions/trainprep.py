@@ -1491,3 +1491,76 @@ def detokenize_ids_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_oov",
         (F.col("dec_md5") == F.col("exp_md5")).alias("roundtrip_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Weighted sampling without replacement (Efraimidis–Spirakis A-ES):
+# pick K docs per source with probability proportional to token count —
+# the standard way to subsample a corpus while preserving long-document
+# mass. Deterministic: the uniform draw is the portable content hash
+# scaled into (0, 1], so both engines derive identical sampling keys
+# (u^(1/w), rounded before ranking so a last-ulp pow() difference cannot
+# flip the cut).
+#
+# Scale: the per-source top-K is HIERARCHICAL (the RAG-capstone pattern) —
+# a local top-K within (source, hash-salt-of-16) partitions bounds every
+# window partition regardless of source skew, then the final top-K sees
+# at most 16*K survivors per source.
+# --------------------------------------------------------------------------
+AES_SAMPLE_K = 3
+AES_SALT = 16
+_TWO60 = float(2**60)
+
+
+@query(
+    "weighted_sample_per_source",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, CAST(len({_SQL_TOKS}) AS BIGINT) AS n_tokens
+      FROM documents
+    ), keyed AS (
+      SELECT doc_id, source, n_tokens,
+             ROUND(pow(({phash60_sql("'aes:' || doc_id")} + 1) / {_TWO60},
+                       1.0 / n_tokens), 9) AS skey
+      FROM t WHERE n_tokens > 0
+    )
+    SELECT source, doc_id, n_tokens,
+           ROUND(skey, 6) AS sample_key,
+           CAST(rk AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY skey DESC, doc_id) AS rk
+          FROM keyed)
+    WHERE rk <= {AES_SAMPLE_K}
+    """,
+)
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.size(tokens("text")).cast("long").alias("n_tokens")
+    ).filter(F.col("n_tokens") > 0)
+    u = (phash60(F.concat(F.lit("aes:"), F.col("doc_id"))) + 1) / F.lit(_TWO60)
+    keyed = t.withColumn(
+        "skey", F.round(F.pow(u, 1.0 / F.col("n_tokens")), 9)
+    )
+    salted = keyed.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(AES_SALT)))
+    w_local = W.partitionBy("source", "_salt").orderBy(
+        F.col("skey").desc(), "doc_id"
+    )
+    partial = (
+        salted.withColumn("_rk", F.row_number().over(w_local))
+        .filter(F.col("_rk") <= AES_SAMPLE_K)
+        .drop("_rk", "_salt")
+    )
+    w_final = W.partitionBy("source").orderBy(F.col("skey").desc(), "doc_id")
+    return (
+        partial.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= AES_SAMPLE_K)
+        .select(
+            "source",
+            "doc_id",
+            "n_tokens",
+            F.round("skey", 6).alias("sample_key"),
+            "rank",
+        )
+    )
