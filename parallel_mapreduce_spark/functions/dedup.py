@@ -271,6 +271,7 @@ SHINGLE_FREQ_CAP = 100
     JOIN sz sb ON doc_b = sb.doc_id
     WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= {JACCARD_THRESHOLD}
     """,
+    headline=True,  # bench the 100 TB-safe capped plan alongside the exact one
 )
 def neardup_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)

@@ -178,9 +178,9 @@ PACK_CAP = 512
       WHERE {phash60_sql("'mix2:' || doc_id::VARCHAR")} % {MIX_DENOM2} < keep_thr
     )
     SELECT doc_id, lang, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY lang ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
              // {PACK_CAP} AS pack_id
     FROM sampled
     """,

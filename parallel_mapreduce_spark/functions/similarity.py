@@ -1103,7 +1103,14 @@ def embedding_pca_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ML shape on Spark. Deterministic everything: init centroids are the K
 # lowest-vec_id embeddings; assignment rounds squared L2 distance to 6 dp
 # and breaks ties toward the lower centroid id; centroid updates round to
-# 6 dp — so the DuckDB oracle can replay both iterations bit-for-bit.
+# 6 dp — so the DuckDB oracle replays both iterations. The replay is
+# near-exact, not literally bit-for-bit: the engine folds squared diffs in
+# array order (zip_with/aggregate) while the oracle SUMs in group order,
+# so a distance landing within one ulp of a 1e-6 rounding midpoint could
+# in principle round apart and flip an assignment. No observed corpus
+# hits that midpoint; if one ever does, coarsen the tie-break (round to
+# 4-5 dp before comparing, as weighted_sample_per_source does for skey)
+# rather than tightening the rounding.
 #
 # Scale posture: each assignment pass is a crossJoin against ONE broadcast
 # row holding all K centroids (K*dim doubles) — the distances and the

@@ -651,9 +651,11 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Zipf rank-frequency slope: least-squares slope of ln(freq) on ln(rank)
 # over the full vocabulary — the classic corpus-health diagnostic (natural
 # text sits near -1; boilerplate-heavy or synthetic corpora drift off).
-# Token counting shuffles once on the token; the ranking window runs over
-# VOCAB-sized data (precedent: vocab_min_count), and regr_slope is one
-# partial-aggregable pass — no driver-side math.
+# Token counting shuffles once on the token; the rank is assigned
+# HIERARCHICALLY (operators/rank.global_row_number — range shards + broadcast
+# bases, precedent: vocab_min_count), never a single-partition global window
+# over the vocabulary; regr_slope is one partial-aggregable pass — no
+# driver-side math.
 # --------------------------------------------------------------------------
 @query(
     "zipf_slope",
@@ -672,6 +674,8 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallel_mapreduce_spark.operators.rank import global_row_number
+
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -681,12 +685,9 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .count()
         .withColumnRenamed("count", "cnt")
     )
-    ranked = counts.select(
-        "cnt",
-        F.row_number()
-        .over(W.orderBy(F.col("cnt").desc(), "word"))
-        .alias("rank"),
-    )
+    ranked = global_row_number(
+        counts, [F.col("cnt").desc(), F.asc("word")], out="rank"
+    ).select("cnt", "rank")
     return ranked.agg(
         F.count("*").alias("n_terms"),
         F.round(F.regr_slope(F.log("cnt"), F.log("rank")), 4).alias("slope"),
@@ -1551,4 +1552,95 @@ def bloom_word_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bloom_member")
             & ~F.coalesce(F.col("true_member"), F.lit(False))
         ).alias("false_positive"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Per-source token unigram ENTROPY (nats): the companion diagnostic to
+# source_token_kl — KL measures drift from the corpus blend, entropy
+# measures internal diversity (template/boilerplate farms sit far below
+# natural text; near-random token soup sits near ln(vocab)). Same shape
+# and scale posture as the KL query: ONE token-count shuffle keyed by
+# (source, word); everything downstream is vocab-sized per source, and the
+# -sum(p ln p) aggregate is partial (map-side combinable). Rounded to 4 dp
+# on both engines so summation order can't flip the hash.
+# --------------------------------------------------------------------------
+@query(
+    "source_token_entropy",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, word, COUNT(*) AS cnt
+      FROM (SELECT source, unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY source, word
+    ), st AS (SELECT source, SUM(cnt) AS tot FROM c GROUP BY source)
+    SELECT c.source,
+           CAST(st.tot AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           ROUND(-SUM((cnt * 1.0 / tot) * ln(cnt * 1.0 / tot)), 4)
+             AS entropy_nats
+    FROM c JOIN st ON c.source = st.source
+    GROUP BY c.source, st.tot
+    """,
+)
+def source_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        _spread(spark, docs, "source", "text")
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("cnt"))
+    )
+    st = c.groupBy("source").agg(F.sum("cnt").alias("tot"))
+    p = F.col("cnt") / F.col("tot")
+    return (
+        c.join(F.broadcast(st), "source")
+        .groupBy("source", "tot")
+        .agg(
+            F.count("*").alias("vocab"),
+            F.round(-F.sum(p * F.log(p)), 4).alias("entropy_nats"),
+        )
+        .select(
+            "source",
+            F.col("tot").cast("long").alias("n_tokens"),
+            "vocab",
+            "entropy_nats",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Tokenizer fertility by language: tokens emitted per input character —
+# the standard multilingual-tokenizer health metric (a tokenizer trained
+# on English over-segments other scripts; fertility quantifies the tax per
+# language before a training run commits to a vocab). Integer sums only
+# (token count, char count) with ONE final division, so the value is
+# engine-order independent by construction. Shuffle carries |langs| rows.
+# --------------------------------------------------------------------------
+@query(
+    "tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(toks)) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           ROUND(CAST(SUM(len(toks)) AS BIGINT) * 1.0
+                 / CAST(SUM(n_chars) AS BIGINT), 6) AS tokens_per_char
+    FROM (SELECT lang, n_chars, {_SQL_TOKS} AS toks FROM documents)
+    GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", "n_chars", F.size(tokens("text")).cast("long").alias("n_toks")
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").alias("n_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.round(F.sum("n_toks") * 1.0 / F.sum("n_chars"), 6).alias(
+            "tokens_per_char"
+        ),
     )

@@ -172,13 +172,13 @@ def _pack_prefix(t: DataFrame, span: int) -> DataFrame:
       FROM documents
     )
     SELECT doc_id, source, n_tokens,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
              // {PACK_CAPACITY_TOKENS} AS pack_id,
-           COALESCE(SUM(n_tokens) OVER (
+           CAST(COALESCE(SUM(n_tokens) OVER (
                PARTITION BY source ORDER BY doc_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
              % {PACK_CAPACITY_TOKENS} AS tok_offset
     FROM t
     """,
@@ -309,11 +309,12 @@ VOCAB_MIN_COUNT = 3
 
 # --------------------------------------------------------------------------
 # Vocabulary construction: tokens above a frequency floor, with stable
-# contiguous ids assigned by (count desc, token asc). The id assignment is
-# a single-partition window — correct here because it runs on the VOCAB
-# (distinct tokens after a map-side-combined count), which is orders of
-# magnitude smaller than the corpus; the corpus-sized work (tokenize +
-# count) is fully parallel. This is the standard tokenizer-training shape.
+# contiguous ids assigned by (count desc, token asc). The corpus-sized work
+# (tokenize + count) is fully parallel; the id assignment runs on the VOCAB
+# — which at web scale is still 10^8–10^9 distinct tokens, so it is ranked
+# HIERARCHICALLY (operators/rank.global_row_number: range-partition on the
+# sort key, rank within bounded shards, broadcast shard bases), never as a
+# single-partition global window. Oracle unchanged: identical value.
 # --------------------------------------------------------------------------
 @query(
     "vocab_min_count",
@@ -331,6 +332,8 @@ VOCAB_MIN_COUNT = 3
     """,
 )
 def vocab_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallel_mapreduce_spark.operators.rank import global_row_number
+
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     counts = (
@@ -339,11 +342,13 @@ def vocab_min_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .filter(F.col("cnt") >= VOCAB_MIN_COUNT)
     )
-    w = W.orderBy(F.desc("cnt"), F.asc("token"))
-    return counts.select(
-        "token",
-        "cnt",
-        (F.row_number().over(w) - 1).cast("long").alias("token_id"),
+    # (cnt desc, token) is total — token is unique — so the hierarchical
+    # rank is exactly ROW_NUMBER() OVER (ORDER BY cnt DESC, token).
+    ranked = global_row_number(
+        counts, [F.desc("cnt"), F.asc("token")], out="_rank"
+    )
+    return ranked.select(
+        "token", "cnt", (F.col("_rank") - 1).cast("long").alias("token_id")
     )
 
 
@@ -1563,4 +1568,127 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("skey", 6).alias("sample_key"),
             "rank",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact stratified train/val/test split: within EVERY language stratum,
+# exactly floor(80%) of docs go to train, the next floor(90%)-floor(80%)
+# to val, the rest to test — not hash-Bernoulli (whose per-stratum
+# proportions only hold in expectation) but exact rank thresholds over a
+# deterministic content-hash shuffle key, so the split is reproducible
+# under retries and ingest reordering.
+#
+# Scale: the per-stratum rank NEVER uses a per-lang window (one lang can
+# be 90% of a web corpus — the same skew argument as _pack_prefix). It is
+# derived from ONE hierarchical global rank over (lang, h, doc_id)
+# (operators/rank.global_row_number: range shards + broadcast bases) minus
+# a broadcast per-lang base offset — per-lang rank with every window
+# partition volume-bounded. Thresholds are integer arithmetic ((n*8) div
+# 10) on both engines: no float percentile can flip a boundary doc.
+# --------------------------------------------------------------------------
+SPLIT_TAG = "split:"
+
+
+@query(
+    "stratified_split_assign",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang,
+             {phash60_sql(f"'{SPLIT_TAG}' || doc_id::VARCHAR")} AS h
+      FROM documents
+    ), r AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM t
+    )
+    SELECT doc_id, lang,
+           CASE WHEN r <= (n * 8) // 10 THEN 'train'
+                WHEN r <= (n * 9) // 10 THEN 'val'
+                ELSE 'test' END AS split
+    FROM r
+    """,
+)
+def stratified_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallel_mapreduce_spark.operators.rank import global_row_number
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        phash60(F.concat(F.lit(SPLIT_TAG), F.col("doc_id"))).alias("h"),
+    )
+    # Global rank over (lang, h, doc_id); per-lang rank = global rank minus
+    # the count of earlier langs' rows (|langs|-row broadcast frame).
+    g = global_row_number(
+        t, [F.asc("lang"), F.asc("h"), F.asc("doc_id")], out="grank"
+    )
+    counts = t.groupBy("lang").agg(F.count("*").alias("n"))
+    w_base = W.orderBy("lang").rowsBetween(W.unboundedPreceding, -1)
+    bases = counts.select(
+        "lang",
+        "n",
+        F.coalesce(F.sum("n").over(w_base), F.lit(0).cast("long")).alias("_b"),
+    )
+    r = g.join(F.broadcast(bases), "lang").withColumn(
+        "r", F.col("grank") - F.col("_b")
+    )
+    split = (
+        F.when(F.col("r") <= F.expr("(n * 8) div 10"), F.lit("train"))
+        .when(F.col("r") <= F.expr("(n * 9) div 10"), F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return r.select("doc_id", "lang", split.alias("split"))
+
+
+# --------------------------------------------------------------------------
+# Temperature-scaled source mixing weights (the UniMax/mT5 move): sampling
+# weight proportional to n_tokens^alpha flattens the source distribution so
+# a dominant crawl can't drown the tail. alpha is pinned at 0.5 because
+# sqrt is CORRECTLY ROUNDED under IEEE 754 — bit-identical on the JVM and
+# in DuckDB — whereas a general pow(n, 0.3) may differ in the last ulp
+# between libm implementations and flip a 6 dp rounding. effective_epochs
+# (weight * total / n_tokens) > 1 means the mix would repeat that source.
+# One source-count aggregate; everything downstream is |sources|-sized with
+# the normalizer crossed in as a broadcast 1-row frame.
+# --------------------------------------------------------------------------
+@query(
+    "temperature_mix_weights",
+    oracle=f"""
+    WITH c AS (
+      SELECT source, CAST(SUM(len({_SQL_TOKS})) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), z AS (
+      SELECT SUM(sqrt(n_tokens)) AS z,
+             CAST(SUM(n_tokens) AS BIGINT) AS total
+      FROM c
+    )
+    SELECT source, n_tokens,
+           ROUND(sqrt(n_tokens) / z, 6) AS weight,
+           ROUND(sqrt(n_tokens) / z * total / n_tokens, 4) AS effective_epochs
+    FROM c CROSS JOIN z
+    """,
+)
+def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("source", F.size(tokens("text")).cast("long").alias("nt"))
+        .groupBy("source")
+        .agg(F.sum("nt").alias("n_tokens"))
+    )
+    z = c.agg(
+        F.sum(F.sqrt("n_tokens")).alias("z"),
+        F.sum("n_tokens").alias("total"),
+    )
+    return c.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_tokens",
+        F.round(F.sqrt("n_tokens") / F.col("z"), 6).alias("weight"),
+        F.round(
+            F.sqrt("n_tokens") / F.col("z") * F.col("total") / F.col("n_tokens"),
+            4,
+        ).alias("effective_epochs"),
     )

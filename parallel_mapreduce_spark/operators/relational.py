@@ -1931,7 +1931,8 @@ PRICE_HIST_BINS = 20
     oracle=f"""
     WITH b AS (
       SELECT MIN(o_totalprice) AS lo,
-             (MAX(o_totalprice) - MIN(o_totalprice)) / {PRICE_HIST_BINS} AS width
+             GREATEST((MAX(o_totalprice) - MIN(o_totalprice))
+                        / {PRICE_HIST_BINS}, 1e-12) AS width
       FROM orders
     )
     SELECT LEAST({PRICE_HIST_BINS - 1},
@@ -1948,10 +1949,15 @@ PRICE_HIST_BINS = 20
 def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     orders = load_table(spark, sf_dir, "orders")
+    # GREATEST(width, eps): a degenerate corpus where every price is equal
+    # would give width=0 -> (x-lo)/0, and Spark (floor(NaN)->null) and
+    # DuckDB (inf) diverge instead of failing cleanly; with eps both
+    # engines put every row in bin 0.
     b = orders.agg(
         F.min("o_totalprice").alias("lo"),
-        (
-            (F.max("o_totalprice") - F.min("o_totalprice")) / PRICE_HIST_BINS
+        F.greatest(
+            (F.max("o_totalprice") - F.min("o_totalprice")) / PRICE_HIST_BINS,
+            F.lit(1e-12),
         ).alias("width"),
     )
     bin_idx = F.least(
@@ -1979,7 +1985,12 @@ def orders_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 # percentile aggregate over the customer-grain frame and are broadcast
 # back — no global ntile window ever orders all customers in one task.
 # Score = 1 + #thresholds strictly below the value, identically in both
-# engines, so quartile boundaries are value-pinned.
+# engines, so quartile boundaries are value-pinned. Round-before-cut:
+# 'mon' is an order-dependent double sum, so it is rounded to 4dp BEFORE
+# the quantile and the '>' comparison, and the interpolated thresholds are
+# rounded to 6dp, on BOTH engines — a last-ulp summation or interpolation
+# difference can no longer flip a customer across a quartile boundary
+# (rec/freq are integer-exact already).
 # --------------------------------------------------------------------------
 RFM_QUARTILES = [0.25, 0.5, 0.75]
 
@@ -1991,12 +2002,15 @@ RFM_QUARTILES = [0.25, 0.5, 0.75]
       SELECT o_custkey,
              floor(epoch(MAX(o_orderdate))) AS rec,
              COUNT(*) * 1.0 AS freq,
-             SUM(o_totalprice) AS mon
+             ROUND(SUM(o_totalprice), 4) AS mon
       FROM orders GROUP BY o_custkey
     ), t AS (
-      SELECT quantile_cont(rec, {RFM_QUARTILES}) AS tr,
-             quantile_cont(freq, {RFM_QUARTILES}) AS tf,
-             quantile_cont(mon, {RFM_QUARTILES}) AS tm
+      SELECT list_transform(quantile_cont(rec, {RFM_QUARTILES}),
+                            x -> ROUND(x, 6)) AS tr,
+             list_transform(quantile_cont(freq, {RFM_QUARTILES}),
+                            x -> ROUND(x, 6)) AS tf,
+             list_transform(quantile_cont(mon, {RFM_QUARTILES}),
+                            x -> ROUND(x, 6)) AS tm
       FROM rfm
     )
     SELECT 'R' || CAST(1 + len(list_filter(tr, x -> rec > x)) AS VARCHAR)
@@ -2015,13 +2029,13 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = orders.groupBy("o_custkey").agg(
         F.floor(F.unix_timestamp(F.max("o_orderdate"))).alias("rec"),
         (F.count("*") * F.lit(1.0)).alias("freq"),
-        F.sum("o_totalprice").alias("mon"),
+        F.round(F.sum("o_totalprice"), 4).alias("mon"),
     )
     qs = F.array(*[F.lit(p) for p in RFM_QUARTILES])
     t = rfm.agg(
-        F.percentile("rec", qs).alias("tr"),
-        F.percentile("freq", qs).alias("tf"),
-        F.percentile("mon", qs).alias("tm"),
+        F.transform(F.percentile("rec", qs), lambda x: F.round(x, 6)).alias("tr"),
+        F.transform(F.percentile("freq", qs), lambda x: F.round(x, 6)).alias("tf"),
+        F.transform(F.percentile("mon", qs), lambda x: F.round(x, 6)).alias("tm"),
     )
 
     def score(col: str, thr: str):

@@ -56,81 +56,73 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # surface. Names not listed follow in registration order, so the full map
 # always contains every query regardless of this list's contents.
 #
-# ROUND-3 WINDOW: r01+r02 rows cover 100 names; this list is the first
-# 50 of the then-unrowed queries (registration order) — the round-2
-# additions: text-analysis tail, fuzzy/triangles, training-mix pipeline,
-# UDTF/Arrow slots, embedding analytics + SQ ANN, the trainprep family,
-# events funnel/retention/SCD2/transitions/anomalies, sketch twins, ALL-form
-# set ops, pricing analytics, CDC/merge, winsorize. Every OTHER unrowed
-# query — the round-2 tail (18 queries: quality features, PMI, k-NN, PCA,
-# pack stats, debounce/top-k/ECDF, percent_rank, Pareto, HHI, forward
-# as-of...), the 14 round-2 leftovers (q2/q11/q21 shapes, round-trips,
-# bucketed join, streaming registrations), and everything added in round 3
-# (k-means, PageRank, recursive CTE, stream left-outer join, trainprep/
-# analytics batch, ORC/pruning, grouped-agg UDAF) — is placed immediately
-# after this window by the self-maintaining unrowed-first block in
-# ``_ordered_names``, in registration order, and forms the round-4+
-# windows without further edits to this list.
+# ROUND-4 WINDOW: r01–r03 rows cover 150 names. The first two entries are
+# the round-3 hash-FAIL re-checks — pipeline_training_mix and
+# seq_pack_contiguous were value-correct but their oracles returned DuckDB
+# HUGEINT from windowed SUMs (now CAST ... AS BIGINT, per the header rule) —
+# followed by the first 48 of the 55 never-rowed queries in registration
+# order (round-2 tail: quality features, PMI, k-NN, PCA, k-means, pack/
+# shuffle/bucket/boilerplate/bigram/detok/sampling trainprep tail, events
+# debounce/top-k/percentiles/ECDF/PageRank/trailing-24h, recursive CTE,
+# relational analytics tail, q2/q11/q21 shapes, gap-fill, as-of, IO
+# round-trips). The ~7 remaining unrowed (tail of the streaming
+# registrations) are placed immediately after this window by the
+# self-maintaining unrowed-first block in ``_ordered_names`` and form the
+# round-5 window without further edits to this list.
 DRIVER_PRIORITY: list[str] = [
-    # text-analysis tail
-    "zipf_slope",
-    "source_token_kl",
-    "corpus_column_profile",
-    "doc_length_outliers",
-    "shingle_novelty",
-    "source_vocab_overlap",
-    # fuzzy matching + graph
-    "fuzzy_name_pairs",
-    "name_graph_triangles",
-    # capstone pipeline (round-2)
+    # round-3 red re-checks (oracle HUGEINT typing fixed this round)
     "pipeline_training_mix",
-    # Python-surface slots
-    "udtf_split_sentences",
-    "arrow_doc_lengths",
-    # embedding analytics + quantized ANN
-    "source_centroids",
-    "source_embedding_dispersion",
-    "ann_sq_topk",
-    "embedding_dim_stats",
-    # training-prep family
-    "repetition_bigram_ratio",
     "seq_pack_contiguous",
-    "contamination_shingle_overlap",
-    "pii_redact",
-    "vocab_min_count",
-    "embedding_quantize",
-    "domain_rebalance",
-    "unigram_logprob_score",
-    "boilerplate_shingle_coverage",
-    "incremental_dedup_ingest",
-    "train_shard_manifest",
-    "tokens_to_ids",
-    "decontam_exact_substring",
-    "chunk_documents",
-    "write_partitioned_by_lang",
-    # event analytics (funnel/retention/SCD2/transitions)
-    "events_session_funnel",
-    "events_scd2_intervals",
-    "events_hourly_merge_incremental",
-    "events_type_transitions",
-    "events_weekly_retention",
-    "events_hourly_anomalies",
-    "events_dow_hod_profile",
-    "events_funnel_steps",
-    # sketches (rows-only by design) + ALL-form set ops
-    "approx_distinct_parts",
-    "set_intersect_all",
-    "set_except_all",
-    "price_percentiles_approx",
-    # relational/pricing tail
-    "right_join_order_returns",
-    "unpivot_pricing_metrics",
-    "price_qty_correlation",
-    "price_decile_distribution",
-    "monthly_revenue_growth",
-    "user_erasure_audit",
-    "winsorize_order_prices",
-    "orders_merge_upsert",
+    # never-rowed, registration order
+    "doc_quality_features",
+    "hapax_ratio_by_source",
+    "token_length_histogram",
+    "zipf_slope_by_source",
+    "token_pmi_top_pairs",
+    "bpe_pair_merge_step",
+    "countmin_heavy_hitters",
+    "bloom_word_membership",
+    "exact_dup_rate_by_source",
+    "minhash_jaccard_estimate",
+    "pipeline_chunk_index_search",
+    "pandas_grouped_agg_iqr",
+    "knn_label_accuracy",
+    "embedding_pca_power_iter",
+    "kmeans_lloyd_2iter",
+    "pack_fill_stats",
+    "epoch_shuffle_order",
+    "length_bucket_padding",
+    "strip_boilerplate_tokens",
+    "bigram_logprob_score",
+    "detokenize_ids_roundtrip",
+    "weighted_sample_per_source",
+    "events_debounce_dedup",
+    "events_topk_types_per_hour",
+    "session_duration_percentiles",
+    "events_value_ecdf",
+    "pagerank_event_types",
+    "active_users_trailing_24h",
+    "recursive_cte_reachability",
+    "nation_extreme_customers",
+    "orders_percent_rank_cume",
+    "revenue_pareto_share",
+    "nation_supplier_hhi",
+    "orders_price_histogram",
+    "customer_rfm_segments",
+    "join_key_skew_census",
+    "q21_waiting_suppliers_shape",
+    "q11_important_parts_share",
+    "q2_min_cost_supplier_shape",
+    "events_hourly_gapfill_interp",
+    "asof_next_click_after_purchase",
+    "csv_roundtrip_order_stats",
+    "json_roundtrip_doc_stats",
+    "json_ingest_corrupt_tolerant",
+    "bucketed_colocated_join",
+    "orc_roundtrip_lineitem_stats",
+    "partition_pruned_read",
+    "range_clustered_write_stats",
+    "stream_events_hourly",
 ]
 
 

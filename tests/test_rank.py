@@ -1,0 +1,69 @@
+"""operators/rank.global_row_number: exact global ROW_NUMBER, hierarchically.
+
+Pins the contract the vocab/zipf rank queries (and any future global-rank
+caller) rely on: the hierarchical value is IDENTICAL to the naive
+unpartitioned window for every total order, including under heavy key skew
+and descending/mixed sort directions, and the physical plan never contains
+a single-partition exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.operators.rank import global_row_number
+
+
+def _naive(df, order):
+    return df.withColumn("rank", F.row_number().over(W.orderBy(*order)))
+
+
+def _assert_matches_naive(df, order):
+    got = {
+        r["k"]: r["rank"]
+        for r in global_row_number(df, order, out="rank").collect()
+    }
+    want = {r["k"]: r["rank"] for r in _naive(df, order).collect()}
+    assert got == want
+
+
+def test_matches_naive_window_unique_keys(spark):
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"), (F.col("id") * 37 % 101).alias("v")
+    )
+    _assert_matches_naive(df, [F.asc("v"), F.asc("k")])
+
+
+def test_matches_naive_window_desc_and_skew(spark):
+    # 90% of rows share one v value (vocab-count-style skew): range
+    # partitioning splits the tied run by volume across shards, and the
+    # unique tie-breaker k keeps the rank total.
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") < 900, F.lit(7)).otherwise(F.col("id")).alias("v"),
+    )
+    _assert_matches_naive(df, [F.desc("v"), F.asc("k")])
+
+
+def test_rank_is_dense_one_based(spark):
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    ranks = sorted(
+        r["rank"]
+        for r in global_row_number(df, [F.asc("k")], out="rank").collect()
+    )
+    assert ranks == list(range(1, 101))
+
+
+def test_plan_has_no_single_partition_exchange(spark):
+    import contextlib
+    import io
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"))
+    ranked = global_row_number(df, [F.asc("k")], out="rank")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        ranked.explain("formatted")
+    plan = buf.getvalue()
+    assert "Exchange SinglePartition" not in plan
+    assert "rangepartitioning(k" in plan
