@@ -1240,3 +1240,52 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("center"))
     )
     return c2.join(F.broadcast(sizes), "cid").select("cid", "pos", "center", "n")
+
+
+# --------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH-bucketed index against the
+# exact brute-force top-k, per query — the metric that decides whether an
+# index's bucket/table parameters are good enough to ship (the companion to
+# knn_label_accuracy's end-task view). Composition of the two registered
+# plans above: one LEFT join of the exact top-k list against the candidate
+# list and a per-query conditional count. The eval frame is Q x K rows —
+# trivially small at any corpus size; the expensive parts inherit the scale
+# posture of the underlying queries (broadcast queries / bucket equi-join).
+# --------------------------------------------------------------------------
+from parallel_mapreduce_spark.registry import QUERIES as _QUERIES  # noqa: E402
+
+
+@query(
+    "ann_recall_at_k",
+    oracle=f"""
+    WITH exact AS (SELECT q_id, c_id FROM ({{exact_sql}})),
+    approx AS (SELECT q_id, c_id FROM ({{lsh_sql}}))
+    SELECT e.q_id AS q_id,
+           CAST(COUNT(*) AS BIGINT) AS k_exact,
+           CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+    GROUP BY e.q_id
+    """.format(
+        exact_sql=_QUERIES["cosine_topk"].oracle,
+        lsh_sql=_QUERIES["ann_lsh_topk"].oracle,
+    ),
+)
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = (
+        ann_lsh_topk(spark, sf_dir)
+        .select("q_id", "c_id")
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(approx, ["q_id", "c_id"], "left")
+    return j.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("k_exact"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_hit"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / F.count("*"), 4
+        ).alias("recall"),
+    )

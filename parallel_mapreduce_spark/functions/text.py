@@ -1644,3 +1644,143 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             "tokens_per_char"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# BM25 lexical retrieval: Okapi BM25 top-k over the document corpus for a
+# fixed probe-query set — the sparse-retrieval complement to the dense
+# cosine/ANN family (functions/similarity.py) and the scoring behind every
+# Lucene/Elasticsearch-shaped corpus search. Lucene's idf form
+# ln(1 + (N - df + 0.5)/(df + 0.5)) keeps idf positive for ubiquitous terms.
+#
+# Scale: the postings build is ONE (doc_id, term) count shuffle (tf) — the
+# wordcount shape. Everything query-side is restricted FIRST: postings are
+# equi-joined to the broadcast probe-term list before df counting or
+# scoring, so the scored frame is |docs containing a probe term|, never
+# corpus x queries; corpus stats (N, avgdl) cross in as one broadcast row.
+# The top-k cut is hierarchical — per-(query, salt) partial rank, then the
+# final rank over Q x salt x K survivors (the pipeline_chunk_index_search
+# pattern) — so no window ever orders a corpus-sized partition. Scores are
+# rounded to 4 dp BEFORE ranking with doc_id tie-breaks on BOTH engines:
+# rank boundaries are value-pinned against summation-order drift.
+# --------------------------------------------------------------------------
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_SALT = 16
+BM25_QUERIES = [
+    ("q1", "spark window merge"),
+    ("q2", "customer filter join"),
+    ("q3", "stream batch hash"),
+]
+_BM25_VALUES = ", ".join(f"('{q}', '{t}')" for q, t in BM25_QUERIES)
+
+
+@query(
+    "bm25_topk_docs",
+    oracle=f"""
+    WITH q AS (SELECT * FROM (VALUES {_BM25_VALUES}) v(qid, qtext)),
+    qt AS (
+      SELECT qid, unnest(list_distinct(
+               list_filter(string_split(qtext, ' '), x -> x <> ''))) AS term
+      FROM q
+    ),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+          WHERE len(toks) > 0),
+    p AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2
+    ),
+    pq AS (SELECT p.* FROM p JOIN (SELECT DISTINCT term FROM qt) u
+           ON p.term = u.term),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 ROUND(AVG(dl), 6) AS avgdl FROM d),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq
+            FROM pq GROUP BY term),
+    sc AS (
+      SELECT qt.qid, pq.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+               * pq.tf * ({BM25_K1} + 1)
+               / (pq.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))), 4) AS score
+      FROM pq
+      JOIN qt ON pq.term = qt.term
+      JOIN dfq ON pq.term = dfq.term
+      JOIN d ON pq.doc_id = d.doc_id
+      CROSS JOIN s
+      GROUP BY 1, 2
+    )
+    SELECT qid, doc_id, score, CAST(rnk AS BIGINT) AS rnk FROM (
+      SELECT qid, doc_id, score,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY score DESC, doc_id) AS rnk
+      FROM sc
+    ) WHERE rnk <= {BM25_TOP_K}
+    """,
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    probes = spark.createDataFrame(BM25_QUERIES, "qid string, qtext string")
+    qterms = probes.select(
+        "qid", F.explode(F.array_distinct(tokens("qtext"))).alias("term")
+    )
+    uterms = qterms.select("term").distinct()
+
+    t = _spread(spark, docs, "doc_id", "text").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d = t.select("doc_id", F.size("toks").cast("long").alias("dl")).filter(
+        F.col("dl") > 0
+    )
+    p = (
+        t.select("doc_id", F.explode("toks").alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    # Restrict postings to probe terms FIRST (broadcast semi-equi-join):
+    # df counts and scoring never touch non-query vocabulary.
+    pq = p.join(F.broadcast(uterms), "term")
+    s = d.agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.avg("dl"), 6).alias("avgdl"),
+    )
+    dfq = pq.groupBy("term").agg(F.count("*").cast("long").alias("dfreq"))
+
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    tf_part = (
+        F.col("tf")
+        * (BM25_K1 + 1)
+        / (
+            F.col("tf")
+            + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    sc = (
+        pq.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfq), "term")
+        .join(d, "doc_id")
+        .crossJoin(F.broadcast(s))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
+    )
+    salted = sc.withColumn("_salt", F.pmod(F.col("doc_id"), F.lit(BM25_SALT)))
+    w_local = W.partitionBy("qid", "_salt").orderBy(
+        F.col("score").desc(), "doc_id"
+    )
+    partial = (
+        salted.withColumn("_rk", F.row_number().over(w_local))
+        .filter(F.col("_rk") <= BM25_TOP_K)
+        .drop("_rk", "_salt")
+    )
+    w_final = W.partitionBy("qid").orderBy(F.col("score").desc(), "doc_id")
+    return (
+        partial.withColumn("rnk", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("qid", "doc_id", "score", "rnk")
+    )

@@ -2055,3 +2055,95 @@ def customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("mon"), 4).alias("segment_spend"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Data-quality constraint report: the dbt-test / Deequ-shaped validation
+# pass a pipeline runs before trusting a load — null keys, primary-key
+# duplicates, referential orphans, domain-range and cross-table temporal
+# violations, one row per check. Single-table checks share ONE scan each
+# via conditional aggregation (no per-check re-scan); the referential
+# checks are anti joins (customer side broadcasts; the lineitem->orders
+# orphan check shuffle-joins on the key it would shuffle on anyway); the
+# report itself is |checks| rows. At 100 TB every check stays one pass —
+# nothing here is per-row Python or per-check scanning.
+# --------------------------------------------------------------------------
+@query(
+    "dq_constraint_report",
+    oracle="""
+    SELECT 'orders_null_custkey' AS check_name,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violations
+    FROM orders
+    UNION ALL
+    SELECT 'orders_dup_orderkey',
+           CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_nonpositive_totalprice',
+           CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders_orphan_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'lineitem_orphan_orderkey', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'lineitem_ship_before_order', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate < o.o_orderdate
+    """,
+)
+def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+
+    one_if = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    # All three single-table orders checks ride one scan/aggregate.
+    o_single = orders.agg(
+        one_if(F.col("o_custkey").isNull()).alias("orders_null_custkey"),
+        (F.count("*") - F.countDistinct("o_orderkey"))
+        .cast("long")
+        .alias("orders_dup_orderkey"),
+        one_if(F.col("o_totalprice") <= 0).alias("orders_nonpositive_totalprice"),
+    )
+    o_rows = o_single.unpivot(
+        [], o_single.columns, "check_name", "n_violations"
+    )
+
+    def count_row(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("check_name"),
+            F.count("*").cast("long").alias("n_violations"),
+        )
+
+    orphan_o = count_row(
+        "orders_orphan_custkey",
+        orders.join(
+            F.broadcast(customer),
+            orders.o_custkey == customer.c_custkey,
+            "left_anti",
+        ),
+    )
+    orphan_l = count_row(
+        "lineitem_orphan_orderkey",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey, "left_anti"
+        ),
+    )
+    ship_bad = count_row(
+        "lineitem_ship_before_order",
+        lineitem.join(
+            orders, lineitem.l_orderkey == orders.o_orderkey
+        ).filter(F.col("l_shipdate") < F.col("o_orderdate")),
+    )
+    return (
+        o_rows.unionByName(orphan_o)
+        .unionByName(orphan_l)
+        .unionByName(ship_bad)
+    )

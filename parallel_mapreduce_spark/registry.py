@@ -122,7 +122,6 @@ DRIVER_PRIORITY: list[str] = [
     "orc_roundtrip_lineitem_stats",
     "partition_pruned_read",
     "range_clustered_write_stats",
-    "stream_events_hourly",
 ]
 
 
