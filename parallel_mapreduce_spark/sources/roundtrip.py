@@ -312,3 +312,53 @@ def range_clustered_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("o_totalprice"), 4).alias("max_price"),
     )
     return totals.crossJoin(F.broadcast(overlaps))
+
+
+SCHEMA_EVOLVE_CUTOFF = "1998-01-01"
+
+
+# --------------------------------------------------------------------------
+# Schema evolution across ingest batches: an early batch was written BEFORE
+# a column existed; a later batch carries it. mergeSchema=true unions the
+# file schemas at read time (old rows surface NULL for the new column) —
+# the standard posture for a long-lived 100 TB lake where re-writing old
+# partitions to backfill a column is off the table. Reading with the
+# merged schema costs one footer union at planning; the data files are
+# untouched. The aggregate groups by the evolved column with a sentinel
+# for pre-evolution rows, proving NULL-surfacing end to end.
+# --------------------------------------------------------------------------
+@query(
+    "schema_evolution_merged_read",
+    oracle=f"""
+    SELECT CASE WHEN o_orderdate >= TIMESTAMP '{SCHEMA_EVOLVE_CUTOFF}'
+                THEN o_orderpriority ELSE '<pre-evolution>' END AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS spend
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def schema_evolution_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    cutoff = F.lit(SCHEMA_EVOLVE_CUTOFF).cast("timestamp")
+    root = sink_dir("schema_evolve")
+    # Batch 1 (old writer): no o_orderpriority column existed yet.
+    orders.filter(F.col("o_orderdate") < cutoff).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(root + "/batch=old")
+    # Batch 2 (new writer): the evolved schema with the added column.
+    orders.filter(F.col("o_orderdate") >= cutoff).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    ).write.mode("overwrite").parquet(root + "/batch=new")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        root + "/batch=old", root + "/batch=new"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+            "priority"
+        )
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("spend"),
+    )
