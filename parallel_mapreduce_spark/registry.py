@@ -201,6 +201,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.operators.skew  # noqa: F401
     import parallel_mapreduce_spark.operators.tpch_gaps  # noqa: F401
     import parallel_mapreduce_spark.operators.timeseries  # noqa: F401
+    import parallel_mapreduce_spark.sources.pydatasource  # noqa: F401
     import parallel_mapreduce_spark.sources.roundtrip  # noqa: F401
     import parallel_mapreduce_spark.streaming.dedup_stream  # noqa: F401
     import parallel_mapreduce_spark.streaming.events_stream  # noqa: F401

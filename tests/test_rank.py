@@ -67,3 +67,20 @@ def test_plan_has_no_single_partition_exchange(spark):
     plan = buf.getvalue()
     assert "Exchange SinglePartition" not in plan
     assert "rangepartitioning(k" in plan
+
+
+def test_property_matches_naive_on_random_frames(spark):
+    """Property sweep without per-example Spark jobs being too slow: a few
+    seeded random frames with duplicate-heavy keys and mixed directions."""
+    import random
+
+    for seed in (1, 7, 42):
+        rng = random.Random(seed)
+        n = rng.randint(50, 300)
+        rows = [
+            (i, rng.randint(0, 5), rng.choice("abc"))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "k long, v long, s string")
+        order = [F.desc("v"), F.asc("s"), F.asc("k")]
+        _assert_matches_naive(df, order)

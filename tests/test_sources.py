@@ -84,3 +84,38 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
+
+
+def test_python_datasource_partition_planning(spark):
+    """The pmr_synth custom Python source must plan the requested number of
+    partitions (one task each) and stream rows per partition — the Spark-4
+    analogue of the reference's per-file-region scan threads."""
+    from parallel_mapreduce_spark.sources.pydatasource import (
+        SynthReader,
+        register_synth_source,
+    )
+
+    parts = SynthReader({"rows": "103", "partitions": "8"}).partitions()
+    assert len(parts) == 8
+    spans = sorted((p.start, p.end) for p in parts)
+    # Contiguous, disjoint, covering [0, rows)
+    assert spans[0][0] == 0 and spans[-1][1] == 103
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+
+    register_synth_source(spark)
+    df = (
+        spark.read.format("pmr_synth")
+        .option("rows", 1000)
+        .option("partitions", 5)
+        .load()
+    )
+    assert df.rdd.getNumPartitions() == 5
+    assert df.count() == 1000
+    # Deterministic content: row 999 -> (999 * A + C) % M
+    from parallel_mapreduce_spark.sources.pydatasource import (
+        SYNTH_A,
+        SYNTH_C,
+        SYNTH_M,
+    )
+    last = df.filter("row_id = 999").collect()[0]
+    assert last["value"] == (999 * SYNTH_A + SYNTH_C) % SYNTH_M
