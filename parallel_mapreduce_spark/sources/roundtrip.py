@@ -362,3 +362,103 @@ def schema_evolution_merged_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("spend"),
     )
+
+
+ZORDER_BITS = 4  # 16 buckets per dimension -> 8-bit z-values
+
+
+def _zorder_bits_sql(bx: str, by: str) -> str:
+    """Portable bit-interleave of two {0..15} bucket ids (x gets the odd
+    bits, y the even) — pure integer arithmetic, identical in Spark SQL and
+    DuckDB."""
+    terms = []
+    for k in range(ZORDER_BITS):
+        terms.append(f"(({bx} // {1 << k}) % 2) * {1 << (2 * k + 1)}")
+        terms.append(f"(({by} // {1 << k}) % 2) * {1 << (2 * k)}")
+    return " + ".join(terms)
+
+
+# --------------------------------------------------------------------------
+# Z-ORDER clustered layout: the multi-dimensional companion to
+# range_clustered_write_stats. A single-key range sort gives perfect file
+# skipping on ONE column and none on any other; interleaving the bits of
+# two bucketized dimensions (customer, price) into a z-value and
+# range-clustering on THAT gives useful min/max pruning on BOTH — the
+# Delta/Iceberg OPTIMIZE ZORDER BY move, built from the same two
+# primitives (broadcast bounds + repartitionByRange), still with no global
+# single-task sort. The z math is integer-exact on both engines (integer
+# bucket of custkey; IEEE-identical float bucket of price), so the oracle
+# value-checks the interleave and the per-octant aggregate through the
+# write -> read-back round trip; the two-dimensional skipping property of
+# the written files is pinned in tests/test_sources.py.
+# --------------------------------------------------------------------------
+@query(
+    "zorder_clustered_write_stats",
+    oracle=f"""
+    WITH b AS (
+      SELECT MIN(o_custkey) AS minc, MAX(o_custkey) AS maxc,
+             MIN(o_totalprice) AS minp, MAX(o_totalprice) AS maxp
+      FROM orders
+    ), z AS (
+      SELECT o_totalprice,
+             {_zorder_bits_sql(
+                 "((o_custkey - minc) * 16) // (maxc - minc + 1)",
+                 "LEAST(15, CAST(FLOOR((o_totalprice - minp) * 16.0 "
+                 "/ (maxp - minp + 1e-9)) AS BIGINT))",
+             )} AS zval
+      FROM orders CROSS JOIN b
+    )
+    SELECT CAST(zval // 32 AS BIGINT) AS z_octant,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(zval) AS BIGINT) AS min_z,
+           CAST(MAX(zval) AS BIGINT) AS max_z,
+           ROUND(SUM(o_totalprice), 4) AS spend
+    FROM z
+    GROUP BY 1
+    """,
+)
+def zorder_clustered_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    b = orders.agg(
+        F.min("o_custkey").alias("minc"),
+        F.max("o_custkey").alias("maxc"),
+        F.min("o_totalprice").alias("minp"),
+        F.max("o_totalprice").alias("maxp"),
+    )
+    # Integer `div` keeps the bucket math identical to the oracle's `//`
+    # with no float in the custkey path at all.
+    bx = F.expr("((o_custkey - minc) * 16) div (maxc - minc + 1)")
+    by = F.least(
+        F.lit(15),
+        F.floor(
+            (F.col("o_totalprice") - F.col("minp"))
+            * 16.0
+            / (F.col("maxp") - F.col("minp") + 1e-9)
+        ),
+    ).cast("long")
+    zval = F.lit(0)
+    for k in range(ZORDER_BITS):
+        zval = (
+            zval
+            + (F.shiftright(bx.cast("int"), k) % 2) * (1 << (2 * k + 1))
+            + (F.shiftright(by.cast("int"), k) % 2) * (1 << (2 * k))
+        )
+    clustered = orders.crossJoin(F.broadcast(b)).withColumn("zval", zval)
+    out = sink_dir("zorder_sink") + "/orders_zorder"
+    (
+        clustered.select("o_orderkey", "o_custkey", "o_totalprice", "zval")
+        .repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    back = spark.read.parquet(out)
+    return back.groupBy((F.col("zval") / 32).cast("long").alias("z_octant")).agg(
+        F.count("*").alias("n_orders"),
+        F.min("zval").alias("min_z"),
+        F.max("zval").alias("max_z"),
+        F.round(F.sum("o_totalprice"), 4).alias("spend"),
+    )

@@ -119,3 +119,42 @@ def test_python_datasource_partition_planning(spark):
     )
     last = df.filter("row_id = 999").collect()[0]
     assert last["value"] == (999 * SYNTH_A + SYNTH_C) % SYNTH_M
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir):
+    """Two-dimensional file skipping: after the z-order clustered write,
+    at least one output file's [min,max] interval must be a strict subset
+    of the domain on EACH dimension — impossible for a single-key range
+    sort, where every file spans the full range of the other column."""
+    from parallel_mapreduce_spark.sources.roundtrip import (
+        zorder_clustered_write_stats,
+    )
+    from parallel_mapreduce_spark.sources.tables import sink_dir
+
+    zorder_clustered_write_stats(spark, sf_dir).collect()  # writes the layout
+    from pyspark.sql import functions as F
+
+    back = spark.read.parquet(sink_dir("zorder_sink") + "/orders_zorder")
+    boxes = (
+        back.select(
+            F.input_file_name().alias("f"), "o_custkey", "o_totalprice"
+        )
+        .groupBy("f")
+        .agg(
+            F.min("o_custkey").alias("lc"),
+            F.max("o_custkey").alias("hc"),
+            F.min("o_totalprice").alias("lp"),
+            F.max("o_totalprice").alias("hp"),
+        )
+        .collect()
+    )
+    assert len(boxes) > 1
+    lo_c = min(b["lc"] for b in boxes)
+    hi_c = max(b["hc"] for b in boxes)
+    lo_p = min(b["lp"] for b in boxes)
+    hi_p = max(b["hp"] for b in boxes)
+    span_c, span_p = hi_c - lo_c, hi_p - lo_p
+    narrow_c = [b for b in boxes if (b["hc"] - b["lc"]) < 0.9 * span_c]
+    narrow_p = [b for b in boxes if (b["hp"] - b["lp"]) < 0.9 * span_p]
+    assert narrow_c, "no file is prunable on the custkey dimension"
+    assert narrow_p, "no file is prunable on the price dimension"
