@@ -402,3 +402,134 @@ def pipeline_chunk_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RAG_TOP_K)
         .select("q_id", "doc_id", "chunk_idx", F.round("sim6", 4).alias("score"))
     )
+
+
+# --------------------------------------------------------------------------
+# Fourth capstone — TOKENIZE-PACK-SHARD: the endgame composition that turns
+# a cleaned corpus into training shards. Chains vocab build (frequency
+# floor) -> OOV accounting under that vocab -> contiguous per-source pack
+# assignment (hierarchical prefix, trainprep._pack_prefix) -> deterministic
+# hash sharding, reporting per-shard manifest rows with a value-level
+# docs_digest (md5 over the ordered member list) so the assignment itself
+# is hash-pinned, not just counted.
+#
+# Shuffle census: 1 token-count shuffle (vocab), 1 token->vocab left join
+# (AQE broadcasts the floored vocab), 1 (source, shard) window family for
+# the pack prefix, 1 shard aggregate. The corpus text crosses the wire
+# once (the explode); everything else is doc-grain or vocab-grain.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_tokenize_pack_shard",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    d AS (
+      SELECT doc_id, source, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM t WHERE len(toks) >= 1
+    ),
+    u AS (SELECT doc_id, unnest(toks) AS token FROM t WHERE len(toks) >= 1),
+    c AS (SELECT token FROM u GROUP BY token
+          HAVING COUNT(*) >= 3),
+    o AS (
+      SELECT u.doc_id,
+             CAST(SUM(CASE WHEN c.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+      FROM u LEFT JOIN c ON u.token = c.token GROUP BY u.doc_id
+    ),
+    p AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+                 PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS BIGINT) // 512 AS pack_id
+      FROM d
+    ),
+    s AS (
+      SELECT p.doc_id, p.source, p.n_tokens, p.pack_id, o.n_oov,
+             {phash60_sql("CAST(p.doc_id AS VARCHAR)")} % 16
+               AS shard_id
+      FROM p JOIN o ON p.doc_id = o.doc_id
+    )
+    SELECT shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           CAST(SUM(n_oov) AS BIGINT) AS n_oov,
+           CAST(COUNT(DISTINCT source || ':' || pack_id) AS BIGINT)
+             AS n_packs_touched,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS docs_digest
+    FROM s GROUP BY shard_id
+    """,
+)
+def pipeline_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallel_mapreduce_spark.functions.portable import phash60
+    from parallel_mapreduce_spark.functions.trainprep import (
+        N_TRAIN_SHARDS,
+        PACK_CAPACITY_TOKENS,
+        PACK_SHARD_SPAN,
+        VOCAB_MIN_COUNT,
+        _pack_prefix,
+    )
+
+    # oracle inlines these trainprep constants (precedent: chunk capstone)
+    assert (
+        VOCAB_MIN_COUNT == 3
+        and PACK_CAPACITY_TOKENS == 512
+        and N_TRAIN_SHARDS == 16
+    )
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    t = (
+        docs.select("doc_id", "source", tokens("text").alias("toks"))
+        .repartition(n_parts, "doc_id")
+        .filter(F.size("toks") >= 1)
+    )
+    d = t.select(
+        "doc_id", "source", F.size("toks").cast("long").alias("n_tokens")
+    )
+    u = t.select("doc_id", F.explode("toks").alias("token"))
+    vocab = (
+        u.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= VOCAB_MIN_COUNT)
+        .select("token", F.lit(True).alias("in_vocab"))
+    )
+    o = (
+        u.join(vocab, "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("in_vocab").isNull(), 1).otherwise(0)
+            ).cast("long").alias("n_oov")
+        )
+    )
+    p = _pack_prefix(d, PACK_SHARD_SPAN).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        (F.col("before") / F.lit(PACK_CAPACITY_TOKENS)).cast("long").alias(
+            "pack_id"
+        ),
+    )
+    s = p.join(o, "doc_id").withColumn(
+        "shard_id",
+        phash60(F.col("doc_id").cast("string")) % N_TRAIN_SHARDS,
+    )
+    digest = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+        )
+    )
+    return s.groupBy("shard_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_oov").alias("n_oov"),
+        F.countDistinct(F.concat_ws(":", "source", "pack_id")).alias(
+            "n_packs_touched"
+        ),
+        digest.alias("docs_digest"),
+    )
