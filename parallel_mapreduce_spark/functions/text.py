@@ -1735,14 +1735,22 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t.select("doc_id", F.size("toks").cast("long").alias("dl")).filter(
         F.col("dl") > 0
     )
-    p = (
-        t.select("doc_id", F.explode("toks").alias("term"))
-        .groupBy("doc_id", "term")
+    # Restrict the token stream to probe terms BEFORE the tf aggregate
+    # (broadcast equi-join below the groupBy): the postings shuffle carries
+    # only probe-term occurrences, not the corpus's (doc, term) pairs — the
+    # asymptotic difference between |corpus tokens| and |query-term hits|
+    # at 100 TB. dl rides the exploded rows into the aggregate key, so the
+    # scorer needs NO doc_id-keyed join back to a lengths table.
+    pq = (
+        t.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .join(F.broadcast(uterms), "term")
+        .groupBy("doc_id", "dl", "term")
         .agg(F.count("*").cast("long").alias("tf"))
     )
-    # Restrict postings to probe terms FIRST (broadcast semi-equi-join):
-    # df counts and scoring never touch non-query vocabulary.
-    pq = p.join(F.broadcast(uterms), "term")
     s = d.agg(
         F.count("*").cast("long").alias("n_docs"),
         F.round(F.avg("dl"), 6).alias("avgdl"),
@@ -1764,7 +1772,6 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     sc = (
         pq.join(F.broadcast(qterms), "term")
         .join(F.broadcast(dfq), "term")
-        .join(d, "doc_id")
         .crossJoin(F.broadcast(s))
         .groupBy("qid", "doc_id")
         .agg(F.round(F.sum(idf * tf_part), 4).alias("score"))
