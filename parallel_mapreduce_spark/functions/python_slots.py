@@ -275,3 +275,47 @@ def pandas_grouped_agg_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         count_udf()(chars).alias("n_docs"),
         iqr_udf()(chars).alias("iqr_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# pandas-on-Spark API surface: the same segment-revenue aggregate written
+# against `pyspark.pandas` (merge + groupby named aggregation) and handed
+# back to the DataFrame world with to_spark(). The point is the COMPILER
+# property, not the syntax: the pandas-shaped program lowers to the same
+# Catalyst plan family (broadcast hash join + partial aggregate) as the
+# DataFrame original — pandas ergonomics, distributed execution, no
+# driver-side pandas frame ever materializes. The oracle is the plain SQL
+# join+groupby, so the lowering itself is value-checked.
+# --------------------------------------------------------------------------
+@query(
+    "ps_segment_revenue",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def ps_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyspark.pandas as ps  # noqa: F401  (activates the API)
+
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    m = orders.pandas_api().merge(
+        cust.pandas_api(), left_on="o_custkey", right_on="c_custkey"
+    )
+    g = m.groupby("c_mktsegment", as_index=False).agg(
+        n_orders=("o_totalprice", "count"),
+        revenue=("o_totalprice", "sum"),
+    )
+    return g.to_spark().select(
+        "c_mktsegment",
+        F.col("n_orders").cast("long").alias("n_orders"),
+        F.round("revenue", 4).alias("revenue"),
+    )
