@@ -743,13 +743,30 @@ def having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 # approx_count_distinct uses a different sketch, values can't hash-match;
 # accuracy vs exact is asserted in tests/test_plans.py.
 # --------------------------------------------------------------------------
-@query("approx_distinct_parts")
+@query(
+    "approx_distinct_parts",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+           TRUE AS hll_within_15pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def approx_distinct_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch vs exact distinct. The sketch estimate itself is
+    engine-specific (DuckDB cannot replay Spark's HLL), but the check is
+    still VALUE-level: the exact count is compared directly, and the
+    engine asserts the sketch lands within 15% of it (default rsd=0.05 ->
+    3 sigma; measured error is ~2.6% at every sf) — the oracle pins that
+    boolean to TRUE. A degraded sketch now fails the hash instead of
+    passing a rows-only count."""
     register_views(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
+    exact = F.countDistinct("l_partkey")
+    approx = F.approx_count_distinct("l_partkey")
     return li.groupBy("l_returnflag").agg(
-        F.approx_count_distinct("l_partkey").alias("approx_parts"),
-        F.countDistinct("l_partkey").alias("exact_parts"),
+        exact.cast("long").alias("exact_parts"),
+        (F.abs(approx - exact) <= 0.15 * exact).alias("hll_within_15pct"),
     )
 
 
@@ -1203,21 +1220,40 @@ def q10_returned_items_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `price_percentiles`). Rows-only (DuckDB's approx_quantile uses a different
 # sketch); closeness to the exact values is asserted in tests/test_plans.py.
 # --------------------------------------------------------------------------
-@query("price_percentiles_approx")
+@query(
+    "price_percentiles_approx",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+           TRUE AS p50_within_2pct,
+           TRUE AS p90_within_2pct,
+           TRUE AS p99_within_2pct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def price_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percentile_approx (Greenwald-Khanna sketch) vs exact interpolated
+    percentiles. Same upgrade as approx_distinct_parts: the sketch output
+    is engine-specific, but the exact p50 crosses the hash directly and
+    the engine asserts each sketch quantile lands within 2% of its exact
+    twin (measured error ~0.1% at every sf with accuracy=10000); the
+    oracle pins the booleans TRUE."""
     register_views(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     acc = F.lit(10000)  # 1/accuracy relative error bound
+
+    def within(p: float):
+        exact = F.percentile("l_extendedprice", F.lit(p))
+        approx = F.percentile_approx("l_extendedprice", F.lit(p), acc)
+        return F.abs(approx - exact) <= 0.02 * exact
+
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), acc), 4
-        ).alias("p50"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.9), acc), 4
-        ).alias("p90"),
-        F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.99), acc), 4
-        ).alias("p99"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "p50_exact"
+        ),
+        within(0.5).alias("p50_within_2pct"),
+        within(0.9).alias("p90_within_2pct"),
+        within(0.99).alias("p99_within_2pct"),
     )
 
 
