@@ -1169,3 +1169,164 @@ def recursive_cte_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         _REACH_ENGINE_SQL.format(start=REACH_START, max_hops=REACH_MAX_HOPS)
     )
+
+
+# --------------------------------------------------------------------------
+# CEP-style sequence pattern matching (the Flink-CEP / MATCH_RECOGNIZE
+# shape): flag sessions whose ordered event-type sequence contains a
+# click -> purchase run with NO error between them (the synthetic stream's
+# sessions are 1-3 events long — avg 1.05 — so a longer pattern would
+# never fire; 23 sessions match this one at sf0.01, exercising the true
+# path). The sequence is matched as a REGEX over the space-joined
+# per-session type string — one regex evaluation per session, not a
+# window-function cascade per pattern element, so adding pattern states
+# costs nothing at plan level. The intermediate-state alternation is
+# enumerated (view|click|signup) instead of a negative lookahead because
+# DuckDB's RE2 has no lookahead — keeping the ENGINE and ORACLE regex
+# semantics identical is part of the operator contract.
+#
+# Scale: sessionization is the standard per-user LAG/SUM window (bounded
+# by one user's history); the collect is per-session (bounded by session
+# length); the regex is a narrow map over session-grain rows.
+# --------------------------------------------------------------------------
+CEP_PATTERN = r"(^| )click( (view|click|signup))* purchase( |$)"
+
+
+@query(
+    "events_cep_pattern_sessions",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, event_type,
+             LAG(ts) OVER (PARTITION BY user_id
+                           ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_ts
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, ts, event_type,
+             CASE WHEN prev_ts IS NULL
+                       OR date_diff('microsecond', prev_ts, ts)
+                          > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), s AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id
+                                    ORDER BY CAST(ts AS TIMESTAMP), event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS session_id
+      FROM m
+    ), seq AS (
+      SELECT user_id, session_id,
+             string_agg(event_type, ' '
+                        ORDER BY CAST(ts AS TIMESTAMP), event_id) AS types
+      FROM s GROUP BY user_id, session_id
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN regexp_matches(types, '{CEP_PATTERN}')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM seq GROUP BY user_id
+    """,
+)
+def events_cep_pattern_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w_order = W.partitionBy("user_id").orderBy("ts", "event_id")
+    usec = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev_usec = F.lag(usec).over(w_order)
+    is_new = F.when(
+        prev_usec.isNull() | ((usec - prev_usec) > SESSION_GAP_US), 1
+    ).otherwise(0)
+    s = ev.withColumn(
+        "session_id",
+        F.sum(is_new)
+        .over(w_order.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .cast("long"),
+    ).select(
+        "user_id",
+        "session_id",
+        usec.alias("us"),
+        "event_id",
+        "event_type",
+    )
+    # Order-preserving per-session sequence: sort (us, event_id, type)
+    # structs after the grouped collect — same determinism recipe as
+    # tokens_to_ids' positional reassembly.
+    seq = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("us", "event_id", "event_type"))
+                    ),
+                    lambda x: x.getField("event_type"),
+                ),
+                " ",
+            ).alias("types")
+        )
+    )
+    matched = F.when(F.col("types").rlike(CEP_PATTERN), 1).otherwise(0)
+    return seq.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(matched).cast("long").alias("n_matched"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bipartite projection: the user--event-type bipartite graph projected onto
+# event types, weighted by co-engagement — for each type pair, how many
+# DISTINCT users touched both, plus the Jaccard affinity against each
+# type's audience size. The projection's fan-out is |types-per-user| choose
+# 2 per user — bounded by the (tiny) type vocabulary squared, NOT by event
+# volume, because the self-join runs on the DISTINCT (user, type) frame
+# after one dedup shuffle. The classic market-basket / co-view shape.
+# --------------------------------------------------------------------------
+@query(
+    "event_type_cooccurrence",
+    oracle="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    c AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n FROM ut
+          GROUP BY event_type),
+    p AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_both
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY 1, 2
+    )
+    SELECT type_a, type_b, n_both,
+           ROUND(n_both * 1.0 / (ca.n + cb.n - n_both), 4) AS jaccard
+    FROM p
+    JOIN c ca ON ca.event_type = type_a
+    JOIN c cb ON cb.event_type = type_b
+    """,
+)
+def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    c = ut.groupBy("event_type").agg(F.count("*").cast("long").alias("n"))
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    p = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count("*").cast("long").alias("n_both"))
+    )
+    ca = c.select(F.col("event_type").alias("type_a"), F.col("n").alias("na"))
+    cb = c.select(F.col("event_type").alias("type_b"), F.col("n").alias("nb"))
+    return (
+        p.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            F.round(
+                F.col("n_both") * 1.0
+                / (F.col("na") + F.col("nb") - F.col("n_both")),
+                4,
+            ).alias("jaccard"),
+        )
+    )
