@@ -63,6 +63,9 @@ def main() -> None:
                 if best2[1] <= best2[0] * 1.15:
                     break
         timings[name] = round(min(runs), 3)
+    # load_1m: host load average when the run finished — context for
+    # cross-round comparisons (this box's ambient load inflates every query
+    # uniformly by up to ~40%; a high value here flags a noisy window).
     print(
         json.dumps(
             {
@@ -71,6 +74,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_of(sf_dir),
+                "load_1m": round(os.getloadavg()[0], 2),
             }
         )
     )
