@@ -2183,3 +2183,80 @@ def dq_constraint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(orphan_l)
         .unionByName(ship_bad)
     )
+
+
+CDC_MOD = 97
+
+
+# --------------------------------------------------------------------------
+# CDC apply WITH tombstones — the full change-data-capture alphabet on top
+# of orders_merge_upsert's upsert shape: a change feed carrying
+# inserts (I), updates (U), and deletes (D) applied in one full-outer
+# join; matched deletes drop the row, matched updates take the new value,
+# unmatched inserts append, untouched base rows persist. The tombstone
+# filter uses null-safe comparison (op IS DISTINCT FROM 'D' /
+# eqNullSafe) because unmatched base rows surface op = NULL and a plain
+# <> would silently drop them. Same scale posture as the upsert: one
+# shuffle per side on the merge key; a real deltas-sized feed broadcasts.
+# --------------------------------------------------------------------------
+@query(
+    "cdc_apply_with_deletes",
+    oracle=f"""
+    WITH chg AS (
+      SELECT o_orderkey AS k, 'D' AS op, CAST(NULL AS DOUBLE) AS new_price
+      FROM orders WHERE o_orderkey % {CDC_MOD} = 0
+      UNION ALL
+      SELECT o_orderkey, 'U', ROUND(o_totalprice * 1.1, 4)
+      FROM orders WHERE o_orderkey % {CDC_MOD} = 1
+      UNION ALL
+      SELECT o_orderkey + {MERGE_INSERT_OFFSET}, 'I',
+             ROUND(o_totalprice / 3, 4)
+      FROM orders WHERE o_orderkey % {CDC_MOD} = 2
+    )
+    SELECT COALESCE(o_orderkey, k) AS o_orderkey,
+           ROUND(COALESCE(new_price, o_totalprice), 4) AS final_price,
+           CASE WHEN o_orderkey IS NULL THEN 'insert'
+                WHEN op = 'U' THEN 'update'
+                ELSE 'keep' END AS action
+    FROM orders FULL OUTER JOIN chg ON o_orderkey = k
+    WHERE op IS DISTINCT FROM 'D'
+    """,
+)
+def cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    key = F.col("o_orderkey")
+    deletes = orders.filter(key % CDC_MOD == 0).select(
+        key.alias("k"),
+        F.lit("D").alias("op"),
+        F.lit(None).cast("double").alias("new_price"),
+    )
+    updates = orders.filter(key % CDC_MOD == 1).select(
+        key.alias("k"),
+        F.lit("U").alias("op"),
+        F.round(F.col("o_totalprice") * 1.1, 4).alias("new_price"),
+    )
+    inserts = orders.filter(key % CDC_MOD == 2).select(
+        (key + MERGE_INSERT_OFFSET).alias("k"),
+        F.lit("I").alias("op"),
+        F.round(F.col("o_totalprice") / 3, 4).alias("new_price"),
+    )
+    chg = deletes.unionByName(updates).unionByName(inserts)
+    joined = orders.join(chg, orders.o_orderkey == chg.k, "full_outer")
+    action = (
+        F.when(F.col("o_orderkey").isNull(), "insert")
+        .when(F.col("op") == "U", "update")
+        .otherwise("keep")
+    )
+    return (
+        joined.filter(~F.col("op").eqNullSafe(F.lit("D")))
+        .select(
+            F.coalesce("o_orderkey", "k").alias("o_orderkey"),
+            F.round(F.coalesce("new_price", "o_totalprice"), 4).alias(
+                "final_price"
+            ),
+            action.alias("action"),
+        )
+    )
