@@ -1330,3 +1330,59 @@ def event_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Local-time rollup across IANA time zones: the event stream stored in UTC
+# reported as per-zone LOCAL calendar dates — the classic analytics trap
+# where a "daily" metric differs per region. Zones chosen to pin the edge
+# semantics: a negative offset (America/New_York shifts late-evening UTC
+# events to the PREVIOUS local date), a large positive one (Asia/Tokyo),
+# and a non-whole-hour offset (Asia/Kathmandu, +05:45). Dates cross the
+# oracle comparison as formatted strings per the registry convention.
+# Engine side fans one scan out via explode over a (zone, local_ts)
+# struct array — a narrow map, one aggregate shuffle of |zones| x |dates|
+# groups; DuckDB mirrors with per-zone UNION ALL branches
+# (timezone('UTC', ts) interprets the naive stamp as UTC, the outer
+# timezone(tz, ...) renders the instant in zone-local time).
+# --------------------------------------------------------------------------
+ROLLUP_ZONES = ["UTC", "America/New_York", "Asia/Tokyo", "Asia/Kathmandu"]
+
+
+def _tz_branch_sql(tz: str) -> str:
+    return f"""
+      SELECT '{tz}' AS zone,
+             strftime(CAST(timezone('{tz}',
+                 timezone('UTC', CAST(ts AS TIMESTAMP))) AS DATE),
+                 '%Y-%m-%d') AS local_date
+      FROM events"""
+
+
+@query(
+    "events_local_date_rollup",
+    oracle=f"""
+    WITH z AS ({" UNION ALL ".join(_tz_branch_sql(z) for z in ROLLUP_ZONES)})
+    SELECT zone, local_date, CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM z GROUP BY zone, local_date
+    """,
+)
+def events_local_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    branches = F.array(
+        *[
+            F.struct(
+                F.lit(tz).alias("zone"),
+                F.date_format(
+                    F.from_utc_timestamp(F.col("ts"), tz), "yyyy-MM-dd"
+                ).alias("local_date"),
+            )
+            for tz in ROLLUP_ZONES
+        ]
+    )
+    return (
+        ev.select(F.explode(branches).alias("b"))
+        .select("b.zone", "b.local_date")
+        .groupBy("zone", "local_date")
+        .agg(F.count("*").alias("n_events"))
+    )
