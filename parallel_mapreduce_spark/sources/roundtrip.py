@@ -462,3 +462,118 @@ def zorder_clustered_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("zval").alias("max_z"),
         F.round(F.sum("o_totalprice"), 4).alias("spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nested-types parquet round trip: struct<n,total> + array<struct> tail +
+# map<string,bigint> counts, built per user, written to parquet, read
+# back, and flattened with higher-order functions — the complex-schema IO
+# surface (Parquet's repeated/key_value groups) a 100 TB lake leans on for
+# event payloads and feature bundles. Determinism: the tail is the last 3
+# events in (ts, event_id) order via array_sort on structs; the map is
+# rendered through SORTED map_entries (map iteration order is undefined,
+# so no map value ever crosses the comparison unordered).
+# --------------------------------------------------------------------------
+@query(
+    "nested_types_roundtrip",
+    oracle="""
+    WITH b AS (
+      SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS tss,
+             event_type AS etype,
+             COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)
+               AS k,
+             value
+      FROM events
+    ),
+    pt AS (SELECT user_id, etype, CAST(COUNT(*) AS BIGINT) AS cnt
+           FROM b GROUP BY user_id, etype),
+    km AS (SELECT user_id,
+                  string_agg(etype || '=' || cnt, ',' ORDER BY etype)
+                    AS kmap_csv
+           FROM pt GROUP BY user_id),
+    r AS (SELECT user_id, event_id, etype, k, tss,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY tss DESC, event_id DESC) AS rn
+          FROM b),
+    tl AS (SELECT user_id,
+                  string_agg(event_id || ':' || etype || ':' || k, ','
+                             ORDER BY tss, event_id) AS tail_csv
+           FROM r WHERE rn <= 3 GROUP BY user_id),
+    st AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+                  ROUND(SUM(value), 4) AS total
+           FROM b GROUP BY user_id)
+    SELECT st.user_id, n, total, tail_csv, kmap_csv
+    FROM st JOIN tl ON st.user_id = tl.user_id
+    JOIN km ON st.user_id = km.user_id
+    """,
+)
+def nested_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    k = F.coalesce(
+        F.get_json_object("props", "$.k").cast("long"), F.lit(-1)
+    )
+    base = ev.select(
+        "user_id",
+        us.alias("us"),
+        "event_id",
+        F.col("event_type").alias("etype"),
+        k.alias("k"),
+        "value",
+    )
+    per_type = base.groupBy("user_id", "etype").agg(
+        F.count("*").alias("cnt")
+    )
+    kmap = per_type.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("etype", "cnt")))
+        ).alias("kmap")
+    )
+    ordered = F.array_sort(
+        F.collect_list(F.struct("us", "event_id", "etype", "k"))
+    )
+    stats = base.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("total"),
+        F.slice(
+            ordered,
+            F.greatest(F.lit(1), F.size(ordered) - F.lit(2)),
+            F.lit(3),
+        ).alias("tail"),
+    )
+    nested = stats.join(kmap, "user_id").select(
+        "user_id",
+        F.struct("n", "total").alias("stats"),
+        "tail",
+        "kmap",
+    )
+    out = sink_dir("nested_sink") + "/user_bundles"
+    nested.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    tail_csv = F.array_join(
+        F.transform(
+            F.col("tail"),
+            lambda x: F.concat_ws(
+                ":",
+                x.getField("event_id"),
+                x.getField("etype"),
+                x.getField("k"),
+            ),
+        ),
+        ",",
+    )
+    kmap_csv = F.array_join(
+        F.transform(
+            F.array_sort(F.map_entries("kmap")),
+            lambda e: F.concat_ws("=", e.getField("key"), e.getField("value")),
+        ),
+        ",",
+    )
+    return back.select(
+        "user_id",
+        F.col("stats.n").alias("n"),
+        F.col("stats.total").alias("total"),
+        tail_csv.alias("tail_csv"),
+        kmap_csv.alias("kmap_csv"),
+    )
