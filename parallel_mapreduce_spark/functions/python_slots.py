@@ -319,3 +319,77 @@ def ps_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long").alias("n_orders"),
         F.round("revenue", 4).alias("revenue"),
     )
+
+
+def _cogroup_user_value_share(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+    """cogrouped-map kernel: per user, events (left) vs the user's segment
+    row (right) -> one summary row. Runs once per user_id group with BOTH
+    sides' rows for that key materialized as pandas frames."""
+    if left.empty:
+        return pd.DataFrame(
+            columns=["user_id", "segment", "n_events", "total_value"]
+        )
+    seg = right["segment"].iloc[0] if not right.empty else "<none>"
+    return pd.DataFrame(
+        {
+            "user_id": [int(left["user_id"].iloc[0])],
+            "segment": [seg],
+            "n_events": [len(left)],
+            "total_value": [round(float(left["value"].sum()), 4)],
+        }
+    )
+
+
+# --------------------------------------------------------------------------
+# Co-grouped pandas slot (`groupby().cogroup(...).applyInPandas`): the last
+# Python-surface API family — both sides of a key are shuffled to the same
+# task and handed to the kernel as two pandas frames. The right shape for
+# per-key reconciliation logic too imperative for a join (sessionized
+# diffing, per-entity model state). Scale: one co-partitioned shuffle per
+# side, Arrow-batched; the kernel sees ONE key's rows, never a partition's.
+# The oracle is the equivalent LEFT JOIN + aggregate, value-checking the
+# cogroup semantics (including users absent from the dimension side).
+# --------------------------------------------------------------------------
+@query(
+    "cogrouped_user_value_share",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CASE WHEN user_id % 3 = 0 THEN 'free'
+                  WHEN user_id % 3 = 1 THEN 'pro' END AS segment
+      FROM (SELECT DISTINCT user_id FROM events)
+      WHERE user_id % 3 < 2
+    )
+    SELECT e.user_id,
+           COALESCE(seg.segment, '<none>') AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(e.value), 4) AS total_value
+    FROM events e LEFT JOIN seg ON e.user_id = seg.user_id
+    GROUP BY e.user_id, seg.segment
+    """,
+)
+def cogrouped_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select("user_id", "value")
+    # Deterministic partial dimension: users with user_id % 3 == 2 are
+    # deliberately ABSENT so the kernel's missing-right-side branch runs.
+    seg = (
+        ev.select("user_id")
+        .distinct()
+        .filter(F.col("user_id") % 3 < 2)
+        .select(
+            "user_id",
+            F.when(F.col("user_id") % 3 == 0, "free")
+            .otherwise("pro")
+            .alias("segment"),
+        )
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(seg.groupBy("user_id"))
+        .applyInPandas(
+            _cogroup_user_value_share,
+            "user_id bigint, segment string, n_events bigint, "
+            "total_value double",
+        )
+    )

@@ -27,6 +27,7 @@ PYTHON_SURFACE = {
     "multimodal_resize",
     "udtf_split_sentences",
     "arrow_doc_lengths",
+    "cogrouped_user_value_share",
 }
 # Queries that execute eagerly on construction (stream run / iterative loop);
 # their returned frame's plan is a result scan, still audited for the flags.
