@@ -1386,3 +1386,57 @@ def events_local_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("zone", "local_date")
         .agg(F.count("*").alias("n_events"))
     )
+
+
+# --------------------------------------------------------------------------
+# OHLC downsampling (the finance resample): per hour, the value stream's
+# open/high/low/close + volume. open/close are argmin/argmax by event time
+# — min_by/max_by over a zero-padded (micros, event_id) string key, which
+# orders lexicographically exactly as the numeric pair (DuckDB's arg_min
+# accepts no struct ordering key, so the portable key is a string on BOTH
+# engines; the event_id suffix breaks same-microsecond ties
+# deterministically). One aggregate shuffle of |hours| groups; no windows.
+# --------------------------------------------------------------------------
+@query(
+    "events_value_ohlc_hourly",
+    oracle="""
+    WITH b AS (
+      SELECT CAST(epoch(date_trunc('hour', CAST(ts AS TIMESTAMP))) AS BIGINT)
+               AS hour_epoch,
+             value,
+             printf('%020d', epoch_us(CAST(ts AS TIMESTAMP))) || ':'
+               || printf('%012d', event_id) AS ord
+      FROM events
+    )
+    SELECT hour_epoch,
+           ROUND(arg_min(value, ord), 4) AS open,
+           ROUND(MAX(value), 4) AS high,
+           ROUND(MIN(value), 4) AS low,
+           ROUND(arg_max(value, ord), 4) AS close,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM b GROUP BY hour_epoch
+    """,
+)
+def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    ord_key = F.concat(
+        F.lpad(us.cast("string"), 20, "0"),
+        F.lit(":"),
+        F.lpad(F.col("event_id").cast("string"), 12, "0"),
+    )
+    hour = F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias(
+        "hour_epoch"
+    )
+    return (
+        ev.select(hour, "value", ord_key.alias("ord"))
+        .groupBy("hour_epoch")
+        .agg(
+            F.round(F.min_by("value", F.col("ord")), 4).alias("open"),
+            F.round(F.max("value"), 4).alias("high"),
+            F.round(F.min("value"), 4).alias("low"),
+            F.round(F.max_by("value", F.col("ord")), 4).alias("close"),
+            F.count("*").alias("n_events"),
+        )
+    )

@@ -2260,3 +2260,42 @@ def cdc_apply_with_deletes(spark: SparkSession, sf_dir: str) -> DataFrame:
             action.alias("action"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# ROLLUP with grouping_id-labeled subtotal rows: NULL-based subtotal
+# detection breaks the moment a grouping column itself contains NULLs;
+# grouping_id() is the unambiguous label (bitmask, first rollup column =
+# most significant bit — the SAME convention in Spark and DuckDB, pinned
+# here by the value hash). Companion to the unlabeled rollup/cube queries.
+# --------------------------------------------------------------------------
+@query(
+    "rollup_labeled_subtotals",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS spend
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_labeled_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("spend"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+            "gid",
+            "n_orders",
+            "spend",
+        )
+    )
