@@ -320,3 +320,69 @@ def stream_hourly_parquet_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     out = sink_dir("stream_sink")
     return run_hourly_stream_to_parquet(spark, sf_dir, out + "/agg")
+
+
+@query(
+    "stream_dual_sink_consistency",
+    oracle="""
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           event_type,
+           COUNT(*) AS cnt,
+           ROUND(SUM(value), 4) AS sum_value,
+           TRUE AS sinks_agree
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-sink foreachBatch fanout: each micro-batch's aggregate snapshot
+    is written to TWO parquet sinks from one batch callback (metrics store +
+    lake copy — the standard fanout when one streaming computation feeds
+    several consumers). The returned frame full-outer-joins the read-back
+    sinks and asserts row-level agreement, and the oracle pins the agreed
+    values to the batch aggregate — so BOTH writers and the fanout's
+    consistency are value-checked. Per-batch overwrite keeps the pattern
+    idempotent under batch replay (the exactly-once recipe for snapshot
+    sinks); an append sink would instead dedupe on batch_id downstream."""
+    from parallel_mapreduce_spark.sources.tables import sink_dir
+
+    base = sink_dir("stream_dual_sink")
+    pa, pb = base + "/metrics", base + "/lake"
+
+    def _sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(pa)
+        batch_df.write.mode("overwrite").parquet(pb)
+
+    q = (
+        hourly_events_stream(spark, sf_dir)
+        .writeStream.foreachBatch(_sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    a = spark.read.parquet(pa)
+    b = spark.read.parquet(pb).select(
+        F.col("hour_epoch").alias("h2"),
+        F.col("event_type").alias("t2"),
+        F.col("cnt").alias("cnt2"),
+        F.col("sum_value").alias("sv2"),
+    )
+    j = a.join(
+        b,
+        (a.hour_epoch == b.h2) & (a.event_type == b.t2),
+        "full_outer",
+    )
+    agree = (
+        F.col("hour_epoch").isNotNull()
+        & F.col("h2").isNotNull()
+        & (F.col("cnt") == F.col("cnt2"))
+        & (F.col("sum_value") == F.col("sv2"))
+    )
+    return j.select(
+        "hour_epoch",
+        "event_type",
+        "cnt",
+        "sum_value",
+        agree.alias("sinks_agree"),
+    )
