@@ -67,3 +67,42 @@ def global_row_number(
         .withColumn(out, (F.col("_base") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_base")
     )
+
+
+def global_prefix_sum(
+    df: DataFrame,
+    order: list[Column],
+    value: str,
+    out: str = "cum",
+    num_shards: int | None = None,
+) -> DataFrame:
+    """Append ``out`` = inclusive running SUM(value) OVER (ORDER BY *order*)
+    — the prefix-sum twin of :func:`global_row_number`, same decomposition:
+    range shards, local cumulative window, broadcast shard bases. ``order``
+    must be total; ``value`` should be integer-typed when the cumsum feeds
+    threshold comparisons (integer addition is associative, so the sharded
+    summation order cannot drift a boundary the way doubles can).
+    """
+    n = num_shards or max(df.sparkSession.sparkContext.defaultParallelism, 8)
+    ranged = df.repartitionByRange(n, *order).withColumn(
+        "_pid", F.spark_partition_id()
+    )
+    w_local = (
+        W.partitionBy("_pid")
+        .orderBy(*order)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    local = ranged.withColumn("_local", F.sum(value).over(w_local))
+    totals = ranged.groupBy("_pid").agg(F.sum(value).alias("_t"))
+    w_base = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
+    bases = totals.select(
+        "_pid",
+        F.coalesce(F.sum("_t").over(w_base), F.lit(0).cast("long")).alias(
+            "_base"
+        ),
+    )
+    return (
+        local.join(F.broadcast(bases), "_pid")
+        .withColumn(out, F.col("_base") + F.col("_local"))
+        .drop("_pid", "_local", "_base")
+    )

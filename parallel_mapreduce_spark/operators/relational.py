@@ -2299,3 +2299,83 @@ def rollup_labeled_subtotals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "spend",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# WEIGHTED median (lower weighted median: smallest price whose cumulative
+# quantity-weight reaches half the group total) per return flag — the
+# robust-statistics aggregate percentile() cannot express (it has no
+# weight argument portable across engines). The cumulative weight is
+# computed HIERARCHICALLY (operators/rank.global_prefix_sum: range shards
+# on the global (flag, price, key) order + broadcast shard bases), then
+# per-flag cumulative = global cumulative minus the broadcast sum of
+# EARLIER flags — the stratified_split trick applied to SUM, so no window
+# ever spans a flag's full (corpus-scale) slice. Weights are cast to
+# BIGINT: integer addition is associative, so the sharded summation and
+# the oracle's sequential window land on identical boundary values —
+# "2*cum >= total" cannot flip on a last-ulp float.
+# --------------------------------------------------------------------------
+@query(
+    "price_weighted_median_by_flag",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(l_quantity AS BIGINT) AS w,
+             l_orderkey, l_linenumber
+      FROM lineitem
+    ), c AS (
+      SELECT flag, price, w,
+             CAST(SUM(w) OVER (PARTITION BY flag
+                               ORDER BY price, l_orderkey, l_linenumber
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS totw
+      FROM b
+    )
+    SELECT flag,
+           CAST(totw AS BIGINT) AS total_weight,
+           ROUND(MIN(CASE WHEN 2 * cumw >= totw THEN price END), 4)
+             AS weighted_median
+    FROM c GROUP BY flag, totw
+    """,
+)
+def price_weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallel_mapreduce_spark.operators.rank import global_prefix_sum
+
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    order = [
+        F.asc("flag"),
+        F.asc("price"),
+        F.asc("l_orderkey"),
+        F.asc("l_linenumber"),
+    ]
+    cum = global_prefix_sum(b, order, "w", out="gcum")
+    totals = b.groupBy("flag").agg(F.sum("w").alias("totw"))
+    w_base = W.orderBy("flag").rowsBetween(W.unboundedPreceding, -1)
+    bases = totals.select(
+        "flag",
+        "totw",
+        F.coalesce(F.sum("totw").over(w_base), F.lit(0).cast("long")).alias(
+            "_earlier"
+        ),
+    )
+    c = cum.join(F.broadcast(bases), "flag").withColumn(
+        "cumw", F.col("gcum") - F.col("_earlier")
+    )
+    return (
+        c.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("flag", "totw")
+        .agg(F.round(F.min("price"), 4).alias("weighted_median"))
+        .select(
+            "flag",
+            F.col("totw").cast("long").alias("total_weight"),
+            "weighted_median",
+        )
+    )
