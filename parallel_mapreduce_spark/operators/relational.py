@@ -2379,3 +2379,57 @@ def price_weighted_median_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
             "weighted_median",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 SQL SCRIPTING (BEGIN/DECLARE/WHILE): data-dependent iterative
+# control flow expressed IN SQL — a doubling search for the smallest
+# power-of-two price threshold covering at least half the orders. Each
+# loop iteration runs a real aggregate; the loop count is decided by the
+# data, which is exactly what static SQL cannot express and what the
+# scripting surface (or a driver-side loop) is for. The oracle replays the
+# search declaratively: the predicate is monotone in the threshold, so the
+# WHILE result equals the minimum over the geometric grid. The scan per
+# iteration is a pushdown count; iterations are O(log(price range)).
+# --------------------------------------------------------------------------
+SCRIPT_BASE_THRESHOLD = 4096
+
+
+@query(
+    "sql_scripting_threshold_search",
+    oracle=f"""
+    WITH nn AS (
+      SELECT CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) AS need FROM orders
+    ),
+    g AS (SELECT CAST({SCRIPT_BASE_THRESHOLD} * (1::BIGINT << i) AS BIGINT)
+                 AS thr
+          FROM range(0, 24) t(i)),
+    c AS (SELECT thr,
+                 (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+                  WHERE o_totalprice < thr) AS n_below
+          FROM g),
+    sel AS (SELECT thr, n_below FROM c, nn
+            WHERE n_below >= need ORDER BY thr LIMIT 1)
+    SELECT CAST(thr AS BIGINT) AS threshold,
+           n_below,
+           need AS n_needed
+    FROM sel, nn
+    """,
+)
+def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.conf.set("spark.sql.scripting.enabled", "true")
+    return spark.sql(f"""
+    BEGIN
+      DECLARE t BIGINT DEFAULT {SCRIPT_BASE_THRESHOLD};
+      DECLARE need BIGINT;
+      DECLARE have BIGINT;
+      SET need = (SELECT CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) FROM orders);
+      SET have = (SELECT COUNT(*) FROM orders WHERE o_totalprice < t);
+      WHILE have < need DO
+        SET t = t * 2;
+        SET have = (SELECT COUNT(*) FROM orders WHERE o_totalprice < t);
+      END WHILE;
+      SELECT t AS threshold, have AS n_below, need AS n_needed;
+    END
+    """)
