@@ -2433,3 +2433,44 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT t AS threshold, have AS n_below, need AS n_needed;
     END
     """)
+
+
+TRY_BIG = 9223372036854775807 - 100  # BIGINT max minus a small headroom
+
+
+# --------------------------------------------------------------------------
+# ANSI-safe arithmetic (try_divide / try_add): Spark 4 runs ANSI mode by
+# default, where division by zero and integer overflow FAIL the job — the
+# correct default for a 100 TB run (silent nulls hide corruption), with
+# the try_* family as the explicit opt-out where null-on-error is the
+# intended semantics. This query pins those semantics value-level: a
+# divisor that hits zero on real rows (quantity - 30) and an addend that
+# overflows BIGINT exactly when l_orderkey > 100; the oracle spells out
+# the expected null-sets as CASE expressions, so an engine that silently
+# wrapped or errored would hash-mismatch.
+# --------------------------------------------------------------------------
+@query(
+    "ansi_try_arithmetic_report",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN l_quantity = 30 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_div_null,
+           CAST(SUM(CASE WHEN l_orderkey > 100 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_overflow_null,
+           ROUND(SUM(CASE WHEN l_quantity <> 30
+                          THEN l_extendedprice / (l_quantity - 30) END), 4)
+             AS sum_safe_rate
+    FROM lineitem
+    """,
+)
+def ansi_try_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    rate = F.try_divide(F.col("l_extendedprice"), F.col("l_quantity") - 30)
+    overflow = F.try_add(F.col("l_orderkey"), F.lit(TRY_BIG))
+    return li.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(rate.isNull().cast("long")).alias("n_div_null"),
+        F.sum(overflow.isNull().cast("long")).alias("n_overflow_null"),
+        F.round(F.sum(rate), 4).alias("sum_safe_rate"),
+    )
