@@ -466,3 +466,28 @@ def test_recursive_reachability_recursion_is_post_aggregate(spark, sf_dir):
     assert not any("events.parquet" in f for f in files)
     # ...and the plan replays no corpus-scale LEAD derivation per step
     assert "Window" not in plan
+
+
+def test_nested_schema_pruning_and_nested_filter_pushdown(spark, sf_dir):
+    """The nested bundles sink must support surgical reads: selecting
+    user_id + stats.total with a stats.n predicate prunes the (heavy)
+    tail/kmap columns out of ReadSchema entirely and pushes the
+    NESTED-FIELD filter to the parquet scan — the property that makes
+    wide nested payloads affordable to query at 100 TB."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.sources.roundtrip import (
+        nested_types_roundtrip,
+    )
+    from parallel_mapreduce_spark.sources.tables import sink_dir
+
+    nested_types_roundtrip(spark, sf_dir).collect()  # writes the layout
+    back = spark.read.parquet(sink_dir("nested_sink") + "/user_bundles")
+    plan = _plan(
+        back.filter(F.col("stats.n") > 50).select("user_id", "stats.total")
+    )
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "tail" not in read_schema and "kmap" not in read_schema
+    assert "stats" in read_schema
+    assert "GreaterThan(stats.n,50)" in plan  # nested predicate pushed
