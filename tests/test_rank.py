@@ -84,3 +84,26 @@ def test_property_matches_naive_on_random_frames(spark):
         df = spark.createDataFrame(rows, "k long, v long, s string")
         order = [F.desc("v"), F.asc("s"), F.asc("k")]
         _assert_matches_naive(df, order)
+
+
+def test_prefix_sum_matches_naive_window(spark):
+    from parallel_mapreduce_spark.operators.rank import global_prefix_sum
+
+    df = spark.range(0, 800).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 31 % 17).alias("v"),
+        ((F.col("id") * 7) % 23 + 1).alias("w"),
+    )
+    order = [F.asc("v"), F.asc("k")]
+    got = {
+        r["k"]: r["cum"]
+        for r in global_prefix_sum(df, order, "w", out="cum").collect()
+    }
+    w_naive = W.orderBy(*order).rowsBetween(W.unboundedPreceding, W.currentRow)
+    want = {
+        r["k"]: r["cum"]
+        for r in df.withColumn("cum", F.sum("w").over(w_naive)).collect()
+    }
+    assert got == want
+    # Inclusive running sum: the global maximum equals the total weight.
+    assert max(got.values()) == df.agg(F.sum("w")).collect()[0][0]
