@@ -577,3 +577,69 @@ def nested_types_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         tail_csv.alias("tail_csv"),
         kmap_csv.alias("kmap_csv"),
     )
+
+
+COMPACT_SMALL_FILES = 16  # forced writer fan-out for the "before" layout
+
+
+# --------------------------------------------------------------------------
+# Small-files compaction (the OPTIMIZE/rewrite pass): a partitioned sink
+# written by a wide round-robin writer leaves N files per partition — the
+# small-files problem that murders scan planning and open() overhead at
+# 100 TB scale — and the compactor rewrites it to ONE file per partition
+# by repartitioning ON the partition column before the write (every
+# partition's rows land in exactly one task, so the file count is the
+# partition count, deterministically). Rows are value-conserved through
+# both rewrites; the oracle pins files_after == n_partitions exactly and
+# the fragmentation/compaction properties as booleans (the BEFORE count
+# is round-robin-placement dependent at small row counts, so only its
+# "worse than after" property is scale-stable).
+# --------------------------------------------------------------------------
+@query(
+    "small_files_compaction_stats",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS d
+               FROM events)
+    SELECT CAST((SELECT COUNT(*) FROM events) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS n_partitions,
+           CAST((SELECT COUNT(*) FROM d) AS BIGINT) AS files_after,
+           TRUE AS was_fragmented,
+           TRUE AS one_file_per_partition
+    """,
+)
+def small_files_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "value",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    )
+    base = sink_dir("compaction")
+    before, after = base + "/before", base + "/after"
+    # "Before": a 16-way round-robin writer -> 16 files in every day dir
+    # (every day has >> 16 rows at all sfs, so every task holds every day).
+    ev.repartition(COMPACT_SMALL_FILES).write.mode("overwrite").partitionBy(
+        "day"
+    ).parquet(before)
+    src = spark.read.parquet(before)
+    # The compactor: repartition ON the partition column -> one task owns
+    # each day -> exactly one file per day dir.
+    src.repartition("day").write.mode("overwrite").partitionBy("day").parquet(
+        after
+    )
+    compacted = spark.read.parquet(after)
+
+    def file_count(df: DataFrame):
+        return df.select(F.input_file_name().alias("f")).distinct().count()
+
+    n_before = file_count(src)
+    n_after = file_count(compacted)
+    n_parts = compacted.select("day").distinct().count()
+    return compacted.agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("day").alias("n_partitions"),
+        F.lit(n_after).cast("long").alias("files_after"),
+        F.lit(n_before > n_after).alias("was_fragmented"),
+        F.lit(n_after == n_parts).alias("one_file_per_partition"),
+    )
