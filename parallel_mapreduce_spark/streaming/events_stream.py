@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql import Window as W
 
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.session import apply_runtime_conf
@@ -385,4 +386,115 @@ def stream_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cnt",
         "sum_value",
         agree.alias("sinks_agree"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Checkpoint RESUME: the durability half of Structured Streaming that the
+# availableNow drain queries never exercise. Two runs share one
+# checkpointLocation: run 1 sees half the source files, run 2 runs after
+# the second half lands. The restored state store carries run 1's
+# per-user aggregates into run 2, and numInputRows proves run 2 read ONLY
+# the new file (correct totals alone cannot distinguish resume from
+# reprocess-everything — a cold restart over both files also sums
+# correctly — so the incremental-read fact is pinned as its own column).
+# The sink is append-with-batch_id parquet; the final per-user row is the
+# one from the LATEST batch (batch ids continue across restarts), which
+# is the idempotent read side of an update-mode changelog sink.
+# --------------------------------------------------------------------------
+RESUME_SPLIT_DAY = "2024-01-15"
+
+
+@query(
+    "stream_resume_from_checkpoint",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           TRUE AS resumed_incrementally
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+
+    from parallel_mapreduce_spark.sources import load_table
+    from parallel_mapreduce_spark.sources.tables import sink_dir
+
+    apply_runtime_conf(spark)
+    base = sink_dir("stream_resume")
+    src, ckpt, outp, stage = (
+        base + "/src",
+        base + "/ckpt",
+        base + "/out",
+        base + "/stage",
+    )
+    # Fresh scratch per invocation: a reused checkpoint would make rerun N>1
+    # a no-op resume against an already-complete source.
+    for d in (src, ckpt, outp, stage):
+        shutil.rmtree(d, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    cutoff = F.lit(RESUME_SPLIT_DAY).cast("timestamp")
+    first, second = ev.filter(F.col("ts") < cutoff), ev.filter(
+        F.col("ts") >= cutoff
+    )
+    n1, n2 = first.count(), second.count()
+    first.coalesce(1).write.mode("overwrite").parquet(src)
+
+    def run_once() -> int:
+        stream = (
+            spark.readStream.schema(
+                "event_id bigint, ts timestamp, user_id bigint, value double"
+            )
+            .parquet(src)
+            .groupBy("user_id")
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum("value").alias("total_raw"),
+            )
+        )
+
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(outp)
+
+        q = (
+            stream.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sum(
+            int(p["numInputRows"]) for p in (q.recentProgress or [])
+        )
+
+    rows_run1 = run_once()
+    # The second half LANDS in the source dir (new file, old untouched).
+    second.coalesce(1).write.mode("overwrite").parquet(stage)
+    for i, f in enumerate(sorted(glob.glob(stage + "/part-*.parquet"))):
+        shutil.move(f, src + f"/late-{i}.parquet")
+    rows_run2 = run_once()
+
+    resumed = rows_run1 == n1 and rows_run2 == n2
+    back = spark.read.parquet(outp)
+    w_latest = W.partitionBy("user_id").orderBy(F.col("batch_id").desc())
+    return (
+        back.withColumn("_rk", F.row_number().over(w_latest))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("total_raw", 4).alias("total_value"),
+            F.lit(resumed).alias("resumed_incrementally"),
+        )
     )
