@@ -46,23 +46,24 @@ def main() -> None:
     # headline plan gets one warm pass.
     for name in names:
         run_query(spark, name, "/root/testdata/sf0.001")
-    # Adaptive best-of-N at the target sf: the first full-size run still pays
-    # one-off costs (shuffle-buffer growth, page-cache warm-up on the parquet
-    # files) and this box's wall-clock varies 1.4-10x run-to-run under
-    # external load. Repeat (min 3, max 5) until the two fastest runs agree
-    # within 15% — then the min is a reproducible steady-state number rather
-    # than whatever the load happened to be, even when a noise burst eats an
-    # entire 3-run window.
-    timings: dict[str, float] = {}
+    # Best-of-N at the target sf, taken over INTERLEAVED full passes: this
+    # box's external load arrives in multi-minute bursts, so consecutive
+    # repeats of one query all land inside the same burst and best-of-5
+    # still reports the burst. Sweeping the whole list per pass spreads each
+    # query's samples minutes apart — a burst inflates one pass's sample,
+    # and the min over passes recovers the quiet number. Queries whose two
+    # fastest samples still disagree >15% get targeted extra runs.
+    samples: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(4):
+        for name in names:
+            samples[name].append(run_query(spark, name, sf_dir))
     for name in names:
-        runs: list[float] = []
-        for i in range(5):
-            runs.append(run_query(spark, name, sf_dir))
-            if i >= 2:
-                best2 = sorted(runs)[:2]
-                if best2[1] <= best2[0] * 1.15:
-                    break
-        timings[name] = round(min(runs), 3)
+        for _ in range(2):
+            best2 = sorted(samples[name])[:2]
+            if best2[1] <= best2[0] * 1.15:
+                break
+            samples[name].append(run_query(spark, name, sf_dir))
+    timings = {name: round(min(runs), 3) for name, runs in samples.items()}
     # load_1m: host load average when the run finished — context for
     # cross-round comparisons (this box's ambient load inflates every query
     # uniformly by up to ~40%; a high value here flags a noisy window).
