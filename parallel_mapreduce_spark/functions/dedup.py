@@ -304,6 +304,12 @@ def jaccard_pairs(shingled: DataFrame, freq_cap: int | None = None) -> DataFrame
     so pairs sharing no hot shingle score identically to the exact form
     and pairs that do share one only ever score lower (never a false
     positive).
+
+    Measured alternative, rejected: computing df as COUNT(*) OVER
+    (PARTITION BY s) to share the self-join's exchange is 3.5x SLOWER
+    (69s vs 20s on the 10x probe corpus) — the window sorts the entire
+    exploded stream per partition and gets no map-side combine, while the
+    census groupBy partially aggregates before its (much smaller) shuffle.
     """
     sh = shingled.select(
         "doc_id", F.size("sh").alias("sz"), F.explode("sh").alias("s")
