@@ -2474,3 +2474,49 @@ def ansi_try_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(overflow.isNull().cast("long")).alias("n_overflow_null"),
         F.round(F.sum(rate), 4).alias("sum_safe_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit: the classic forensic screen — organically
+# generated amounts follow P(d) = log10(1 + 1/d); fabricated or capped
+# data drifts. First digit = floor(x / 10^floor(log10(x))) with the SAME
+# float formula on both engines (identical IEEE inputs and operation
+# order; a divergence would need log10(x) within one ulp of an integer,
+# i.e. x within ~1e-12 of a power of ten). One scan, a 9-group aggregate,
+# expected shares folded in as literals.
+# --------------------------------------------------------------------------
+@query(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(FLOOR(o_totalprice
+                 / POWER(10, FLOOR(LOG10(o_totalprice)))) AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1
+    ), c AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY digit
+    ), t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           ROUND(n * 1.0 / total, 4) AS share,
+           ROUND(LOG10(1 + 1.0 / digit), 4) AS benford_share
+    FROM c CROSS JOIN t
+    """,
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") >= 1
+    )
+    digit = F.floor(
+        F.col("o_totalprice")
+        / F.pow(F.lit(10.0), F.floor(F.log10("o_totalprice")))
+    ).cast("long")
+    c = orders.select(digit.alias("digit")).groupBy("digit").agg(
+        F.count("*").alias("n")
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 4).alias("share"),
+        F.round(F.log10(1 + 1.0 / F.col("digit")), 4).alias("benford_share"),
+    )

@@ -415,3 +415,85 @@ def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("long")
         .alias("gap_s"),
     )
+
+
+# --------------------------------------------------------------------------
+# State-DURATION rollup: each user's current event_type is a state valid
+# from its event until the next one (the SCD2 interval view); this query
+# answers "how many seconds did users spend in each state per calendar
+# day" — the duration-weighted rollup behind uptime/occupancy/billing
+# metrics, distinct from every count-based rollup above. Intervals are
+# CLIPPED to day boundaries by exploding the (tiny, interval-span-bounded)
+# day sequence and taking least/greatest edges; all arithmetic runs in
+# integer MICROSECONDS, so the clip is exact on both engines (no float
+# date math anywhere). One LEAD window per user + one explode bounded by
+# days-per-interval + one (state, day) aggregate.
+# --------------------------------------------------------------------------
+@query(
+    "user_state_daily_seconds",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_type,
+             epoch_us(CAST(ts AS TIMESTAMP)) AS f_us,
+             epoch_us(LEAD(CAST(ts AS TIMESTAMP)) OVER (
+                 PARTITION BY user_id
+                 ORDER BY CAST(ts AS TIMESTAMP), event_id)) AS t_us
+      FROM events
+    ), days AS (
+      SELECT event_type, f_us, t_us,
+             unnest(generate_series(
+                 date_trunc('day', make_timestamp(f_us)),
+                 date_trunc('day', make_timestamp(t_us - 1)),
+                 INTERVAL 1 DAY)) AS day_ts
+      FROM iv WHERE t_us IS NOT NULL
+    ), clipped AS (
+      SELECT event_type,
+             strftime(day_ts, '%Y-%m-%d') AS day,
+             LEAST(t_us, epoch_us(day_ts) + 86400000000)
+               - GREATEST(f_us, epoch_us(day_ts)) AS dur_us
+      FROM days
+    )
+    SELECT event_type, day,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(dur_us) AS BIGINT) AS state_micros
+    FROM clipped GROUP BY event_type, day
+    """,
+)
+def user_state_daily_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    tsc = F.col("ts").cast("timestamp")
+    iv = ev.select(
+        "event_type",
+        F.unix_micros(tsc).alias("f_us"),
+        F.unix_micros(F.lead(tsc).over(w)).alias("t_us"),
+    ).filter(F.col("t_us").isNotNull())
+    days = iv.select(
+        "event_type",
+        "f_us",
+        "t_us",
+        F.explode(
+            F.sequence(
+                F.date_trunc("day", F.timestamp_micros("f_us")),
+                F.date_trunc("day", F.timestamp_micros(F.col("t_us") - 1)),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day_ts"),
+    )
+    day_us = F.unix_micros("day_ts")
+    dur = F.least(F.col("t_us"), day_us + 86400000000) - F.greatest(
+        F.col("f_us"), day_us
+    )
+    return (
+        days.select(
+            "event_type",
+            F.date_format("day_ts", "yyyy-MM-dd").alias("day"),
+            dur.alias("dur_us"),
+        )
+        .groupBy("event_type", "day")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum("dur_us").alias("state_micros"),
+        )
+    )
