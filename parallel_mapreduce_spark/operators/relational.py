@@ -2520,3 +2520,61 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") * 1.0 / F.col("total"), 4).alias("share"),
         F.round(F.log10(1 + 1.0 / F.col("digit")), 4).alias("benford_share"),
     )
+
+
+# --------------------------------------------------------------------------
+# RE-AGGREGATABLE distinct-count sketches (Apache DataSketches HLL via
+# Spark 4's hll_sketch_agg / hll_union_agg): the pattern that makes
+# distinct counts tractable at 100 TB rollup grain — store one serialized
+# sketch per partition/day, answer any coarser-grain distinct question by
+# UNIONING sketches instead of rescanning raw data. The query builds
+# per-day user sketches, merges them, and pins (a) the exact distinct
+# both directly and (b) that the merged estimate and the single-pass
+# estimate agree with the exact count within a 15% bound (measured ~2%)
+# — the merge must not degrade the sketch. DuckDB cannot replay the
+# sketch bytes, so the bounds ride the value hash as oracle-pinned TRUEs,
+# the same contract as approx_distinct_parts.
+# --------------------------------------------------------------------------
+@query(
+    "hll_sketch_mergeable_rollup",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)))
+                AS BIGINT) AS n_days,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS merged_within_15pct,
+           TRUE AS direct_within_15pct,
+           TRUE AS merge_equals_direct_est
+    FROM events
+    """,
+)
+def hll_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    )
+    per_day = ev.groupBy("day").agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = per_day.agg(
+        F.count("*").alias("n_days"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+    )
+    direct = ev.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("direct_est"),
+    )
+    j = merged.crossJoin(F.broadcast(direct))
+    within = lambda est: (  # noqa: E731
+        F.abs(F.col(est) - F.col("exact_users"))
+        <= 0.15 * F.col("exact_users")
+    )
+    return j.select(
+        "n_days",
+        "exact_users",
+        within("merged_est").alias("merged_within_15pct"),
+        within("direct_est").alias("direct_within_15pct"),
+        # Same sketch family, same data: the union of per-day sketches must
+        # estimate identically to the one-pass sketch (HLL union is exact
+        # over sketch state).
+        (F.col("merged_est") == F.col("direct_est")).alias(
+            "merge_equals_direct_est"
+        ),
+    )
