@@ -1062,3 +1062,69 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             shared0 * F.lit(1.0) / (F.col("sz_a") + F.col("sz_b") - shared0), 4
         ).alias("exact_jaccard"),
     )
+
+
+INGEST_NEARDUP_MOD = 10  # doc_id % 10 == 0 is the incoming batch
+
+
+# --------------------------------------------------------------------------
+# INCREMENTAL near-dup: the production shape of LSH dedup — a small
+# incoming batch probed against the standing index, NOT an all-corpus
+# self-join. Every doc_id % 10 == 0 plays the "new batch"; the rest play
+# the index (whose band table would be precomputed and stored in a real
+# pipeline — here both sides derive from one scan, but the JOIN is the
+# asymmetric probe: batch bands equi-join index bands, so the work is
+# |batch| x band-collision fan-out, independent of index self-pair count.
+# Daily-batch-vs-index is how 100 TB dedup actually runs: the index never
+# re-pairs against itself.
+# --------------------------------------------------------------------------
+@query(
+    "incremental_neardup_ingest",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t WHERE len(toks) >= 3),
+    ph AS (SELECT doc_id, {phash60_sql("s")} % {MINHASH_PRIME} AS ph FROM sh),
+    mh AS (
+      SELECT doc_id, i,
+             MIN(({_SQL_A_LIST}[i + 1] * ph + {_SQL_B_LIST}[i + 1])
+                 % {MINHASH_PRIME}) AS h
+      FROM ph CROSS JOIN range({N_PERMUTATIONS}) r(i)
+      GROUP BY doc_id, i
+    ),
+    sig AS (SELECT doc_id, list(h::VARCHAR ORDER BY i) AS sg FROM mh GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, band_idx,
+             {phash60_sql(_SQL_BAND_CONCAT)} AS band_hash
+      FROM sig CROSS JOIN range({N_BANDS}) b(band_idx)
+    )
+    SELECT n.doc_id AS batch_doc, x.doc_id AS index_doc,
+           COUNT(*) AS n_bands
+    FROM bands n
+    JOIN bands x
+      ON n.band_idx = x.band_idx AND n.band_hash = x.band_hash
+    WHERE n.doc_id % {INGEST_NEARDUP_MOD} = 0
+      AND x.doc_id % {INGEST_NEARDUP_MOD} <> 0
+    GROUP BY 1, 2
+    """,
+)
+def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    # No exact-dup collapse here: the batch/index split is keyed on the
+    # ORIGINAL doc_id, and collapsing would merge batch docs into index
+    # representatives across the split boundary.
+    bands = _lsh_bands(
+        _minhash_of(docs.select("doc_id", "text").repartition(n, "doc_id"))
+    )
+    batch = bands.filter(F.col("doc_id") % INGEST_NEARDUP_MOD == 0).select(
+        F.col("doc_id").alias("batch_doc"), "band_idx", "band_hash"
+    )
+    index = bands.filter(F.col("doc_id") % INGEST_NEARDUP_MOD != 0).select(
+        F.col("doc_id").alias("index_doc"), "band_idx", "band_hash"
+    )
+    return (
+        batch.join(index, ["band_idx", "band_hash"])
+        .groupBy("batch_doc", "index_doc")
+        .agg(F.count("*").alias("n_bands"))
+    )
