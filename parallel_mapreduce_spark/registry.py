@@ -56,72 +56,79 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # surface. Names not listed follow in registration order, so the full map
 # always contains every query regardless of this list's contents.
 #
-# ROUND-4 WINDOW: r01–r03 rows cover 150 names. The first two entries are
-# the round-3 hash-FAIL re-checks — pipeline_training_mix and
-# seq_pack_contiguous were value-correct but their oracles returned DuckDB
-# HUGEINT from windowed SUMs (now CAST ... AS BIGINT, per the header rule) —
-# followed by the first 48 of the 55 never-rowed queries in registration
-# order (round-2 tail: quality features, PMI, k-NN, PCA, k-means, pack/
-# shuffle/bucket/boilerplate/bigram/detok/sampling trainprep tail, events
-# debounce/top-k/percentiles/ECDF/PageRank/trailing-24h, recursive CTE,
-# relational analytics tail, q2/q11/q21 shapes, gap-fill, as-of, IO
-# round-trips). The ~7 remaining unrowed (tail of the streaming
-# registrations) are placed immediately after this window by the
-# self-maintaining unrowed-first block in ``_ordered_names`` and form the
-# round-5 window without further edits to this list.
+# ROUND-5 WINDOW: r01–r04 rows cover 198 names, 196 green on their latest
+# row. The first two entries are the only cumulative reds —
+# approx_distinct_parts / price_percentiles_approx went red in r03 with
+# ``err: no_oracle``; full DuckDB value oracles were added in round 4
+# (relational.py, sketch asserted within an oracle-pinned error bound with
+# the exact value crossing the hash) but never re-rowed. Next come ALL 37
+# never-rowed queries in registration order (round-4 additions
+# source_token_entropy…small_files_compaction_stats plus the 9-query
+# streaming tail), closing full-registry verification: after this round
+# every registered query has a driver row. The remaining 11 slots re-check
+# the oldest r01 rows. Sums to exactly 50 = the driver's check window.
+#
+# ROTATION RULE (enforced by tests/test_registry.py): rotate this list at
+# round CLOSE, not round open — the window must always prefer (a) queries
+# red on their latest driver row, then (b) queries with no driver row ever,
+# before re-checking anything green. A stale window wastes the entire
+# round's external verification budget (this bug shipped twice: r3→r4 and
+# r4→r5).
 DRIVER_PRIORITY: list[str] = [
-    # round-3 red re-checks (oracle HUGEINT typing fixed this round)
-    "pipeline_training_mix",
-    "seq_pack_contiguous",
-    # never-rowed, registration order
-    "doc_quality_features",
-    "hapax_ratio_by_source",
-    "token_length_histogram",
-    "zipf_slope_by_source",
-    "token_pmi_top_pairs",
-    "bpe_pair_merge_step",
-    "countmin_heavy_hitters",
-    "bloom_word_membership",
-    "exact_dup_rate_by_source",
-    "minhash_jaccard_estimate",
-    "pipeline_chunk_index_search",
-    "pandas_grouped_agg_iqr",
-    "knn_label_accuracy",
-    "embedding_pca_power_iter",
-    "kmeans_lloyd_2iter",
-    "pack_fill_stats",
-    "epoch_shuffle_order",
-    "length_bucket_padding",
-    "strip_boilerplate_tokens",
-    "bigram_logprob_score",
-    "detokenize_ids_roundtrip",
-    "weighted_sample_per_source",
-    "events_debounce_dedup",
-    "events_topk_types_per_hour",
-    "session_duration_percentiles",
-    "events_value_ecdf",
-    "pagerank_event_types",
-    "active_users_trailing_24h",
-    "recursive_cte_reachability",
-    "nation_extreme_customers",
-    "orders_percent_rank_cume",
-    "revenue_pareto_share",
-    "nation_supplier_hhi",
-    "orders_price_histogram",
-    "customer_rfm_segments",
-    "join_key_skew_census",
-    "q21_waiting_suppliers_shape",
-    "q11_important_parts_share",
-    "q2_min_cost_supplier_shape",
-    "events_hourly_gapfill_interp",
-    "asof_next_click_after_purchase",
-    "csv_roundtrip_order_stats",
-    "json_roundtrip_doc_stats",
-    "json_ingest_corrupt_tolerant",
-    "bucketed_colocated_join",
-    "orc_roundtrip_lineitem_stats",
-    "partition_pruned_read",
-    "range_clustered_write_stats",
+    # cumulative reds (r03 no_oracle; value oracles added in r04, re-row now)
+    "approx_distinct_parts",
+    "price_percentiles_approx",
+    # never-rowed, registration order (round-4 batch + streaming tail)
+    "source_token_entropy",
+    "tokenizer_fertility_by_lang",
+    "bm25_topk_docs",
+    "incremental_neardup_ingest",
+    "pipeline_tokenize_pack_shard",
+    "ps_segment_revenue",
+    "cogrouped_user_value_share",
+    "ann_recall_at_k",
+    "stratified_split_assign",
+    "temperature_mix_weights",
+    "events_cep_pattern_sessions",
+    "event_type_cooccurrence",
+    "events_local_date_rollup",
+    "events_value_ohlc_hourly",
+    "dq_constraint_report",
+    "cdc_apply_with_deletes",
+    "rollup_labeled_subtotals",
+    "price_weighted_median_by_flag",
+    "sql_scripting_threshold_search",
+    "ansi_try_arithmetic_report",
+    "benford_first_digit_audit",
+    "hll_sketch_mergeable_rollup",
+    "user_state_daily_seconds",
+    "python_datasource_scan",
+    "schema_evolution_merged_read",
+    "zorder_clustered_write_stats",
+    "nested_types_roundtrip",
+    "small_files_compaction_stats",
+    "stream_events_hourly",
+    "stream_segment_share",
+    "stream_session_windows",
+    "stream_hourly_parquet_sink",
+    "stream_dual_sink_consistency",
+    "stream_resume_from_checkpoint",
+    "stream_click_attribution",
+    "stream_click_no_purchase",
+    "stream_user_totals_rocksdb",
+    # newly registered this round: explicit protobuf-skip marker row
+    "stream_user_totals_tws",
+    # oldest-rowed re-checks (latest row = r01)
+    "wordcount",
+    "wordcount_lookup",
+    "distinct_tokens",
+    "top_terms",
+    "token_stats",
+    "regex_token_stats",
+    "bigram_counts",
+    "lang_stats",
+    "source_composition",
+    "doc_length_histogram",
 ]
 
 
@@ -143,6 +150,35 @@ def _driver_rowed_names() -> set[str]:
         except (OSError, ValueError):
             continue
     return rowed
+
+
+def _driver_latest_status() -> dict[str, bool]:
+    """name -> is the LATEST driver correctness row green? A row is green
+    when rows/schema match, the value hash matches (or was not computed —
+    rows-only check), and no error is recorded. Later rounds override
+    earlier ones. Used by tests/test_registry.py to enforce the rotation
+    rule: the priority window must prefer red-latest and never-rowed
+    queries over green re-checks."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    status: dict[str, bool] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as fh:
+                rows = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            status[name] = (
+                bool(row.get("rows_match"))
+                and bool(row.get("schema_match"))
+                and row.get("hash_match") in (True, None)
+                and not row.get("err")
+            )
+    return status
 
 
 def _ordered_names() -> list[str]:

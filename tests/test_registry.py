@@ -81,6 +81,39 @@ def test_ordering_rotates_unrowed_queries_forward():
     assert len(names) == len(QUERIES)
 
 
+def test_priority_window_prefers_red_and_unrowed_queries():
+    """The recurring stale-window bug (shipped r3->r4 AND r4->r5): the
+    driver value-checks only the first 50 names of queries(), so every
+    query that is red on its latest driver row, and every query with no
+    driver row at all, must be inside that window before any already-green
+    query is re-checked. If red+unrowed overflow the window, the window
+    must consist solely of them. This test fails the moment a round closes
+    without rotating DRIVER_PRIORITY."""
+    from parallel_mapreduce_spark.registry import (
+        QUERIES,
+        _driver_latest_status,
+        _load_all,
+        _ordered_names,
+    )
+
+    _load_all()
+    status = _driver_latest_status()
+    needy = [n for n in QUERIES if not status.get(n, False)]  # red or unrowed
+    window = set(_ordered_names()[:50])
+    if len(needy) <= 50:
+        left_out = [n for n in needy if n not in window]
+        assert left_out == [], (
+            "red/unrowed queries outside the 50-name driver window "
+            f"(rotate DRIVER_PRIORITY): {left_out}"
+        )
+    else:
+        greens_in_window = [n for n in window if status.get(n, False)]
+        assert greens_in_window == [], (
+            "window re-checks green queries while red/unrowed overflow it: "
+            f"{greens_in_window}"
+        )
+
+
 def test_oracle_timestamps_never_compare_fractional_epochs():
     """Regression guard for the sub-second granularity bug class: engine
     plans compare event times via unix_timestamp (whole seconds), so any
