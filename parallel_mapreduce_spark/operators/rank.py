@@ -47,6 +47,16 @@ def global_row_number(
     ``order`` must be a TOTAL order over df's rows (include a unique
     tie-breaker column); otherwise ranks within a tied run are
     partition-order-dependent.
+
+    ``df`` must also be DETERMINISTIC under re-evaluation: the local-rank
+    and shard-base branches below both descend from the range-partitioned
+    subplan, and Spark may evaluate that subplan once per branch. Range
+    boundary sampling is seeded per input partition, so for a deterministic
+    input both evaluations assign identical rows to identical shards — but
+    an upstream ``sample()``, round-robin ``repartition()``, or
+    shuffle-order-dependent ``limit`` can produce DIFFERENT rows per
+    evaluation and silently wrong ranks. Callers with a nondeterministic
+    upstream must materialize first (``df.localCheckpoint()``).
     """
     n = num_shards or max(df.sparkSession.sparkContext.defaultParallelism, 8)
     ranged = df.repartitionByRange(n, *order).withColumn(
@@ -56,7 +66,10 @@ def global_row_number(
     local = ranged.withColumn("_local", F.row_number().over(w_local))
     # Range partition ids increase along the sort order, so the base for
     # partition p is the row count of partitions < p. n rows -> broadcast.
-    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
+    # Counts come from the SAME windowed frame as the join's left side
+    # (max local rank == shard row count), not from a second aggregation
+    # over `ranged` — one fewer subplan whose re-evaluation must agree.
+    counts = local.groupBy("_pid").agg(F.max("_local").cast("long").alias("_n"))
     w_base = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     bases = counts.select(
         "_pid",
@@ -82,6 +95,11 @@ def global_prefix_sum(
     must be total; ``value`` should be integer-typed when the cumsum feeds
     threshold comparisons (integer addition is associative, so the sharded
     summation order cannot drift a boundary the way doubles can).
+
+    Same deterministic-input precondition as :func:`global_row_number`:
+    both branches descend from the range shuffle and may be evaluated
+    independently, so a nondeterministic upstream must be materialized
+    (``localCheckpoint()``) by the caller first.
     """
     n = num_shards or max(df.sparkSession.sparkContext.defaultParallelism, 8)
     ranged = df.repartitionByRange(n, *order).withColumn(
@@ -93,7 +111,10 @@ def global_prefix_sum(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = ranged.withColumn("_local", F.sum(value).over(w_local))
-    totals = ranged.groupBy("_pid").agg(F.sum(value).alias("_t"))
+    # Shard totals from the SAME windowed frame as the join's left side
+    # (sum of the raw value column; sign-safe, unlike a max-of-cumsum) —
+    # shares the subplan with `local`, as in global_row_number.
+    totals = local.groupBy("_pid").agg(F.sum(value).alias("_t"))
     w_base = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     bases = totals.select(
         "_pid",

@@ -2418,21 +2418,42 @@ SCRIPT_BASE_THRESHOLD = 4096
 )
 def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    spark.conf.set("spark.sql.scripting.enabled", "true")
-    return spark.sql(f"""
-    BEGIN
-      DECLARE t BIGINT DEFAULT {SCRIPT_BASE_THRESHOLD};
-      DECLARE need BIGINT;
-      DECLARE have BIGINT;
-      SET need = (SELECT CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) FROM orders);
-      SET have = (SELECT COUNT(*) FROM orders WHERE o_totalprice < t);
-      WHILE have < need DO
-        SET t = t * 2;
-        SET have = (SELECT COUNT(*) FROM orders WHERE o_totalprice < t);
-      END WHILE;
-      SELECT t AS threshold, have AS n_below, need AS n_needed;
-    END
-    """)
+    # The loop is bounded to the oracle's 24-point geometric grid (i = 0..23,
+    # i.e. at most 23 doublings past the base), and the final SELECT emits a
+    # row only when the search actually converged — on pathological data
+    # both engines now return the same empty result instead of diverging
+    # (unbounded engine loop vs grid-capped oracle). The scripting conf is
+    # saved/restored so a shared session doesn't carry it into later
+    # queries; the script executes eagerly, so the (single-row) result is
+    # re-materialized as a local DataFrame before the conf goes back.
+    key = "spark.sql.scripting.enabled"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "true")
+    try:
+        out = spark.sql(f"""
+        BEGIN
+          DECLARE t BIGINT DEFAULT {SCRIPT_BASE_THRESHOLD};
+          DECLARE i INT DEFAULT 0;
+          DECLARE need BIGINT;
+          DECLARE have BIGINT;
+          SET need = (SELECT CAST(CEIL(COUNT(*) / 2.0) AS BIGINT) FROM orders);
+          SET have = (SELECT COUNT(*) FROM orders WHERE o_totalprice < t);
+          WHILE have < need AND i < 23 DO
+            SET t = t * 2;
+            SET i = i + 1;
+            SET have = (SELECT COUNT(*) FROM orders WHERE o_totalprice < t);
+          END WHILE;
+          SELECT t AS threshold, have AS n_below, need AS n_needed
+          FROM (SELECT 1) WHERE have >= need;
+        END
+        """)
+        rows, schema = out.collect(), out.schema
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+    return spark.createDataFrame(rows, schema)
 
 
 TRY_BIG = 9223372036854775807 - 100  # BIGINT max minus a small headroom
@@ -2572,9 +2593,14 @@ def hll_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         within("merged_est").alias("merged_within_15pct"),
         within("direct_est").alias("direct_within_15pct"),
         # Same sketch family, same data: the union of per-day sketches must
-        # estimate identically to the one-pass sketch (HLL union is exact
-        # over sketch state).
-        (F.col("merged_est") == F.col("direct_est")).alias(
-            "merge_equals_direct_est"
-        ),
+        # estimate (essentially) what the one-pass sketch estimates. NOT
+        # strict equality: the DataSketches HLL union runs an HLL_8 gadget
+        # with mode promotions, and bit-identical estimates at every
+        # cardinality/lgK are not contractually guaranteed — a 0.1%
+        # relative band pins "merge did not degrade the sketch" without
+        # turning an implementation detail into a scale-dependent red row.
+        (
+            F.abs(F.col("merged_est") - F.col("direct_est"))
+            <= 0.001 * F.col("direct_est")
+        ).alias("merge_equals_direct_est"),
     )

@@ -445,7 +445,7 @@ def asof_next_click_after_purchase(spark: SparkSession, sf_dir: str) -> DataFram
                  date_trunc('day', make_timestamp(f_us)),
                  date_trunc('day', make_timestamp(t_us - 1)),
                  INTERVAL 1 DAY)) AS day_ts
-      FROM iv WHERE t_us IS NOT NULL
+      FROM iv WHERE t_us > f_us
     ), clipped AS (
       SELECT event_type,
              strftime(day_ts, '%Y-%m-%d') AS day,
@@ -468,7 +468,15 @@ def user_state_daily_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.unix_micros(tsc).alias("f_us"),
         F.unix_micros(F.lead(tsc).over(w)).alias("t_us"),
-    ).filter(F.col("t_us").isNotNull())
+        # Strictly-positive intervals only (t_us > f_us, mirrored in the
+        # oracle). A duplicate (user, ts) microsecond yields a zero-length
+        # interval; if its start sits exactly on a UTC day boundary the
+        # sequence stop (trunc(t_us-1)) lands BEFORE the start and Spark's
+        # sequence() throws at runtime while DuckDB's generate_series
+        # silently yields nothing — a data-dependent engine crash the
+        # oracle doesn't share. Zero-length states carry zero seconds, so
+        # dropping them on both sides changes no duration.
+    ).filter(F.col("t_us") > F.col("f_us"))
     days = iv.select(
         "event_type",
         "f_us",

@@ -403,6 +403,7 @@ def stream_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the idempotent read side of an update-mode changelog sink.
 # --------------------------------------------------------------------------
 RESUME_SPLIT_DAY = "2024-01-15"
+_RESUME_SEQ = 0
 
 
 @query(
@@ -425,7 +426,16 @@ def stream_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
     from parallel_mapreduce_spark.sources.tables import sink_dir
 
     apply_runtime_conf(spark)
-    base = sink_dir("stream_resume")
+    # Per-INVOCATION scratch (sink_dir is already per-process): a second
+    # concurrent invocation in the same process (bench pass overlapping the
+    # parity gate, threaded pytest) sharing one checkpointLocation/out dir
+    # would race the other run's rmtree and report a spurious
+    # resumed_incrementally=false. The sequence suffix gives every
+    # invocation its own src/ckpt/out/stage quartet; the process-root
+    # atexit cleanup still removes them all.
+    global _RESUME_SEQ
+    _RESUME_SEQ += 1
+    base = sink_dir(f"stream_resume_{_RESUME_SEQ}")
     src, ckpt, outp, stage = (
         base + "/src",
         base + "/ckpt",
