@@ -121,11 +121,27 @@ def mr_run(
 # (main.c:10-40). Oracle = the same SQL as the DataFrame wordcount — both
 # surfaces must agree with DuckDB.
 # --------------------------------------------------------------------------
+_DELIM_CLASS = " \t\n\r"  # the reference's strtok delimiter set (src/main.c:19)
+
+
 def _tokenize_emit(line: str) -> list[tuple[str, str]]:
-    # Intended semantics of the reference Mapper (src/main.c:17-23): split on
-    # whitespace, drop empty tokens, emit (token, "1"). The line-abort bug at
-    # src/main.c:20-21 is deliberately not replicated (SURVEY.md §2.4).
-    return [(t, "1") for t in line.split(" ") if t]
+    # Intended semantics of the reference Mapper (src/main.c:17-23): strtok
+    # on the " \t\n\r" class, drop empty tokens, emit (token, "1"). The
+    # line-abort bug at src/main.c:20-21 is deliberately not replicated
+    # (SURVEY.md §2.4). Exactly this 4-char class — not str.split()'s wider
+    # Unicode-whitespace set, which would also split on \x0b/\x0c/NBSP.
+    out = []
+    tok = []
+    for ch in line:
+        if ch in _DELIM_CLASS:
+            if tok:
+                out.append(("".join(tok), "1"))
+                tok = []
+        else:
+            tok.append(ch)
+    if tok:
+        out.append(("".join(tok), "1"))
+    return out
 
 
 def _count_values(key: str, values: Iterator[str]) -> int:
@@ -135,9 +151,13 @@ def _count_values(key: str, values: Iterator[str]) -> int:
 
 @query(
     "mr_wordcount",
+    # regex class = the same " \t\n\r" strtok set (real tab/newline/CR chars
+    # embedded in the SQL literal — DuckDB '...' literals don't process
+    # backslash escapes, so the Python escapes must resolve before DuckDB).
     oracle="""
     SELECT word, COUNT(*) AS cnt
-    FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS word
+    FROM (SELECT unnest(list_filter(
+              string_split_regex(text, '[ \t\n\r]+'), x -> x <> '')) AS word
           FROM documents)
     GROUP BY word
     """,

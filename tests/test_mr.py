@@ -47,6 +47,21 @@ def test_wordcount_via_veneer(spark):
     assert out == {"the": 3, "bee": 2, "movie": 1}
 
 
+def test_tokenizer_delimiter_class(spark):
+    """The flagship mapper splits on the reference's full strtok class
+    " \\t\\n\\r" (src/main.c:19), not just spaces — and ONLY that class:
+    other Unicode whitespace (\\x0b, NBSP) is token content."""
+    from parallel_mapreduce_spark.mr import _count_values, _tokenize_emit
+
+    lines = spark.sparkContext.parallelize(
+        ["the\tbee\rthe", " bee \t movie\r\n", "\t\r", "the\x0bend", "a b"], 3
+    )
+    out = dict(
+        mr_run_rdd(lines, _tokenize_emit, _count_values, num_reducers=4).collect()
+    )
+    assert out == {"the": 2, "bee": 2, "movie": 1, "the\x0bend": 1, "a b": 1}
+
+
 def test_keys_sorted_within_partition(spark):
     lines = spark.sparkContext.parallelize(["d c b a a c d b e f g"], 1)
     result = mr_run_rdd(lines, _wc_map, _count, num_reducers=3)
