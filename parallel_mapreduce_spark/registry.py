@@ -116,8 +116,11 @@ DRIVER_PRIORITY: list[str] = [
     "stream_click_attribution",
     "stream_click_no_purchase",
     "stream_user_totals_rocksdb",
-    # newly registered this round: explicit protobuf-skip marker row
+    # newly registered this round: explicit protobuf-skip marker row +
+    # the round-5 lakehouse additions
     "stream_user_totals_tws",
+    "variant_shred_roundtrip",
+    "merge_on_read_deletion_vectors",
     # oldest-rowed re-checks (latest row = r01)
     "wordcount",
     "wordcount_lookup",
@@ -127,8 +130,6 @@ DRIVER_PRIORITY: list[str] = [
     "regex_token_stats",
     "bigram_counts",
     "lang_stats",
-    "source_composition",
-    "doc_length_histogram",
 ]
 
 

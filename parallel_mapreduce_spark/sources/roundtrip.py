@@ -643,3 +643,143 @@ def small_files_compaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_before > n_after).alias("was_fragmented"),
         F.lit(n_after == n_parts).alias("one_file_per_partition"),
     )
+
+
+# --------------------------------------------------------------------------
+# VARIANT shred-on-write round trip: Spark 4's semi-structured column type
+# through parquet and back. The open-format answer to "store JSON without
+# re-parsing it on every read": parse once at ingest, store as VARIANT,
+# and the writer SHREDS common typed paths into parquet columns
+# (typed_value subtree) so reads prune/push down like any columnar data —
+# at 100 TB this is the difference between a JSON-string scan that
+# re-parses every byte and a columnar scan that touches only '$.amount'.
+# All four shredding confs default ON in this Spark
+# (spark.sql.variant.writeShredding.enabled / inferShreddingSchema /
+# allowReadingShredded / pushVariantIntoScan); the query additionally
+# PROVES shredding happened by inspecting the written parquet footer for
+# the typed_value group (a metadata read, no data pass) and pinning it as
+# an oracle-checked TRUE. The oracle replays the typed extraction from
+# the raw relational columns, so parse -> shred -> scan -> variant_get
+# must be value-lossless end to end.
+# --------------------------------------------------------------------------
+@query(
+    "variant_shred_roundtrip",
+    oracle="""
+    SELECT event_type AS etype,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS sum_amount,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS sum_k,
+           ROUND(SUM(value * 2), 4) AS sum_arr1,
+           TRUE AS shredded_on_disk
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value", "props"
+    )
+    # Heterogeneous payload per event: string + double + nested int + array
+    # (the shapes a real event-stream JSON column mixes).
+    payload = F.to_json(
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.col("value").alias("amount"),
+            F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+            F.array(F.col("value"), F.col("value") * 2).alias("arr"),
+        )
+    )
+    out = sink_dir("variant_sink") + "/events_variant"
+    ev.select("event_id", F.parse_json(payload).alias("v")).write.mode(
+        "overwrite"
+    ).parquet(out)
+
+    def _shredded(path: str) -> bool:
+        # Footer-level proof: a shredded variant column is a parquet group
+        # with a typed_value subtree next to metadata/value; an unshredded
+        # one has only metadata+value binaries. Metadata-only read, via the
+        # JVM parquet reader (pyarrow's thrift parser predates the variant
+        # logical-type annotation and refuses the footer outright).
+        import glob
+
+        f = sorted(glob.glob(path + "/part-*.parquet"))[0]
+        jvm = spark.sparkContext._jvm
+        footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+            spark._jsc.hadoopConfiguration(),
+            jvm.org.apache.hadoop.fs.Path(f),
+        )
+        return "typed_value" in footer.getFileMetaData().getSchema().toString()
+
+    back = spark.read.parquet(out)
+    typed = back.select(
+        F.expr("variant_get(v, '$.type', 'string')").alias("etype"),
+        F.expr("variant_get(v, '$.amount', 'double')").alias("amount"),
+        F.expr("variant_get(v, '$.k', 'bigint')").alias("k"),
+        F.expr("variant_get(v, '$.arr[1]', 'double')").alias("arr1"),
+    )
+    return typed.groupBy("etype").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("amount"), 4).alias("sum_amount"),
+        F.sum("k").alias("sum_k"),
+        F.round(F.sum("arr1"), 4).alias("sum_arr1"),
+        F.lit(_shredded(out)).alias("shredded_on_disk"),
+    )
+
+
+DV_DELETE_MOD = 7  # delete finished orders whose key is divisible by this
+
+
+# --------------------------------------------------------------------------
+# Merge-on-read DELETE via deletion vectors: the lakehouse pattern (Delta
+# deletion vectors / Iceberg positional deletes) without a table format —
+# a DELETE against a 100 TB parquet table must not rewrite the data files
+# (copy-on-write rewrites TBs to drop KBs). Instead the delete pass
+# records (file, row-position) tombstones — positions come from the
+# parquet reader's own _metadata.row_index, so no synthetic key column
+# has to exist — and every read anti-joins the broadcast-small DV set.
+# Compaction folds DVs into rewritten files later, off the query path.
+# The oracle replays the delete LOGICALLY (predicate filter on the raw
+# table), value-proving that positional deletion selects exactly the
+# predicate's rows — the core invariant a DV implementation must keep.
+# --------------------------------------------------------------------------
+@query(
+    "merge_on_read_deletion_vectors",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_spend
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % {DV_DELETE_MOD} = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def merge_on_read_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    base = sink_dir("dv") + "/orders"
+    dv_dir = sink_dir("dv") + "/tombstones"
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).repartition(8).write.mode("overwrite").parquet(base)
+
+    with_pos = spark.read.parquet(base).select(
+        "*",
+        F.col("_metadata.file_name").alias("_file"),
+        F.col("_metadata.row_index").alias("_pos"),
+    )
+    # The DELETE pass: write positions only — never the data files.
+    doomed = (F.col("o_orderstatus") == "F") & (
+        F.col("o_orderkey") % DV_DELETE_MOD == 0
+    )
+    with_pos.filter(doomed).select("_file", "_pos").write.mode(
+        "overwrite"
+    ).parquet(dv_dir)
+    # Merge-on-read scan: base minus tombstones. The DV side is deletes-
+    # sized (broadcast); the base side streams — no shuffle of the fact.
+    dv = spark.read.parquet(dv_dir)
+    alive = with_pos.join(F.broadcast(dv), ["_file", "_pos"], "left_anti")
+    return alive.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+    )

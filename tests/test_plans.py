@@ -491,3 +491,26 @@ def test_nested_schema_pruning_and_nested_filter_pushdown(spark, sf_dir):
     assert "tail" not in read_schema and "kmap" not in read_schema
     assert "stats" in read_schema
     assert "GreaterThan(stats.n,50)" in plan  # nested predicate pushed
+
+
+def test_variant_scan_reads_shredded_typed_paths_only(spark, sf_dir):
+    """variant_get must be pushed INTO the parquet scan (pushVariantIntoScan):
+    the read schema is a struct of exactly the four typed shredded paths,
+    never the raw metadata/value binaries re-parsed per row."""
+    from parallel_mapreduce_spark.sources.roundtrip import variant_shred_roundtrip
+
+    plan = _plan(variant_shred_roundtrip(spark, sf_dir))
+    assert "struct<v:struct<0:string,1:double,2:bigint,3:double>>" in plan.replace(" ", "")
+
+
+def test_deletion_vector_scan_is_broadcast_anti_join(spark, sf_dir):
+    """Merge-on-read = base scan minus broadcast tombstones: the DV side
+    must build a broadcast hash anti-join (never a shuffle of the fact
+    table against deletes-sized data)."""
+    from parallel_mapreduce_spark.sources.roundtrip import (
+        merge_on_read_deletion_vectors,
+    )
+
+    plan = _plan(merge_on_read_deletion_vectors(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
