@@ -61,19 +61,18 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # approx_distinct_parts / price_percentiles_approx went red in r03 with
 # ``err: no_oracle``; full DuckDB value oracles were added in round 4
 # (relational.py, sketch asserted within an oracle-pinned error bound with
-# the exact value crossing the hash) but never re-rowed. Next come ALL 37
+# the exact value crossing the hash) but never re-rowed. Next come ALL
 # never-rowed queries in registration order (round-4 additions
-# source_token_entropy…small_files_compaction_stats plus the 9-query
-# streaming tail), closing full-registry verification: after this round
-# every registered query has a driver row. The remaining 11 slots re-check
-# the oldest r01 rows. Sums to exactly 50 = the driver's check window.
-#
-# ROTATION RULE (enforced by tests/test_registry.py): rotate this list at
-# round CLOSE, not round open — the window must always prefer (a) queries
-# red on their latest driver row, then (b) queries with no driver row ever,
-# before re-checking anything green. A stale window wastes the entire
-# round's external verification budget (this bug shipped twice: r3→r4 and
-# r4→r5).
+# source_token_entropy…small_files_compaction_stats, the 9-query streaming
+# tail, the tws skip marker, and the round-5 lakehouse pair), closing
+# full-registry verification: after this round every registered query has
+# a driver row. The remaining window slots (50 minus the needy names
+# listed here) fill
+# AUTOMATICALLY with the oldest-rowed green queries — see
+# ``_ordered_names``, which also drops any listed name whose latest driver
+# row is green, so this list going stale after a round closes costs
+# nothing. The invariant (window prefers red + unrowed over green
+# re-checks) is enforced by tests/test_registry.py.
 DRIVER_PRIORITY: list[str] = [
     # cumulative reds (r03 no_oracle; value oracles added in r04, re-row now)
     "approx_distinct_parts",
@@ -121,15 +120,9 @@ DRIVER_PRIORITY: list[str] = [
     "stream_user_totals_tws",
     "variant_shred_roundtrip",
     "merge_on_read_deletion_vectors",
-    # oldest-rowed re-checks (latest row = r01)
-    "wordcount",
-    "wordcount_lookup",
-    "distinct_tokens",
-    "top_terms",
-    "token_stats",
-    "regex_token_stats",
-    "bigram_counts",
-    "lang_stats",
+    "xml_roundtrip_supplier_stats",
+    "lateral_top_orders_per_customer",
+    "observed_metrics_quality_gate",
 ]
 
 
@@ -153,50 +146,66 @@ def _driver_rowed_names() -> set[str]:
     return rowed
 
 
-def _driver_latest_status() -> dict[str, bool]:
-    """name -> is the LATEST driver correctness row green? A row is green
-    when rows/schema match, the value hash matches (or was not computed —
-    rows-only check), and no error is recorded. Later rounds override
-    earlier ones. Used by tests/test_registry.py to enforce the rotation
-    rule: the priority window must prefer red-latest and never-rowed
-    queries over green re-checks."""
+def _driver_latest_status() -> dict[str, tuple[int, bool]]:
+    """name -> (round of the LATEST driver correctness row, was it green).
+    A row is green when rows/schema match, the value hash matches (or was
+    not computed — rows-only check), and no error is recorded. Later
+    rounds override earlier ones. Drives the self-maintaining window
+    ordering below and the rotation-invariant test in
+    tests/test_registry.py."""
     import glob
     import json
     import os
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    status: dict[str, bool] = {}
+    status: dict[str, tuple[int, bool]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
         try:
+            rnd = int(base.split("_r")[1].split(".")[0])
             with open(path) as fh:
                 rows = json.load(fh)
-        except (OSError, ValueError):
+        except (OSError, ValueError, IndexError):
             continue
         for name, row in rows.items():
             status[name] = (
+                rnd,
                 bool(row.get("rows_match"))
                 and bool(row.get("schema_match"))
                 and row.get("hash_match") in (True, None)
-                and not row.get("err")
+                and not row.get("err"),
             )
     return status
 
 
 def _ordered_names() -> list[str]:
-    """DRIVER_PRIORITY first (the explicit window for this round's check),
-    then — self-maintaining rotation — every query with NO driver row from
-    any prior round, then the already-rowed tail; registration order within
-    each block. If the driver ever checks more than the priority window,
-    the extra slots land on fresh surface automatically."""
+    """SELF-MAINTAINING window ordering — no round-close rotation duty:
+
+    1. DRIVER_PRIORITY names that are still red-or-unrowed, in listed
+       order (the hand-ordered front: reds before fresh surface). Names
+       whose latest driver row is GREEN drop out automatically, so a
+       priority list left over from a completed round cannot waste the
+       next round's check window (the bug that shipped twice, r3->r4 and
+       r4->r5).
+    2. Every other red-or-unrowed query, registration order.
+    3. The green tail, OLDEST latest-row first (ties: registration
+       order) — re-check slots rotate through the stalest verifications
+       by themselves.
+    """
     _load_all()
-    pri = [n for n in DRIVER_PRIORITY if n in QUERIES]
+    status = _driver_latest_status()
+    green = {n for n, (_, ok) in status.items() if ok}
+    pri = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in green]
     listed = set(pri)
-    rowed = _driver_rowed_names()
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
     rest = [n for n in QUERIES if n not in listed]
     return (
         pri
-        + [n for n in rest if n not in rowed]
-        + [n for n in rest if n in rowed]
+        + [n for n in rest if n not in green]
+        + sorted(
+            (n for n in rest if n in green),
+            key=lambda n: (status[n][0], reg_pos[n]),
+        )
     )
 
 

@@ -19,16 +19,22 @@ def test_priority_names_exist_and_are_unique():
     assert len(DRIVER_PRIORITY) == len(set(DRIVER_PRIORITY))
 
 
-def test_priority_fills_the_driver_window():
-    # The driver's checked window is ~50 queries; keep the promoted set at
-    # exactly that size so no slot is wasted on an already-verified query.
-    assert len(DRIVER_PRIORITY) == 50
+def test_priority_fits_the_driver_window():
+    # The driver's checked window is ~50 queries; the hand-ordered front
+    # must fit inside it (remaining slots self-fill with the oldest-rowed
+    # green re-checks).
+    assert len(DRIVER_PRIORITY) <= 50
 
 
-def test_query_map_leads_with_priority_and_covers_everything():
+def test_query_map_leads_with_still_needy_priority_and_covers_everything():
+    from parallel_mapreduce_spark.registry import _driver_latest_status
+
     _load_all()
+    status = _driver_latest_status()
+    green = {n for n, (_, ok) in status.items() if ok}
+    live_pri = [n for n in DRIVER_PRIORITY if n not in green]
     names = list(query_map())
-    assert names[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
+    assert names[: len(live_pri)] == live_pri
     assert set(names) == set(QUERIES)
     assert len(names) == len(QUERIES)
 
@@ -57,27 +63,29 @@ def test_cli_list_and_run(capsys, spark):
     assert main(["run", "no_such_query"]) == 2
 
 
-def test_ordering_rotates_unrowed_queries_forward():
-    """Beyond the explicit priority window, queries with no driver
-    correctness row from any prior round must come before already-rowed
-    ones, so a wider driver window always lands on fresh surface."""
+def test_ordering_puts_needy_before_green_and_rotates_recheck_tail():
+    """Every red-or-unrowed query must precede every green one, and the
+    green tail must be ordered oldest-latest-row first, so (a) a wider
+    driver window always lands on fresh surface and (b) re-check slots
+    rotate through the stalest verifications without hand edits."""
     from parallel_mapreduce_spark.registry import (
-        DRIVER_PRIORITY,
         QUERIES,
-        _driver_rowed_names,
+        _driver_latest_status,
         _ordered_names,
     )
 
     names = _ordered_names()
-    assert names[: len(DRIVER_PRIORITY)] == DRIVER_PRIORITY
-    rowed = _driver_rowed_names()
-    tail = names[len(DRIVER_PRIORITY):]
-    seen_rowed = False
-    for n in tail:
-        if n in rowed:
-            seen_rowed = True
+    status = _driver_latest_status()
+    green = {n for n, (_, ok) in status.items() if ok}
+    seen_green = False
+    last_round = 0
+    for n in names:
+        if n in green:
+            seen_green = True
+            assert status[n][0] >= last_round, f"green tail not oldest-first at {n}"
+            last_round = status[n][0]
         else:
-            assert not seen_rowed, f"unrowed {n} after a rowed query"
+            assert not seen_green, f"needy {n} after a green query"
     assert len(names) == len(QUERIES)
 
 
@@ -98,7 +106,7 @@ def test_priority_window_prefers_red_and_unrowed_queries():
 
     _load_all()
     status = _driver_latest_status()
-    needy = [n for n in QUERIES if not status.get(n, False)]  # red or unrowed
+    needy = [n for n in QUERIES if not status.get(n, (0, False))[1]]
     window = set(_ordered_names()[:50])
     if len(needy) <= 50:
         left_out = [n for n in needy if n not in window]
@@ -107,7 +115,9 @@ def test_priority_window_prefers_red_and_unrowed_queries():
             f"(rotate DRIVER_PRIORITY): {left_out}"
         )
     else:
-        greens_in_window = [n for n in window if status.get(n, False)]
+        greens_in_window = [
+            n for n in window if status.get(n, (0, False))[1]
+        ]
         assert greens_in_window == [], (
             "window re-checks green queries while red/unrowed overflow it: "
             f"{greens_in_window}"
