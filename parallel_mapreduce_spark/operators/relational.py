@@ -2604,3 +2604,91 @@ def hll_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.001 * F.col("direct_est")
         ).alias("merge_equals_direct_est"),
     )
+
+
+# --------------------------------------------------------------------------
+# LATERAL join (correlated table subquery in FROM): the top-N-per-row
+# shape written as the SQL standard writes it. Spark decorrelates the
+# correlated LIMIT subquery instead of executing it per outer row — at
+# 100 TB the naive interpretation (one orders probe per customer) is a
+# driver-side loop in disguise; decorrelation turns it into one join +
+# per-key rank, the same physical shape as the window-function form. The
+# oracle runs DuckDB's own LATERAL (comma syntax), so two independent
+# decorrelators must agree on the full result, ties broken by the
+# explicit o_orderkey column.
+# --------------------------------------------------------------------------
+@query(
+    "lateral_top_orders_per_customer",
+    oracle="""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey % 10 = 0
+    """,
+)
+def lateral_top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c JOIN LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey % 10 = 0
+    """)
+
+
+OBS_MIN_CHARS = 200  # quality-gate threshold the observed pipeline applies
+
+
+# --------------------------------------------------------------------------
+# Observed metrics (df.observe + Observation): pipeline data-quality
+# telemetry collected DURING the run as accumulator-style aggregates —
+# rows in, rows kept, pre-gate mean length — with ZERO extra passes. The
+# production posture at 100 TB: a monitoring recount of the input would
+# cost a second full scan; observe() piggybacks the metrics on the
+# already-running job. The metrics are then re-emitted as the query's
+# result row, and the oracle recomputes all three from the raw table, so
+# the observation path itself is value-checked.
+# --------------------------------------------------------------------------
+@query(
+    "observed_metrics_quality_gate",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
+           CAST(COUNT(*) FILTER (n_chars >= {OBS_MIN_CHARS}) AS BIGINT)
+             AS rows_kept,
+           ROUND(SUM(n_chars) / COUNT(*), 4) AS mean_chars_in
+    FROM documents
+    """,
+)
+def observed_metrics_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Observation
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    pre = Observation("pre_gate")
+    post = Observation("post_gate")
+    gated = (
+        docs.observe(
+            pre,
+            F.count(F.lit(1)).alias("rows_in"),
+            F.avg("n_chars").alias("mean_chars_in"),
+        )
+        .filter(F.col("n_chars") >= OBS_MIN_CHARS)
+        .observe(post, F.count(F.lit(1)).alias("rows_kept"))
+    )
+    # One pass drives the pipeline AND fills both observations.
+    gated.write.format("noop").mode("overwrite").save()
+    m_pre, m_post = pre.get, post.get
+    return spark.createDataFrame(
+        [
+            (
+                m_pre["rows_in"],
+                m_post["rows_kept"],
+                round(m_pre["mean_chars_in"], 4),
+            )
+        ],
+        "rows_in bigint, rows_kept bigint, mean_chars_in double",
+    )

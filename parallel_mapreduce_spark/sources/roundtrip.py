@@ -783,3 +783,52 @@ def merge_on_read_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFram
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# XML source/sink round trip: Spark 4 ships XML as a BUILT-IN format (the
+# former spark-xml package) — the last of the classic feed formats
+# (CSV/JSON/ORC/XML) the engine covers. Same posture as the other text
+# round trips: EXPLICIT schema on read (inference would scan the feed
+# twice — prohibitive at 100 TB), one file-parallel scan. The writer must
+# escape markup characters in string content and the reader must unescape
+# them exactly; the value oracle (computed from the parquet truth,
+# including a string-length sum over the free-text column) proves the
+# escape/unescape cycle lossless. Avro, the remaining classic format, has
+# no deployable module in this container (spark-avro is external since
+# Spark 2.4 and absent from /opt/spark/jars) — an environment gap, not an
+# engine gap.
+# --------------------------------------------------------------------------
+@query(
+    "xml_roundtrip_supplier_stats",
+    oracle="""
+    SELECT s_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+           ROUND(SUM(s_acctbal), 4) AS total_acctbal,
+           CAST(SUM(LENGTH(s_name)) AS BIGINT) AS name_chars
+    FROM supplier
+    GROUP BY s_nationkey
+    """,
+)
+def xml_roundtrip_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey", "s_acctbal"
+    )
+    out = sink_dir("xml_sink") + "/supplier"
+    sup.write.mode("overwrite").format("xml").option(
+        "rowTag", "supplier"
+    ).save(out)
+    back = (
+        spark.read.schema(
+            "s_suppkey bigint, s_name string, s_nationkey int, s_acctbal double"
+        )
+        .format("xml")
+        .option("rowTag", "supplier")
+        .load(out)
+    )
+    return back.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
+        F.sum(F.length("s_name")).alias("name_chars"),
+    )

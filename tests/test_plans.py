@@ -514,3 +514,20 @@ def test_deletion_vector_scan_is_broadcast_anti_join(spark, sf_dir):
     plan = _plan(merge_on_read_deletion_vectors(spark, sf_dir))
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_lateral_limit_subquery_decorrelates_to_group_limit(spark, sf_dir):
+    """The correlated LATERAL ... LIMIT 2 subquery must decorrelate to one
+    join + per-key WindowGroupLimit (map-side top-k pruning before the
+    window sort) — never a per-outer-row re-execution, and the outer
+    restriction must be pushed into the inner side's scan."""
+    from parallel_mapreduce_spark.operators.relational import (
+        lateral_top_orders_per_customer,
+    )
+
+    df = lateral_top_orders_per_customer(spark, sf_dir)
+    opt = _optimized(df)
+    assert "WindowGroupLimit" in opt
+    assert "CartesianProduct" not in opt
+    # outer predicate reaches the inner (orders) branch pre-window
+    assert opt.count("% 10") >= 2
