@@ -123,6 +123,7 @@ DRIVER_PRIORITY: list[str] = [
     "xml_roundtrip_supplier_stats",
     "lateral_top_orders_per_customer",
     "observed_metrics_quality_gate",
+    "snapshot_manifest_time_travel",
 ]
 
 

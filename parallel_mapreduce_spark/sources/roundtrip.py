@@ -832,3 +832,72 @@ def xml_roundtrip_supplier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("s_acctbal"), 4).alias("total_acctbal"),
         F.sum(F.length("s_name")).alias("name_chars"),
     )
+
+
+# --------------------------------------------------------------------------
+# Snapshot / time travel via file manifests: the third lakehouse
+# primitive (with deletion vectors and shredded VARIANT above) — readers
+# plan from a MANIFEST (an explicit file list captured at commit time),
+# not from directory listing. At 100 TB directory listing is both slow
+# (millions of objects) and non-atomic (a reader can see half a commit);
+# a manifest gives O(1) planning and snapshot isolation, and "AS OF
+# snapshot k" is just reading snapshot k's list — data files are
+# immutable and never rewritten by later appends. The query commits two
+# batches, captures both manifests, reads each snapshot FROM ITS LIST
+# (explicit schema, no inference), and the oracle replays both snapshots
+# logically — proving manifest-scoped reads see exactly their commit's
+# rows even though batch 2's files sit in the same table by then.
+# --------------------------------------------------------------------------
+SNAPSHOT_SPLIT_MOD = 3  # batch 1 = keys % 3 != 0, batch 2 appends the rest
+
+
+@query(
+    "snapshot_manifest_time_travel",
+    oracle=f"""
+    SELECT 1 AS snapshot_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders WHERE o_orderkey % {SNAPSHOT_SPLIT_MOD} <> 0
+    UNION ALL
+    SELECT 2 AS snapshot_id,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    """,
+)
+def snapshot_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+
+    register_views(spark, sf_dir)
+    base = sink_dir("snapshots")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    b1, b2 = base + "/b1", base + "/b2"
+    orders.filter(F.col("o_orderkey") % SNAPSHOT_SPLIT_MOD != 0).write.mode(
+        "overwrite"
+    ).parquet(b1)
+    orders.filter(F.col("o_orderkey") % SNAPSHOT_SPLIT_MOD == 0).write.mode(
+        "overwrite"
+    ).parquet(b2)
+    # Commit = capture the file list. Snapshot 2's manifest extends
+    # snapshot 1's; batch-1 files are shared, immutable, never relisted.
+    manifest1 = sorted(glob.glob(b1 + "/part-*.parquet"))
+    manifest2 = manifest1 + sorted(glob.glob(b2 + "/part-*.parquet"))
+
+    def read_snapshot(snap_id: int, manifest: list[str]) -> DataFrame:
+        return (
+            spark.read.schema("o_orderkey bigint, o_totalprice double")
+            .parquet(*manifest)
+            .agg(
+                F.count("*").alias("n_orders"),
+                F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+            )
+            .select(
+                F.lit(snap_id).cast("int").alias("snapshot_id"),
+                "n_orders",
+                "total_price",
+            )
+        )
+
+    return read_snapshot(1, manifest1).unionByName(read_snapshot(2, manifest2))
