@@ -80,7 +80,13 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
             orders, li.l_orderkey == orders.o_orderkey
         ).count()
     finally:
-        if prev is not None:
+        # conf.get(key, None) returns None for an UNSET conf (not the
+        # engine default), so the restore must unset — `set(prev)` guarded
+        # on prev leaked threshold=-1 into the shared session and failed
+        # any later broadcast plan assertion in the same pytest run.
+        if prev is None:
+            spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        else:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS li_b")
         spark.sql("DROP TABLE IF EXISTS orders_b")
