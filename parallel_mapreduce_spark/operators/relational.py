@@ -2596,12 +2596,16 @@ def hll_sketch_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # estimate (essentially) what the one-pass sketch estimates. NOT
         # strict equality: the DataSketches HLL union runs an HLL_8 gadget
         # with mode promotions, and bit-identical estimates at every
-        # cardinality/lgK are not contractually guaranteed — a 0.1%
-        # relative band pins "merge did not degrade the sketch" without
-        # turning an implementation detail into a scale-dependent red row.
+        # cardinality/lgK are not contractually guaranteed. Measured: the
+        # estimates are bit-equal at 15 and 150 distinct users (sparse
+        # mode) but diverge 0.40% at 1,500 (sf0.1: merged 1488 vs direct
+        # 1494 — the union's gadget promotion) — so the band is 2%:
+        # comfortably above observed promotion noise, far below the 15%
+        # accuracy bound, still proving the merge didn't degrade the
+        # sketch.
         (
             F.abs(F.col("merged_est") - F.col("direct_est"))
-            <= 0.001 * F.col("direct_est")
+            <= 0.02 * F.col("direct_est")
         ).alias("merge_equals_direct_est"),
     )
 
