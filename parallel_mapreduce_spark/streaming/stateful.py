@@ -243,9 +243,14 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming import StatefulProcessor
 
     apply_runtime_conf(spark)
-    # transformWithState requires the RocksDB state store (runtime-settable).
+    # transformWithState requires the RocksDB state store (runtime-settable;
+    # provider choice latches per query at start). Save/restore so the
+    # shared session doesn't carry the provider into later queries —
+    # conf.get(key, None) is None when UNSET, so restore must unset then.
+    key = "spark.sql.streaming.stateStore.providerClass"
+    prev = spark.conf.get(key, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
     )
 
@@ -270,14 +275,20 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     global _RUN_SEQ
     _RUN_SEQ += 1
     name = f"stream_user_totals_tws_{_RUN_SEQ}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
     snapshots = spark.table(name)
     final = snapshots.groupBy("user_id").agg(
         F.max(F.struct("n_events", "total_value", "last_seen_epoch")).alias("s")
