@@ -47,3 +47,58 @@ def test_no_scale_red_flags(spark, sf_dir, name):
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
         if name not in EAGER:
             assert "ArrowEvalPython" not in plan, f"{name}: unexpected Python stage"
+
+
+# Shuffle-census regression pins: each headline query's physical plan may
+# not grow NEW exchanges silently — at 100 TB an accidental extra shuffle
+# is the single most expensive plan regression a refactor can introduce.
+# Numbers are plan-text Exchange occurrences (initial AQE plan, includes
+# reused subtrees, so iterative queries count each iteration's exchanges);
+# they are structural constants of the query code, not of data size.
+# A DROP below the pin is fine (tighten it); a rise fails until justified.
+HEADLINE_EXCHANGE_CEILING = {
+    "wordcount": 1,
+    "top_terms": 1,
+    "neardup_jaccard_pairs": 23,
+    "neardup_jaccard_pairs_capped": 31,
+    "minhash_lsh_candidates": 22,
+    "fuzzy_name_pairs": 3,
+    "pipeline_clean_corpus": 2,
+    "pipeline_training_mix": 18,
+    "pipeline_chunk_index_search": 5,
+    "cosine_topk": 3,
+    "ann_sq_topk": 3,
+    "kmeans_lloyd_2iter": 17,
+    "boilerplate_shingle_coverage": 4,
+    "chunk_documents": 1,
+    "epoch_shuffle_order": 4,
+    "strip_boilerplate_tokens": 5,
+    "bigram_logprob_score": 34,
+    "events_hourly": 1,
+    "pagerank_event_types": 43,
+    "q1_pricing_summary": 1,
+    "q3_top_revenue": 3,
+    "q5_region_revenue": 6,
+    "window_top_orders_per_customer": 1,
+    "q18_large_volume_customers": 3,
+    "q21_waiting_suppliers_shape": 7,
+    "asof_purchase_attribution": 2,
+}
+
+
+def test_headline_exchange_census_is_complete():
+    from parallel_mapreduce_spark.registry import headline_names
+
+    missing = set(headline_names()) - set(HEADLINE_EXCHANGE_CEILING)
+    assert not missing, f"new headline queries need an exchange pin: {missing}"
+
+
+@pytest.mark.parametrize("name", sorted(HEADLINE_EXCHANGE_CEILING))
+def test_headline_query_gains_no_new_exchanges(spark, sf_dir, name):
+    df = QUERIES[name].fn(spark, sf_dir)
+    n = _plan(df).count("Exchange")
+    ceiling = HEADLINE_EXCHANGE_CEILING[name]
+    assert n <= ceiling, (
+        f"{name}: {n} exchanges vs pinned {ceiling} — a refactor added a "
+        "shuffle; justify and re-pin, or fix the plan"
+    )
