@@ -16,6 +16,7 @@ same code is correct on a multi-executor cluster at 100 TB:
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -141,3 +142,30 @@ def ensure_package_on_workers(sc) -> None:
         )
     sc.addPyFile(stem + ".zip")
     _SHIPPED.add(app_id)
+
+
+@contextmanager
+def state_sized_shuffle(spark: SparkSession, n: int = 8):
+    """Scope ``spark.sql.shuffle.partitions`` down for a STREAMING replay.
+
+    A stateful streaming query latches its state-store partition count to
+    the session's shuffle partitions at query start; under a plain driver
+    session (default 200) every micro-batch then pays 200 state-store
+    instances per stateful operator — measured 62s for a 5-batch
+    stream-stream left-outer replay at sf0.01, dominated entirely by that
+    constant. The test-scale replays here carry KB of state, so 8
+    partitions is generous; at production scale this knob is sized to the
+    cluster's cores, not hardcoded. Restores (or unsets) the conf on exit
+    so the batch side of the session is untouched — checkpoints are
+    per-invocation here, so no stored state ever sees two different
+    partition counts."""
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)

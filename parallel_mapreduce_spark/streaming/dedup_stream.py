@@ -57,16 +57,19 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     Append mode: dropDuplicatesWithinWatermark emits each key's first
     occurrence immediately (it does not wait for the watermark), so a drained
     one-shot run yields every distinct key exactly once."""
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
     global _RUN_SEQ
     _RUN_SEQ += 1
     name = f"stream_dedup_events_{_RUN_SEQ}"
-    q = (
-        dedup_events_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark):
+        q = (
+            dedup_events_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).orderBy(*DEDUP_KEYS)

@@ -88,15 +88,18 @@ def run_hourly_stream_to_memory(
     return the materialized result. Complete output mode: with a one-shot
     batch the watermark never advances past the data, so append mode would
     hold every window open and emit nothing."""
-    q = (
-        hourly_events_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
+    with state_sized_shuffle(spark):
+        q = (
+            hourly_events_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)
 
 
@@ -115,14 +118,17 @@ def run_hourly_stream_to_parquet(
     def _sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("overwrite").parquet(out_path)
 
-    q = (
-        hourly_events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(_sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
+    with state_sized_shuffle(spark):
+        q = (
+            hourly_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.read.parquet(out_path)
 
 
@@ -158,14 +164,17 @@ def segment_share_stream(
         .groupBy("segment", "event_type")
         .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("sum_value"))
     )
-    q = (
-        enriched.writeStream.format("memory")
-        .queryName(table_name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
+    with state_sized_shuffle(spark):
+        q = (
+            enriched.writeStream.format("memory")
+            .queryName(table_name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(table_name)
 
 
@@ -285,16 +294,19 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     data, so append would emit nothing; the drained complete-mode snapshot
     equals the batch session_window result (asserted against the same
     recursive-sessionization oracle events_session_window uses)."""
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
     name = _next_name("stream_session_windows")
-    q = (
-        session_windows_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark):
+        q = (
+            session_windows_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -354,14 +366,17 @@ def stream_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch_df.write.mode("overwrite").parquet(pa)
         batch_df.write.mode("overwrite").parquet(pb)
 
-    q = (
-        hourly_events_stream(spark, sf_dir)
-        .writeStream.foreachBatch(_sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
+    with state_sized_shuffle(spark):
+        q = (
+            hourly_events_stream(spark, sf_dir)
+            .writeStream.foreachBatch(_sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     a = spark.read.parquet(pa)
     b = spark.read.parquet(pb).select(
         F.col("hour_epoch").alias("h2"),
@@ -476,14 +491,20 @@ def stream_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
                 "append"
             ).parquet(outp)
 
-        q = (
-            stream.writeStream.foreachBatch(_sink)
-            .outputMode("update")
-            .option("checkpointLocation", ckpt)
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        # Same state_sized_shuffle n on BOTH runs: the shared checkpoint
+        # latches the state partition count at run 1, and run 2 must
+        # reopen it with the identical count.
+        from parallel_mapreduce_spark.session import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                stream.writeStream.foreachBatch(_sink)
+                .outputMode("update")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
         return sum(
             int(p["numInputRows"]) for p in (q.recentProgress or [])
         )

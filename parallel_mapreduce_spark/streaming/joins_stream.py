@@ -102,18 +102,21 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink. Append mode: a joined pair is emitted once both inputs are
     buffered; draining the source flushes every matched pair, so the result
     equals the batch join."""
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
     global _RUN_SEQ
     _RUN_SEQ += 1
     name = f"stream_click_attribution_{_RUN_SEQ}"
-    q = (
-        click_purchase_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark):
+        q = (
+            click_purchase_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name)
 
 
@@ -257,17 +260,20 @@ def stream_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gap_s"),
         "click_ts",
     )
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
     global _RUN_SEQ
     _RUN_SEQ += 1
     name = f"stream_click_no_purchase_{_RUN_SEQ}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark):
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     cutoff = ev.agg(
         (
             F.least(

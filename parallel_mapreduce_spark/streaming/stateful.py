@@ -108,18 +108,21 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     user's snapshots, so max_by(snapshot, n_events) is exactly the final
     state — this reduction makes the query correct under ANY batch split,
     instead of assuming a single batch."""
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
     global _RUN_SEQ
     _RUN_SEQ += 1
     name = f"stream_user_totals_{_RUN_SEQ}"
-    q = (
-        user_totals_stream(spark, sf_dir)
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with state_sized_shuffle(spark):
+        q = (
+            user_totals_stream(spark, sf_dir)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     snapshots = spark.table(name)
     final = snapshots.groupBy("user_id").agg(
         F.max(
@@ -276,14 +279,17 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     _RUN_SEQ += 1
     name = f"stream_user_totals_tws_{_RUN_SEQ}"
     try:
-        q = (
-            out.writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        from parallel_mapreduce_spark.session import state_sized_shuffle
+
+        with state_sized_shuffle(spark):
+            q = (
+                out.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset(key)
@@ -332,18 +338,21 @@ def stream_user_totals_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = spark.conf.get(key, None)
     spark.conf.set(key, ROCKSDB_PROVIDER)
     try:
+        from parallel_mapreduce_spark.session import state_sized_shuffle
+
         global _RUN_SEQ
         _RUN_SEQ += 1
         name = f"stream_user_totals_rocksdb_{_RUN_SEQ}"
-        q = (
-            user_totals_stream(spark, sf_dir)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("update")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
+        with state_sized_shuffle(spark):
+            q = (
+                user_totals_stream(spark, sf_dir)
+                .writeStream.format("memory")
+                .queryName(name)
+                .outputMode("update")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
     finally:
         if prev is None:
             spark.conf.unset(key)
