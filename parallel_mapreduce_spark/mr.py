@@ -31,6 +31,7 @@ Catalyst adds partial aggregation — the asymptotic win the reference lacks.
 
 from __future__ import annotations
 
+import re
 from collections.abc import Callable, Iterable, Iterator
 from itertools import groupby
 from typing import Any
@@ -118,30 +119,27 @@ def mr_run(
 
 # --------------------------------------------------------------------------
 # The reference's flagship application, run through the veneer: word count
-# (main.c:10-40). Oracle = the same SQL as the DataFrame wordcount — both
-# surfaces must agree with DuckDB.
+# (main.c:10-40). Tokenization here is the reference's strtok class
+# " \t\n\r" (widened in round 5 for fidelity); the DataFrame wordcount's
+# shared tokens()/_SQL_TOKS deliberately stay space-only — that is the
+# engine's documented corpus tokenization, used by dozens of oracles. The
+# two surfaces therefore agree on space-delimited text (all current
+# testdata) and are EACH value-checked against their own matching DuckDB
+# oracle; they are not defined to agree on tab/CR-bearing documents.
 # --------------------------------------------------------------------------
-_DELIM_CLASS = " \t\n\r"  # the reference's strtok delimiter set (src/main.c:19)
+# The reference's strtok delimiter set (src/main.c:19). A compiled regex
+# split runs at C speed on the per-line RDD hot path; the explicit
+# 4-char class does NOT widen to Unicode whitespace (\x0b/\x0c/NBSP stay
+# token content), unlike str.split() with no argument.
+_DELIM_RE = re.compile("[ \t\n\r]+")
 
 
 def _tokenize_emit(line: str) -> list[tuple[str, str]]:
     # Intended semantics of the reference Mapper (src/main.c:17-23): strtok
     # on the " \t\n\r" class, drop empty tokens, emit (token, "1"). The
     # line-abort bug at src/main.c:20-21 is deliberately not replicated
-    # (SURVEY.md §2.4). Exactly this 4-char class — not str.split()'s wider
-    # Unicode-whitespace set, which would also split on \x0b/\x0c/NBSP.
-    out = []
-    tok = []
-    for ch in line:
-        if ch in _DELIM_CLASS:
-            if tok:
-                out.append(("".join(tok), "1"))
-                tok = []
-        else:
-            tok.append(ch)
-    if tok:
-        out.append(("".join(tok), "1"))
-    return out
+    # (SURVEY.md §2.4).
+    return [(t, "1") for t in _DELIM_RE.split(line) if t]
 
 
 def _count_values(key: str, values: Iterator[str]) -> int:

@@ -66,10 +66,13 @@ def global_row_number(
     local = ranged.withColumn("_local", F.row_number().over(w_local))
     # Range partition ids increase along the sort order, so the base for
     # partition p is the row count of partitions < p. n rows -> broadcast.
-    # Counts come from the SAME windowed frame as the join's left side
-    # (max local rank == shard row count), not from a second aggregation
-    # over `ranged` — one fewer subplan whose re-evaluation must agree.
-    counts = local.groupBy("_pid").agg(F.max("_local").cast("long").alias("_n"))
+    # A plain hash count over `ranged` (not max(_local) over the windowed
+    # frame): branches are independent evaluations either way — Spark
+    # shares the exchange, not the window — and count(*) needs exactly the
+    # same rows-per-shard agreement while skipping the bases branch's
+    # per-partition sort. Consistency rests on the deterministic-input
+    # precondition above in both formulations.
+    counts = ranged.groupBy("_pid").agg(F.count("*").alias("_n"))
     w_base = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     bases = counts.select(
         "_pid",
@@ -111,10 +114,9 @@ def global_prefix_sum(
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = ranged.withColumn("_local", F.sum(value).over(w_local))
-    # Shard totals from the SAME windowed frame as the join's left side
-    # (sum of the raw value column; sign-safe, unlike a max-of-cumsum) —
-    # shares the subplan with `local`, as in global_row_number.
-    totals = local.groupBy("_pid").agg(F.sum(value).alias("_t"))
+    # Hash-aggregate totals over `ranged` (no window in the bases branch) —
+    # same rationale as global_row_number's counts.
+    totals = ranged.groupBy("_pid").agg(F.sum(value).alias("_t"))
     w_base = W.orderBy("_pid").rowsBetween(W.unboundedPreceding, -1)
     bases = totals.select(
         "_pid",

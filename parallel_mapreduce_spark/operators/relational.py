@@ -2426,10 +2426,9 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
     # saved/restored so a shared session doesn't carry it into later
     # queries; the script executes eagerly, so the (single-row) result is
     # re-materialized as a local DataFrame before the conf goes back.
-    key = "spark.sql.scripting.enabled"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, "true")
-    try:
+    from parallel_mapreduce_spark.session import scoped_conf
+
+    with scoped_conf(spark, "spark.sql.scripting.enabled", "true"):
         out = spark.sql(f"""
         BEGIN
           DECLARE t BIGINT DEFAULT {SCRIPT_BASE_THRESHOLD};
@@ -2448,11 +2447,6 @@ def sql_scripting_threshold_search(spark: SparkSession, sf_dir: str) -> DataFram
         END
         """)
         rows, schema = out.collect(), out.schema
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     return spark.createDataFrame(rows, schema)
 
 

@@ -127,26 +127,6 @@ DRIVER_PRIORITY: list[str] = [
 ]
 
 
-def _driver_rowed_names() -> set[str]:
-    """Query names with a recorded driver correctness row in ANY prior
-    round (union of CORRECTNESS_r*.json at the repo root). Missing or
-    unreadable files contribute nothing — a fresh checkout still orders
-    deterministically."""
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    rowed: set[str] = set()
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as fh:
-                rowed |= set(json.load(fh))
-        except (OSError, ValueError):
-            continue
-    return rowed
-
-
 def _driver_latest_status() -> dict[str, tuple[int, bool]]:
     """name -> (round of the LATEST driver correctness row, was it green).
     A row is green when rows/schema match, the value hash matches (or was
@@ -169,6 +149,11 @@ def _driver_latest_status() -> dict[str, tuple[int, bool]]:
         except (OSError, ValueError, IndexError):
             continue
         for name, row in rows.items():
+            # Later ROUND wins — compare the parsed round number, not file
+            # order: the sorted() glob is lexicographic, so r100 would sort
+            # before r11 and an old row could silently override a newer one.
+            if name in status and status[name][0] > rnd:
+                continue
             status[name] = (
                 rnd,
                 bool(row.get("rows_match"))

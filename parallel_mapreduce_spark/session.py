@@ -145,6 +145,26 @@ def ensure_package_on_workers(sc) -> None:
 
 
 @contextmanager
+def scoped_conf(spark: SparkSession, key: str, value: str):
+    """Set a session conf for the duration of a block, then restore it.
+
+    ``spark.conf.get(key, None)`` returns None for an UNSET conf — not the
+    engine default — so restore must UNSET in that case; a guarded
+    ``set(prev)`` silently leaks the override into every later query on
+    the shared session (this exact bug shipped twice before this helper
+    existed). The set happens inside the protected region, so an
+    exception anywhere after entry still restores."""
+    key_prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, value)
+        yield
+    finally:
+        if key_prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, key_prev)
+
+
 def state_sized_shuffle(spark: SparkSession, n: int = 8):
     """Scope ``spark.sql.shuffle.partitions`` down for a STREAMING replay.
 
@@ -155,17 +175,6 @@ def state_sized_shuffle(spark: SparkSession, n: int = 8):
     stream-stream left-outer replay at sf0.01, dominated entirely by that
     constant. The test-scale replays here carry KB of state, so 8
     partitions is generous; at production scale this knob is sized to the
-    cluster's cores, not hardcoded. Restores (or unsets) the conf on exit
-    so the batch side of the session is untouched — checkpoints are
-    per-invocation here, so no stored state ever sees two different
-    partition counts."""
-    key = "spark.sql.shuffle.partitions"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, str(n))
-    try:
-        yield
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
+    cluster's cores, not hardcoded. Checkpoints are per-invocation here,
+    so no stored state ever sees two different partition counts."""
+    return scoped_conf(spark, "spark.sql.shuffle.partitions", str(n))

@@ -245,42 +245,39 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate, so the typed-state path is value-checked."""
     from pyspark.sql.streaming import StatefulProcessor
 
+    from parallel_mapreduce_spark.session import scoped_conf, state_sized_shuffle
+
     apply_runtime_conf(spark)
-    # transformWithState requires the RocksDB state store (runtime-settable;
-    # provider choice latches per query at start). Save/restore so the
-    # shared session doesn't carry the provider into later queries —
-    # conf.get(key, None) is None when UNSET, so restore must unset then.
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(
-        key,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
-    )
 
     class _Proc(_UserTotalsProcessor, StatefulProcessor):
         pass
 
-    src = (
-        spark.readStream.schema(EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir.rstrip("/"))
-        .select("user_id", "ts", "value")
-    )
-    out = src.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=_Proc(),
-        outputStructType=(
-            "user_id bigint, n_events bigint, total_value double, "
-            "last_seen_epoch bigint"
-        ),
-        outputMode="Update",
-        timeMode="None",
-    )
     global _RUN_SEQ
     _RUN_SEQ += 1
     name = f"stream_user_totals_tws_{_RUN_SEQ}"
-    try:
-        from parallel_mapreduce_spark.session import state_sized_shuffle
-
+    # transformWithState requires the RocksDB state store (runtime-settable;
+    # provider choice latches per query at start). scoped_conf covers the
+    # WHOLE build+run — a failure during stream analysis must restore too.
+    with scoped_conf(
+        spark,
+        "spark.sql.streaming.stateStore.providerClass",
+        ROCKSDB_PROVIDER,
+    ):
+        src = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir.rstrip("/"))
+            .select("user_id", "ts", "value")
+        )
+        out = src.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_Proc(),
+            outputStructType=(
+                "user_id bigint, n_events bigint, total_value double, "
+                "last_seen_epoch bigint"
+            ),
+            outputMode="Update",
+            timeMode="None",
+        )
         with state_sized_shuffle(spark):
             q = (
                 out.writeStream.format("memory")
@@ -290,11 +287,6 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     snapshots = spark.table(name)
     final = snapshots.groupBy("user_id").agg(
         F.max(F.struct("n_events", "total_value", "last_seen_epoch")).alias("s")
@@ -333,16 +325,15 @@ def stream_user_totals_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     provider twin, so the value semantics are proven identical across
     providers. The conf is set for the duration of the run and restored
     (provider choice is latched per query at start)."""
-    apply_runtime_conf(spark)
-    key = "spark.sql.streaming.stateStore.providerClass"
-    prev = spark.conf.get(key, None)
-    spark.conf.set(key, ROCKSDB_PROVIDER)
-    try:
-        from parallel_mapreduce_spark.session import state_sized_shuffle
+    from parallel_mapreduce_spark.session import scoped_conf, state_sized_shuffle
 
-        global _RUN_SEQ
-        _RUN_SEQ += 1
-        name = f"stream_user_totals_rocksdb_{_RUN_SEQ}"
+    apply_runtime_conf(spark)
+    global _RUN_SEQ
+    _RUN_SEQ += 1
+    name = f"stream_user_totals_rocksdb_{_RUN_SEQ}"
+    with scoped_conf(
+        spark, "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
+    ):
         with state_sized_shuffle(spark):
             q = (
                 user_totals_stream(spark, sf_dir)
@@ -353,11 +344,6 @@ def stream_user_totals_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .start()
             )
             q.awaitTermination()
-    finally:
-        if prev is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, prev)
     snapshots = spark.table(name)
     final = snapshots.groupBy("user_id").agg(
         F.max(
