@@ -2680,13 +2680,20 @@ def observed_metrics_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     # One pass drives the pipeline AND fills both observations.
     gated.write.format("noop").mode("overwrite").save()
     m_pre, m_post = pre.get, post.get
+    # Round Spark-side (HALF_UP), not with Python round() (banker's): the
+    # DuckDB oracle's ROUND is half-away-from-zero, so an exact .00005 tie
+    # would hash-mismatch under Python's round-half-even.
     return spark.createDataFrame(
         [
             (
                 m_pre["rows_in"],
                 m_post["rows_kept"],
-                round(m_pre["mean_chars_in"], 4),
+                m_pre["mean_chars_in"],
             )
         ],
         "rows_in bigint, rows_kept bigint, mean_chars_in double",
+    ).select(
+        "rows_in",
+        "rows_kept",
+        F.round("mean_chars_in", 4).alias("mean_chars_in"),
     )

@@ -704,13 +704,26 @@ def variant_shred_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         # logical-type annotation and refuses the footer outright).
         import glob
 
-        f = sorted(glob.glob(path + "/part-*.parquet"))[0]
+        parts = sorted(glob.glob(path + "/part-*.parquet"))
+        if not parts:
+            raise ValueError(f"no parquet part files under {path}")
         jvm = spark.sparkContext._jvm
-        footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
-            spark._jsc.hadoopConfiguration(),
-            jvm.org.apache.hadoop.fs.Path(f),
-        )
-        return "typed_value" in footer.getFileMetaData().getSchema().toString()
+
+        def _footer_shredded(f: str) -> bool:
+            footer = jvm.org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+                spark._jsc.hadoopConfiguration(),
+                jvm.org.apache.hadoop.fs.Path(f),
+            )
+            schema = footer.getFileMetaData().getSchema().toString()
+            return "typed_value" in schema
+
+        # Every part file must agree: shredding is driven by session confs
+        # (uniform across the write), so a per-file divergence means the
+        # write is broken — surface it instead of reporting file [0]'s state.
+        states = {_footer_shredded(f) for f in parts}
+        if len(states) > 1:
+            raise ValueError(f"per-file shredding divergence under {path}")
+        return states.pop()
 
     back = spark.read.parquet(out)
     typed = back.select(
@@ -744,19 +757,10 @@ DV_DELETE_MOD = 7  # delete finished orders whose key is divisible by this
 # table), value-proving that positional deletion selects exactly the
 # predicate's rows — the core invariant a DV implementation must keep.
 # --------------------------------------------------------------------------
-@query(
-    "merge_on_read_deletion_vectors",
-    oracle=f"""
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           ROUND(SUM(o_totalprice), 4) AS total_spend
-    FROM orders
-    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % {DV_DELETE_MOD} = 0)
-    GROUP BY o_orderstatus
-    """,
-)
-def merge_on_read_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
+def dv_alive_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-on-read scan pre-aggregation: base rows minus positional
+    tombstones. Factored out so tests can assert the kept set key-for-key
+    (not just counts) against the logical filter."""
     base = sink_dir("dv") + "/orders"
     dv_dir = sink_dir("dv") + "/tombstones"
     load_table(spark, sf_dir, "orders").select(
@@ -778,7 +782,23 @@ def merge_on_read_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFram
     # Merge-on-read scan: base minus tombstones. The DV side is deletes-
     # sized (broadcast); the base side streams — no shuffle of the fact.
     dv = spark.read.parquet(dv_dir)
-    alive = with_pos.join(F.broadcast(dv), ["_file", "_pos"], "left_anti")
+    return with_pos.join(F.broadcast(dv), ["_file", "_pos"], "left_anti")
+
+
+@query(
+    "merge_on_read_deletion_vectors",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_spend
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND o_orderkey % {DV_DELETE_MOD} = 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def merge_on_read_deletion_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    alive = dv_alive_rows(spark, sf_dir)
     return alive.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total_spend"),

@@ -16,6 +16,8 @@ its first occurrence could re-emit (the documented, bounded-state tradeoff).
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -44,7 +46,10 @@ def dedup_events_stream(
     )
 
 
-_RUN_SEQ = 0
+# itertools.count: next() is a single atomic bytecode under the GIL, so
+# threaded-pytest invocations can never draw the same sequence (a bare
+# global += is a read/add/store triple and can race).
+_RUN_SEQ = itertools.count(1)
 
 
 @query(
@@ -59,9 +64,7 @@ def stream_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     one-shot run yields every distinct key exactly once."""
     from parallel_mapreduce_spark.session import state_sized_shuffle
 
-    global _RUN_SEQ
-    _RUN_SEQ += 1
-    name = f"stream_dedup_events_{_RUN_SEQ}"
+    name = f"stream_dedup_events_{next(_RUN_SEQ)}"
     with state_sized_shuffle(spark):
         q = (
             dedup_events_stream(spark, sf_dir)

@@ -14,6 +14,8 @@ by (window, event_type) and bounded by the watermark.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -178,13 +180,13 @@ def segment_share_stream(
     return spark.table(table_name)
 
 
-_RUN_SEQ = 0
+# Atomic under the GIL (next() is one bytecode); a bare global += can race
+# under threaded pytest and hand two invocations the same scratch suffix.
+_RUN_SEQ = itertools.count(1)
 
 
 def _next_name(prefix: str) -> str:
-    global _RUN_SEQ
-    _RUN_SEQ += 1
-    return f"{prefix}_{_RUN_SEQ}"
+    return f"{prefix}_{next(_RUN_SEQ)}"
 
 
 # --------------------------------------------------------------------------
@@ -418,7 +420,7 @@ def stream_dual_sink_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
 # is the idempotent read side of an update-mode changelog sink.
 # --------------------------------------------------------------------------
 RESUME_SPLIT_DAY = "2024-01-15"
-_RESUME_SEQ = 0
+_RESUME_SEQ = itertools.count(1)
 
 
 @query(
@@ -448,9 +450,7 @@ def stream_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
     # resumed_incrementally=false. The sequence suffix gives every
     # invocation its own src/ckpt/out/stage quartet; the process-root
     # atexit cleanup still removes them all.
-    global _RESUME_SEQ
-    _RESUME_SEQ += 1
-    base = sink_dir(f"stream_resume_{_RESUME_SEQ}")
+    base = sink_dir(f"stream_resume_{next(_RESUME_SEQ)}")
     src, ckpt, outp, stage = (
         base + "/src",
         base + "/ckpt",

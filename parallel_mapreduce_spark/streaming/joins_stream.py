@@ -16,6 +16,8 @@ equals the batch join exactly.
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -79,7 +81,9 @@ def click_purchase_stream(
     )
 
 
-_RUN_SEQ = 0
+# Atomic under the GIL (next() is one bytecode); a bare global += can race
+# under threaded pytest and hand two invocations the same scratch suffix.
+_RUN_SEQ = itertools.count(1)
 
 
 @query(
@@ -104,9 +108,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     equals the batch join."""
     from parallel_mapreduce_spark.session import state_sized_shuffle
 
-    global _RUN_SEQ
-    _RUN_SEQ += 1
-    name = f"stream_click_attribution_{_RUN_SEQ}"
+    name = f"stream_click_attribution_{next(_RUN_SEQ)}"
     with state_sized_shuffle(spark):
         q = (
             click_purchase_stream(spark, sf_dir)
@@ -262,9 +264,7 @@ def stream_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from parallel_mapreduce_spark.session import state_sized_shuffle
 
-    global _RUN_SEQ
-    _RUN_SEQ += 1
-    name = f"stream_click_no_purchase_{_RUN_SEQ}"
+    name = f"stream_click_no_purchase_{next(_RUN_SEQ)}"
     with state_sized_shuffle(spark):
         q = (
             joined.writeStream.format("memory")

@@ -20,6 +20,8 @@ exposed as the rows-only query ``stream_user_totals``.
 
 from __future__ import annotations
 
+import itertools
+
 from collections.abc import Iterator
 from typing import Any
 
@@ -81,7 +83,9 @@ def user_totals_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_RUN_SEQ = 0
+# Atomic under the GIL (next() is one bytecode); a bare global += can race
+# under threaded pytest and hand two invocations the same scratch suffix.
+_RUN_SEQ = itertools.count(1)
 
 
 @query(
@@ -110,9 +114,7 @@ def stream_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of assuming a single batch."""
     from parallel_mapreduce_spark.session import state_sized_shuffle
 
-    global _RUN_SEQ
-    _RUN_SEQ += 1
-    name = f"stream_user_totals_{_RUN_SEQ}"
+    name = f"stream_user_totals_{next(_RUN_SEQ)}"
     with state_sized_shuffle(spark):
         q = (
             user_totals_stream(spark, sf_dir)
@@ -252,9 +254,7 @@ def stream_user_totals_tws(spark: SparkSession, sf_dir: str) -> DataFrame:
     class _Proc(_UserTotalsProcessor, StatefulProcessor):
         pass
 
-    global _RUN_SEQ
-    _RUN_SEQ += 1
-    name = f"stream_user_totals_tws_{_RUN_SEQ}"
+    name = f"stream_user_totals_tws_{next(_RUN_SEQ)}"
     # transformWithState requires the RocksDB state store (runtime-settable;
     # provider choice latches per query at start). scoped_conf covers the
     # WHOLE build+run — a failure during stream analysis must restore too.
@@ -328,9 +328,7 @@ def stream_user_totals_rocksdb(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_mapreduce_spark.session import scoped_conf, state_sized_shuffle
 
     apply_runtime_conf(spark)
-    global _RUN_SEQ
-    _RUN_SEQ += 1
-    name = f"stream_user_totals_rocksdb_{_RUN_SEQ}"
+    name = f"stream_user_totals_rocksdb_{next(_RUN_SEQ)}"
     with scoped_conf(
         spark, "spark.sql.streaming.stateStore.providerClass", ROCKSDB_PROVIDER
     ):

@@ -34,18 +34,27 @@ def test_deletion_vector_conserves_rows(spark, sf_dir):
     from parallel_mapreduce_spark.sources import load_table
     from parallel_mapreduce_spark.sources.roundtrip import (
         DV_DELETE_MOD as MOD,
+        dv_alive_rows,
         merge_on_read_deletion_vectors,
     )
 
     orders = load_table(spark, sf_dir, "orders")
     total = orders.count()
-    doomed = orders.filter(
-        (F.col("o_orderstatus") == "F") & (F.col("o_orderkey") % MOD == 0)
-    ).count()
+    doomed_pred = (F.col("o_orderstatus") == "F") & (
+        F.col("o_orderkey") % MOD == 0
+    )
+    doomed = orders.filter(doomed_pred).count()
     kept = merge_on_read_deletion_vectors(spark, sf_dir).agg(
         F.sum("n_orders")
     ).collect()[0][0]
     assert kept == total - doomed
+    # Key-level: the merge-on-read kept set equals the logical filter
+    # row-for-row in both directions (exceptAll is a multiset diff, so a
+    # duplicate-key imbalance would also surface).
+    alive_keys = dv_alive_rows(spark, sf_dir).select("o_orderkey")
+    logical_keys = orders.filter(~doomed_pred).select("o_orderkey")
+    assert alive_keys.exceptAll(logical_keys).count() == 0
+    assert logical_keys.exceptAll(alive_keys).count() == 0
 
 
 def test_snapshot_one_is_immutable_after_second_commit(spark, sf_dir):

@@ -89,6 +89,32 @@ def test_ordering_puts_needy_before_green_and_rotates_recheck_tail():
     assert len(names) == len(QUERIES)
 
 
+def test_all_green_window_is_exactly_the_stalest_fifty():
+    """Round-5 verdict item #5: once every query is green on its latest
+    driver row (the steady state from r5 on), the 50-name driver window
+    must be EXACTLY the 50 stalest-latest-row names — the re-check
+    rotation is the window's whole job when nothing is red. Skipped (via
+    the needy guard) if a future round re-introduces red/unrowed rows,
+    where the other window tests take over."""
+    from parallel_mapreduce_spark.registry import (
+        QUERIES,
+        _driver_latest_status,
+        _load_all,
+        _ordered_names,
+    )
+
+    _load_all()
+    status = _driver_latest_status()
+    needy = [n for n in QUERIES if not status.get(n, (0, False))[1]]
+    if needy:
+        return  # red/unrowed exist: covered by the priority-window test
+    reg_pos = {n: i for i, n in enumerate(QUERIES)}
+    expected = sorted(QUERIES, key=lambda n: (status[n][0], reg_pos[n]))[:50]
+    assert _ordered_names()[:50] == expected, (
+        "all-green window is not the 50 stalest latest-row names"
+    )
+
+
 def test_priority_window_prefers_red_and_unrowed_queries():
     """The recurring stale-window bug (shipped r3->r4 AND r4->r5): the
     driver value-checks only the first 50 names of queries(), so every
