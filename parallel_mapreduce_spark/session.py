@@ -87,6 +87,10 @@ def apply_runtime_conf(spark: SparkSession) -> None:
     # events.parquet stores TIMESTAMP(NANOS), illegal for Spark 4's reader;
     # read as int64 nanos and convert in sources.load_table.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Python-data-source filter pushdown (pmr_synth_pd) is opt-in in
+    # Spark 4.1 — without this a reader implementing pushFilters() fails
+    # outright rather than falling back.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     ensure_package_on_workers(spark.sparkContext)
 
 

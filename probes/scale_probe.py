@@ -1,0 +1,246 @@
+"""Scale-exponent probe for the dedup/ANN headliners (round-6 item #4).
+
+The sf-scaled oracle gate proves correctness; this probe measures how the
+six dedup/ANN headline plans' wall time GROWS with corpus size — the
+quantity that decides whether a plan survives a 100x scale-up. It builds
+mutated-replica corpora at 1x/3x/10x of sf0.1 under /tmp, times each query
+at each scale (best of N noop-write runs, same convention as bench.py),
+and fits the exponent b in  t ~ scale^b  by least squares over log-log.
+
+Two replication modes, because they measure different things:
+
+- ``disjoint`` (the exponent probe): replica k>0 rewrites every token with
+  a ``_k`` suffix, so replicas share no shingles/names with the original.
+  Dup-group structure is CONSTANT across scales, so the fitted exponent
+  measures plan cost (scan + shuffle + join width), not output growth.
+  This is the number the scale-posture table quotes: banded/capped plans
+  must come out ~1 (<= ~1.2); superlinearity here is a plan defect.
+
+- ``neardup`` (the quadratic baseline, exact-Jaccard only): replica k
+  appends a short suffix, so every replica IS a near-dup of its original
+  and dup-group size grows linearly with scale. Any correct all-pairs
+  emitter has quadratic OUTPUT on this workload — the measured ~2 exponent
+  documents why ``neardup_jaccard_pairs`` is the oracle baseline and the
+  capped/cluster consumers are the ship plans, it does not indict the
+  plan.
+
+Embeddings replicate with vec_id offsets >= N_QUERY_VECS, so the probe/
+query-vector set stays FIXED while the searched corpus scales — the
+daily-serving shape. Supplier names replicate with an ``_kk`` suffix
+(edit distance >= 2 across replicas) so the ed-1 graph gains no
+cross-replica edges and fuzzy_name_pairs' output stays per-replica.
+
+Usage:  python probes/scale_probe.py [--mode disjoint|neardup|both]
+Writes probes/results/scale_probe.json and prints one summary line per
+query; rerunnable (scale dirs are rebuilt only if absent).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.registry import QUERIES, _load_all
+from parallel_mapreduce_spark.session import get_spark
+
+SRC = "/root/testdata/sf0.1"
+ROOT = "/tmp/pmr_scale_probe"
+SCALES = (1, 3, 10)
+RUNS = 2
+ID_STRIDE = 10_000_000  # replica k offsets ids by k*stride: no collisions
+
+DISJOINT_QUERIES = (
+    "neardup_jaccard_pairs",
+    "neardup_jaccard_pairs_capped",
+    "minhash_lsh_candidates",
+    "fuzzy_name_pairs",
+    "cosine_topk",
+    "ann_sq_topk",
+)
+NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
+
+ALL_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def _replicate_documents(spark: SparkSession, factor: int, mode: str):
+    docs = spark.read.parquet(f"{SRC}/documents.parquet")
+    parts = []
+    for k in range(factor):
+        d = docs
+        if k > 0:
+            if mode == "disjoint":
+                # Token-level rewrite: replica shingle sets are disjoint
+                # from the original's, so dup structure doesn't grow.
+                text = F.regexp_replace("text", r"(\S+)", rf"$1_{k}")
+            else:  # neardup: replica is a near-dup of its original
+                text = F.concat("text", F.lit(f" r{k}"))
+            d = d.withColumn("text", text)
+            d = d.withColumn("doc_id", F.col("doc_id") + k * ID_STRIDE)
+            d = d.withColumn("n_chars", F.length("text"))
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicate_embeddings(spark: SparkSession, factor: int):
+    emb = spark.read.parquet(f"{SRC}/embeddings.parquet")
+    parts = [emb]
+    for k in range(1, factor):
+        parts.append(
+            emb.withColumn("vec_id", F.col("vec_id") + k * ID_STRIDE)
+            # Deterministic small perturbation: replicas are distinct
+            # vectors in the same region of space (bucket structure is
+            # realistic, not k identical copies of every point).
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding", lambda x: (x + F.lit(k * 1e-3)).cast("float")
+                ),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _replicate_supplier(spark: SparkSession, factor: int):
+    sup = spark.read.parquet(f"{SRC}/supplier.parquet")
+    parts = [sup]
+    for k in range(1, factor):
+        parts.append(
+            sup.withColumn("s_suppkey", F.col("s_suppkey") + k * ID_STRIDE)
+            # _kk suffix: >= 2 edits between any two replicas of one name,
+            # so the ed-1 graph gains no cross-replica edges.
+            .withColumn("s_name", F.concat("s_name", F.lit(f"_{k}{k}")))
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def build_scale_dir(spark: SparkSession, factor: int, mode: str) -> str:
+    dest = f"{ROOT}/{mode}/x{factor}"
+    marker = f"{dest}/.complete"
+    if os.path.exists(marker):
+        return dest
+    os.makedirs(dest, exist_ok=True)
+    _replicate_documents(spark, factor, mode).coalesce(
+        max(1, factor)
+    ).write.mode("overwrite").parquet(f"{dest}/documents.parquet")
+    _replicate_embeddings(spark, factor).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/embeddings.parquet")
+    _replicate_supplier(spark, factor).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{dest}/supplier.parquet")
+    for t in ALL_TABLES:
+        if t in ("documents", "embeddings", "supplier"):
+            continue
+        link = f"{dest}/{t}.parquet"
+        if not os.path.exists(link):
+            os.symlink(f"{SRC}/{t}.parquet", link)
+    open(marker, "w").close()
+    return dest
+
+
+def time_query(spark: SparkSession, name: str, sf_dir: str) -> tuple[float, int]:
+    fn = QUERIES[name].fn
+    best = math.inf
+    for _ in range(RUNS):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    rows = fn(spark, sf_dir).count()
+    return best, rows
+
+
+def fit_exponent(scales: list[int], times: list[float]) -> float:
+    xs = [math.log(s) for s in scales]
+    ys = [math.log(t) for t in times]
+    n = len(xs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    return sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / sum(
+        (x - mx) ** 2 for x in xs
+    )
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("disjoint", "neardup", "both"),
+                    default="both")
+    args = ap.parse_args()
+    _load_all()
+    spark = get_spark("scale_probe")
+    plan = []
+    if args.mode in ("disjoint", "both"):
+        plan.append(("disjoint", DISJOINT_QUERIES))
+    if args.mode in ("neardup", "both"):
+        plan.append(("neardup", NEARDUP_QUERIES))
+
+    results: dict[str, dict] = {}
+    for mode, names in plan:
+        dirs = {s: build_scale_dir(spark, s, mode) for s in SCALES}
+        # Warm pass (plan codegen + JIT) on the smallest scale.
+        for name in names:
+            QUERIES[name].fn(spark, dirs[SCALES[0]]).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        for name in names:
+            times, rows = [], []
+            for s in SCALES:
+                t, r = time_query(spark, name, dirs[s])
+                times.append(round(t, 3))
+                rows.append(r)
+            exp = round(fit_exponent(list(SCALES), times), 3)
+            row_exp = (
+                round(fit_exponent(list(SCALES), [max(r, 1) for r in rows]), 3)
+                if min(rows) > 0
+                else None
+            )
+            results[f"{mode}:{name}"] = {
+                "mode": mode,
+                "query": name,
+                "scales": list(SCALES),
+                "wall_s": times,
+                "rows": rows,
+                "time_exponent": exp,
+                "rows_exponent": row_exp,
+            }
+            print(
+                f"{mode:9s} {name:32s} t={times} rows={rows} "
+                f"b_time={exp} b_rows={row_exp}",
+                flush=True,
+            )
+
+    out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
+    os.makedirs(out_dir, exist_ok=True)
+    payload = {
+        "source": SRC,
+        "scales": list(SCALES),
+        "runs_per_point": RUNS,
+        "load_1m_end": round(os.getloadavg()[0], 2),
+        "results": results,
+    }
+    with open(os.path.join(out_dir, "scale_probe.json"), "w") as fh:
+        json.dump(payload, fh, indent=1)
+    print(json.dumps({k: v["time_exponent"] for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

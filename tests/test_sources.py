@@ -127,6 +127,94 @@ def test_python_datasource_partition_planning(spark):
     assert last["value"] == (999 * SYNTH_A + SYNTH_C) % SYNTH_M
 
 
+def test_python_datasource_filter_pushdown_semantics():
+    """Reader-level pushdown contract (pushFilters, Spark 4.1): supported
+    row_id range filters narrow the planned partition ranges (pruned rows
+    are never generated), bucket equality is consumed, and everything else
+    comes back as the residual for Spark to re-evaluate. Exactness matters:
+    a consumed filter Spark will NOT re-check, so the unit pins the
+    narrowed bounds to the filters' exact integer semantics."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        LessThanOrEqual,
+        StringContains,
+    )
+
+    from parallel_mapreduce_spark.sources.pydatasource import (
+        SYNTH_BUCKETS,
+        SynthPushdownReader,
+    )
+
+    r = SynthPushdownReader({"rows": "1000", "partitions": "4"})
+    residual = list(
+        r.pushFilters(
+            [
+                GreaterThan(("row_id",), 99),  # -> lo = 100 (exclusive)
+                LessThanOrEqual(("row_id",), 499),  # -> hi = 500 (inclusive)
+                EqualTo(("bucket",), 7),
+                StringContains(("row_id",), "9"),  # unsupported -> residual
+            ]
+        )
+    )
+    assert [type(f).__name__ for f in residual] == ["StringContains"]
+    assert (r.lo, r.hi, r.bucket) == (100, 500, 7)
+    spans = sorted((p.start, p.end) for p in r.partitions())
+    assert spans[0][0] == 100 and spans[-1][1] == 500
+    assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
+    rows = [row for p in r.partitions() for row in r.read(p)]
+    assert rows and all(i % SYNTH_BUCKETS == 7 for i, _, _ in rows)
+    assert all(100 <= i < 500 for i, _, _ in rows)
+
+    # Contradictory range -> empty single partition, not a negative range.
+    r2 = SynthPushdownReader({"rows": "1000", "partitions": "4"})
+    list(r2.pushFilters([GreaterThan(("row_id",), 900)]))
+    list(r2.pushFilters([LessThanOrEqual(("row_id",), 100)]))
+    spans2 = [(p.start, p.end) for p in r2.partitions()]
+    assert sum(e - s for s, e in spans2) == 0
+
+
+def test_python_datasource_pushdown_end_to_end(spark):
+    """The pushdown source's filtered scan must generate ONLY the pushed
+    range (pruning observable through the row ids that exist), while the
+    non-pushable residual predicate still filters post-scan."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.session import apply_runtime_conf
+    from parallel_mapreduce_spark.sources.pydatasource import (
+        PD_BUCKET,
+        PD_HI,
+        PD_LO,
+        SYNTH_BUCKETS,
+        register_synth_source,
+    )
+
+    apply_runtime_conf(spark)  # enables spark.sql.python.filterPushdown
+    register_synth_source(spark)
+    df = (
+        spark.read.format("pmr_synth_pd")
+        .option("rows", 100_000)
+        .option("partitions", 8)
+        .load()
+        .filter(
+            (F.col("row_id") >= PD_LO)
+            & (F.col("row_id") < PD_HI)
+            & (F.col("bucket") == PD_BUCKET)
+        )
+    )
+    got = df.agg(
+        F.count("*").alias("n"),
+        F.min("row_id").alias("lo"),
+        F.max("row_id").alias("hi"),
+    ).collect()[0]
+    want = [i for i in range(PD_LO, PD_HI) if i % SYNTH_BUCKETS == PD_BUCKET]
+    assert (got["n"], got["lo"], got["hi"]) == (
+        len(want),
+        want[0],
+        want[-1],
+    )
+
+
 def test_zorder_layout_skips_on_both_dimensions(spark, sf_dir):
     """Two-dimensional file skipping: after the z-order clustered write,
     at least one output file's [min,max] interval must be a strict subset
