@@ -132,20 +132,12 @@ def main() -> None:
                 break
             consecutive[name].append(run_query(spark, name, sf_dir))
             per_query_load[name].append(os.getloadavg()[0])
-    # Re-run the consecutive phase for any query whose whole window saw
-    # elevated load — those samples measure the burst, not the plan
-    # (round-5 verdict item #2: end-of-run load check).
-    requeue = [
-        name
-        for name in names
-        if min(per_query_load[name][4:], default=99.0) > 1.0
-    ]
-    for name in requeue:
-        if os.getloadavg()[0] > 1.0:
-            time.sleep(30)
-        for _ in range(2):
-            consecutive[name].append(run_query(spark, name, sf_dir))
-            per_query_load[name].append(os.getloadavg()[0])
+    # NOTE on the recorded loads: during a run, load_1m is dominated by the
+    # bench's OWN 32-thread work, so absolute per-sample load cannot gate
+    # or requeue anything (a first version requeued every query on
+    # load>1.0 — always true mid-bench). Ambient contamination is bounded
+    # by the START gate plus the spread-based retries above; the per-sample
+    # loads are recorded so a reader can see burst shape, not as a trigger.
     timings = {
         name: round(min(interleaved[name] + consecutive[name]), 3)
         for name in names
@@ -171,7 +163,6 @@ def main() -> None:
             for n, runs in consecutive.items()
             if runs
         },
-        "load_requeued": requeue,
         "load_1m_end": round(os.getloadavg()[0], 2),
         **gate,
     }
@@ -179,8 +170,15 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_samples_r{side['round']:02d}.json",
     )
-    with open(side_path, "w") as fh:
-        json.dump(side, fh, indent=1)
+    # Best-effort: the headline line below is the contract — a side-file
+    # write failure must not take it down (round 5 already lost one
+    # round's headline to an output-path defect).
+    try:
+        with open(side_path, "w") as fh:
+            json.dump(side, fh, indent=1)
+    except OSError as exc:
+        print(f"bench: samples side file not written: {exc}", file=sys.stderr)
+        side_path = ""
     # The compact driver line: ONLY the headline fields, printed LAST so the
     # driver's tail capture always sees one short complete JSON line.
     print(
