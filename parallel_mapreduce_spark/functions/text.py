@@ -1791,3 +1791,137 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= BM25_TOP_K)
         .select("qid", "doc_id", "score", "rnk")
     )
+
+
+# --------------------------------------------------------------------------
+# Intra-document repetition gate (round 6) — the published corpus-cleaning
+# rule family this engine had not yet covered: Gopher/C4-style repetition
+# filters drop documents whose content is dominated by repeated n-grams
+# (boilerplate loops, scraped navigation, degenerate generations). This is
+# orthogonal to the cross-document dedup family: a document can be globally
+# unique yet internally degenerate. Two signals per doc, both pure count
+# ratios so the oracle is exact:
+#   - top2_share: occurrences of the most frequent word 2-gram over total
+#     2-grams (Gopher's "fraction in most common n-gram", token-count form);
+#   - dup3_frac: fraction of 3-gram instances whose 3-gram occurs more than
+#     once in the doc (Gopher's "fraction in duplicated n-grams").
+# Thresholds are corpus-calibrated (sf0.01 p90 for top2, any-dup for dup3)
+# rather than Gopher's web-scale constants, so the gate splits this corpus
+# non-trivially; at 100 TB the constants are config, not code. Per-doc work
+# is array-local (narrow, post-_spread); the only shuffle is the per-source
+# report aggregation.
+# --------------------------------------------------------------------------
+REP_TOP2_MAX = 0.085  # flag if most-common-2gram share exceeds this
+_REP_G2 = "list_transform(generate_series(1, len(toks)-1), i -> toks[i] || ' ' || toks[i+1])"
+_REP_G3 = (
+    "list_transform(generate_series(1, len(toks)-2), "
+    "i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])"
+)
+
+
+def _trigrams_seq(toks: Column) -> Column:
+    """Adjacent-token trigrams IN SEQUENCE (not distinct — repetition
+    counting needs multiplicity; dedup.shingles3 deliberately dedups).
+    Slice + zip_with idiom per the shingles3 lesson (indexed access in a
+    transform lambda re-evaluates the tokenization per element)."""
+    n = F.size(toks)
+    cnt = F.greatest(n - 2, F.lit(0))
+    ab = F.zip_with(
+        F.slice(toks, 1, cnt),
+        F.slice(toks, 2, cnt),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    abc = F.zip_with(
+        ab, F.slice(toks, 3, cnt), lambda x, y: F.concat_ws(" ", x, y)
+    )
+    return F.when(n >= 3, abc).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_metrics(with_toks: DataFrame, *keep: str) -> DataFrame:
+    """Per-doc repetition shares from a frame with a ``toks`` column (rows
+    with <3 tokens are dropped — no 3-gram exists). Factored out so the
+    golden tests can pin the metric semantics on handcrafted docs.
+
+    Occurrence counts run over the distinct grams (array-local O(d*n) per
+    doc — documents are a few hundred tokens, same budget as
+    doc_quality_features); the two shares are exact small-int ratios, so
+    both engines compute bit-identical doubles."""
+    t = (
+        with_toks.filter(F.size("toks") >= 3)
+        .select(*keep, bigrams(F.col("toks")).alias("g2"),
+                _trigrams_seq(F.col("toks")).alias("g3"))
+    )
+    occ2 = F.transform(
+        F.array_distinct("g2"),
+        lambda x: F.size(F.filter(F.col("g2"), lambda y: y == x)),
+    )
+    dup3_instances = F.aggregate(
+        F.filter(
+            F.transform(
+                F.array_distinct("g3"),
+                lambda x: F.size(F.filter(F.col("g3"), lambda y: y == x)),
+            ),
+            lambda c: c > F.lit(1),
+        ),
+        F.lit(0),
+        lambda acc, c: acc + c,
+    )
+    return t.select(
+        *keep,
+        (F.array_max(occ2) * F.lit(1.0) / F.size("g2")).alias("top2_share"),
+        (dup3_instances * F.lit(1.0) / F.size("g3")).alias("dup3_frac"),
+    )
+
+
+@query(
+    "repetition_filter_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, {_SQL_TOKS} AS toks FROM documents
+    ), f AS (
+      SELECT source, toks FROM t WHERE len(toks) >= 3
+    ), g AS (
+      SELECT source, {_REP_G2} AS g2, {_REP_G3} AS g3 FROM f
+    ), m AS (
+      SELECT source,
+             list_max(list_transform(list_distinct(g2),
+                 x -> len(list_filter(g2, y -> y = x)))) * 1.0 / len(g2)
+               AS top2_share,
+             COALESCE(list_sum(list_filter(
+                 list_transform(list_distinct(g3),
+                     x -> len(list_filter(g3, y -> y = x))),
+                 c -> c > 1)), 0) * 1.0 / len(g3) AS dup3_frac
+      FROM g
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) FILTER (top2_share > {REP_TOP2_MAX}) AS BIGINT)
+             AS n_flag_top2,
+           CAST(COUNT(*) FILTER (dup3_frac > 0) AS BIGINT) AS n_flag_dup3,
+           CAST(COUNT(*) FILTER (top2_share <= {REP_TOP2_MAX} AND dup3_frac = 0)
+             AS BIGINT) AS n_kept,
+           {_sql_pr4("AVG(top2_share)")} AS mean_top2_share,
+           {_sql_pr4("AVG(dup3_frac)")} AS mean_dup3_frac
+    FROM m
+    GROUP BY source
+    """,
+)
+def repetition_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    m = repetition_metrics(
+        _spread(spark, docs, "source", "text").select(
+            "source", tokens("text").alias("toks")
+        ),
+        "source",
+    )
+    top2_flag = F.col("top2_share") > REP_TOP2_MAX
+    dup3_flag = F.col("dup3_frac") > 0
+    return m.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(top2_flag.cast("long")).alias("n_flag_top2"),
+        F.sum(dup3_flag.cast("long")).alias("n_flag_dup3"),
+        F.sum((~top2_flag & ~dup3_flag).cast("long")).alias("n_kept"),
+        _pr4(F.avg("top2_share")).alias("mean_top2_share"),
+        _pr4(F.avg("dup3_frac")).alias("mean_dup3_frac"),
+    )

@@ -108,3 +108,34 @@ def test_stratified_sample_fractions_and_determinism(spark, sf_dir):
         if n >= 50:
             sd = (n * frac * (1 - frac)) ** 0.5
             assert abs(k - n * frac) <= 5 * sd, (lang, k, n)
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Pin the repetition-share semantics on handcrafted docs (the
+    sf-scaled oracle can't isolate single-doc arithmetic):
+    - 'x y x y x y': bigrams [xy yx xy yx xy] -> top2 = 3/5; trigrams
+      [xyx yxy xyx yxy] all duplicated -> dup3 = 4/4.
+    - 'a b c d e': no repeats -> top2 = 1/4, dup3 = 0.
+    - 'a a a': bigrams [aa aa] -> top2 = 2/2; trigrams [aaa] occurs once
+      -> dup3 = 0 (a single instance is not a repetition).
+    - 'a b': fewer than 3 tokens -> dropped entirely.
+    """
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.functions.text import (
+        repetition_metrics,
+        tokens,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "a b c d e"), (3, "a a a"), (4, "a b")],
+        "doc_id bigint, text string",
+    ).select("doc_id", tokens("text").alias("toks"))
+    got = {
+        r["doc_id"]: (r["top2_share"], r["dup3_frac"])
+        for r in repetition_metrics(df, "doc_id").collect()
+    }
+    assert set(got) == {1, 2, 3}
+    assert got[1] == (3 / 5, 1.0)
+    assert got[2] == (1 / 4, 0.0)
+    assert got[3] == (2 / 2, 0.0)
