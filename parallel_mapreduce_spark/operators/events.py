@@ -1440,3 +1440,53 @@ def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Clamped running balance via RECURSIVE CTE (round 6) — the textbook
+# NON-window-expressible stateful scan: bal_i = GREATEST(bal_{i-1} +
+# delta_i, 0). The floor makes the fold non-associative, so no window
+# frame or prefix aggregation can express it — the classic uses are
+# inventory that can't go negative, prepaid-credit ledgers, and
+# drawdown-reset equity curves. Spark 4 ships WITH RECURSIVE (UNION ALL
+# recursion only — fine here, linear recursion over the per-user day
+# chain terminates at the day count). Shuffle shape: the per-user-day
+# delta aggregate is one exchange; each of the <=30 recursion steps is an
+# equi-join on (user_id, i) of the walk frontier (|users| rows) against
+# the day frame — frontier-sized work per step, the recursion never
+# re-reads events. The oracle is DuckDB's recursive CTE over the same
+# SQL shape, value-checking Spark's brand-new recursion execution against
+# an independent engine. Depth safety: 30 < the default
+# spark.sql.cteRecursionLevelLimit of 100.
+# --------------------------------------------------------------------------
+_BALANCE_SQL = """
+WITH RECURSIVE deltas AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         SUM(CASE WHEN event_type = 'purchase' THEN -value ELSE value END)
+           AS delta
+  FROM events
+  GROUP BY user_id, CAST(ts AS DATE)
+), seq AS (
+  SELECT user_id, delta,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS i
+  FROM deltas
+), walk (user_id, i, bal) AS (
+  SELECT user_id, i, GREATEST(delta, 0.0) FROM seq WHERE i = 1
+  UNION ALL
+  SELECT s.user_id, s.i, GREATEST(w.bal + s.delta, 0.0)
+  FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.i = w.i + 1
+)
+SELECT user_id,
+       CAST(MAX(i) AS BIGINT) AS n_days,
+       ROUND(MAX_BY(bal, i), 4) AS final_bal,
+       ROUND(MAX(bal), 4) AS peak_bal,
+       CAST(COUNT(*) FILTER (WHERE bal = 0) AS BIGINT) AS n_floored_days
+FROM walk
+GROUP BY user_id
+"""
+
+
+@query("clamped_balance_recursive", oracle=_BALANCE_SQL)
+def clamped_balance_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_BALANCE_SQL)

@@ -70,3 +70,41 @@ def test_native_and_lag_conventions_agree_on_exact_gap(spark):
     # user 2: under-gap merges, over-gap splits -> 2 sessions.
     assert native == {1: 1, 2: 2}
     assert lag == {1: 1, 2: 2}
+
+
+def test_clamped_balance_recursion_semantics(spark, sf_dir):
+    """Pin the recursive clamp semantics on handcrafted ledgers (the
+    sf-scaled oracle can't isolate them): the floor is applied at EVERY
+    step, so a drawdown below zero is forgiven, which no window/prefix
+    sum can express.
+    - u1: +10, -15, +5  -> balances 10, 0, 5 (plain running sum: 0).
+    - u2: -5, +3        -> balances 0, 3   (plain running sum: -2).
+    Restores the real events view afterwards (register_views caches per
+    session+sf_dir, so it would NOT re-register on the next call)."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.operators.events import _BALANCE_SQL
+    from parallel_mapreduce_spark.sources import load_table
+
+    rows = [
+        (1, "2024-01-01", "view", 10.0),
+        (1, "2024-01-02", "purchase", 15.0),
+        (1, "2024-01-03", "view", 5.0),
+        (2, "2024-01-01", "purchase", 5.0),
+        (2, "2024-01-02", "view", 3.0),
+    ]
+    fake = spark.createDataFrame(
+        rows, "user_id bigint, day string, event_type string, value double"
+    ).select("user_id", F.col("day").cast("timestamp").alias("ts"),
+             "event_type", "value")
+    try:
+        fake.createOrReplaceTempView("events")
+        got = {r["user_id"]: r for r in spark.sql(_BALANCE_SQL).collect()}
+        assert got[1]["final_bal"] == 5.0
+        assert got[1]["peak_bal"] == 10.0
+        assert got[1]["n_floored_days"] == 1
+        assert got[1]["n_days"] == 3
+        assert got[2]["final_bal"] == 3.0
+        assert got[2]["n_floored_days"] == 1
+    finally:
+        load_table(spark, sf_dir, "events").createOrReplaceTempView("events")
