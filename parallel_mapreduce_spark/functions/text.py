@@ -1925,3 +1925,94 @@ def repetition_filter_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         _pr4(F.avg("top2_share")).alias("mean_top2_share"),
         _pr4(F.avg("dup3_frac")).alias("mean_dup3_frac"),
     )
+
+
+# --------------------------------------------------------------------------
+# Count-Min Sketch frequent-tokens gate (round 6) — Spark's third sketch
+# family (after HLL and the percentile digests), previously unexercised.
+# CMS answers "how often does item X occur" in fixed memory with a
+# ONE-SIDED error (never underestimates; overestimates by at most
+# eps*N with probability >= confidence) and is MERGEABLE — per-shard
+# sketches union into the global sketch, the property that makes it free
+# at 100 TB (one small binary per partition crosses the wire, not the
+# token stream). Same oracle stance as hll_sketch_mergeable_rollup: the
+# sketch estimate itself is engine-specific, so the compared output is
+# the EXACT top-K twin plus three oracle-pinned booleans — never_under
+# (CMS's defining guarantee), within_eps (the error bound, deterministic
+# here because the seed is fixed), and merge_equals_direct (per-source
+# sketches merged give the same probe answers as the one-shot sketch).
+# --------------------------------------------------------------------------
+CMS_EPS = 0.0005
+CMS_CONF = 0.99
+CMS_SEED = 42
+CMS_TOP_K = 15
+
+
+@query(
+    "frequent_tokens_cms",
+    oracle=f"""
+    WITH c AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ), r AS (
+      SELECT word, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM c
+    )
+    SELECT word, cnt AS exact_cnt, CAST(rnk AS BIGINT) AS rnk,
+           TRUE AS never_under, TRUE AS within_eps,
+           TRUE AS merge_equals_direct
+    FROM r WHERE rnk <= {CMS_TOP_K}
+    """,
+)
+def frequent_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spread(spark, docs, "source", "text").select(
+        "source", F.explode(tokens("text")).alias("word")
+    )
+    cms_agg = F.count_min_sketch(
+        "word", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
+    )
+    # One pass computes the global sketch, the per-source sketches (the
+    # mergeability exhibit — 5 source shards), and the total token count.
+    per_source = toks.groupBy("source").agg(cms_agg.alias("sk")).collect()
+    direct_bytes, n_total = toks.agg(
+        cms_agg.alias("sk"), F.count("*").alias("n")
+    ).collect()[0]
+    jvm = spark.sparkContext._jvm
+    read_from = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom
+    direct = read_from(bytes(direct_bytes))
+    merged = read_from(bytes(per_source[0]["sk"]))
+    for row in per_source[1:]:
+        merged.mergeInPlace(read_from(bytes(row["sk"])))
+    # Deterministic probe set: the exact top-K (count desc, word asc) —
+    # identical in the oracle by construction; K rows to the driver.
+    top = (
+        toks.groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), "word")
+        .limit(CMS_TOP_K)
+        .collect()
+    )
+    bound = CMS_EPS * n_total
+    rows = []
+    for rnk, r in enumerate(top, start=1):
+        word, exact = r["word"], r["count"]
+        est, est_m = direct.estimateCount(word), merged.estimateCount(word)
+        rows.append(
+            (
+                word,
+                exact,
+                rnk,
+                est >= exact,
+                est <= exact + bound,
+                est_m == est,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "word string, exact_cnt bigint, rnk bigint, never_under boolean, "
+        "within_eps boolean, merge_equals_direct boolean",
+    )
