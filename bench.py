@@ -67,10 +67,19 @@ def _await_quiet_box(threshold: float, max_wait_s: float) -> dict:
 
 def _round_number() -> int:
     """Which BENCH_r{N} round this run belongs to: explicit env override,
-    else one past the newest BENCH_r*.json the driver has recorded."""
+    else one past the newest BENCH_r*.json the driver has recorded.
+    The inference assumes the driver writes BENCH_r{N}.json at round
+    CLOSE — every in-round bench run therefore lands on the same N; a
+    rerun in a later round correctly lands on that later round."""
     env = os.environ.get("SPARK_GRAFT_ROUND")
     if env:
-        return int(env)
+        try:
+            return int(env)
+        except ValueError:
+            print(
+                f"bench: ignoring malformed SPARK_GRAFT_ROUND={env!r}",
+                file=sys.stderr,
+            )
     here = os.path.dirname(os.path.abspath(__file__))
     rounds = [0]
     for f in os.listdir(here):

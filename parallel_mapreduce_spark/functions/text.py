@@ -1975,8 +1975,10 @@ def frequent_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms_agg = F.count_min_sketch(
         "word", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
     )
-    # One pass computes the global sketch, the per-source sketches (the
-    # mergeability exhibit — 5 source shards), and the total token count.
+    # Three jobs consume the token stream (per-source sketches, the
+    # direct sketch + total, the exact top-K) — persist it once so the
+    # scan+tokenize+explode work is paid once, not three times.
+    toks = toks.persist()
     per_source = toks.groupBy("source").agg(cms_agg.alias("sk")).collect()
     direct_bytes, n_total = toks.agg(
         cms_agg.alias("sk"), F.count("*").alias("n")
@@ -1996,6 +1998,7 @@ def frequent_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(CMS_TOP_K)
         .collect()
     )
+    toks.unpersist()
     bound = CMS_EPS * n_total
     rows = []
     for rnk, r in enumerate(top, start=1):

@@ -2657,7 +2657,8 @@ OBS_MIN_CHARS = 200  # quality-gate threshold the observed pipeline applies
     SELECT CAST(COUNT(*) AS BIGINT) AS rows_in,
            CAST(COUNT(*) FILTER (n_chars >= {OBS_MIN_CHARS}) AS BIGINT)
              AS rows_kept,
-           ROUND(SUM(n_chars) / COUNT(*), 4) AS mean_chars_in
+           floor(SUM(n_chars) / COUNT(*) * 10000 + 0.5) / 10000
+             AS mean_chars_in
     FROM documents
     """,
 )
@@ -2680,9 +2681,10 @@ def observed_metrics_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     # One pass drives the pipeline AND fills both observations.
     gated.write.format("noop").mode("overwrite").save()
     m_pre, m_post = pre.get, post.get
-    # Round Spark-side (HALF_UP), not with Python round() (banker's): the
-    # DuckDB oracle's ROUND is half-away-from-zero, so an exact .00005 tie
-    # would hash-mismatch under Python's round-half-even.
+    # Portable floor rounding (floor(x*1e4+0.5)/1e4), the repo's _pr4
+    # idiom: Python round() is banker's, and even Spark round() vs DuckDB
+    # ROUND can split on half-ulp boundaries for freshly computed doubles
+    # like this AVG-of-bigints; floor is floor everywhere.
     return spark.createDataFrame(
         [
             (
@@ -2695,5 +2697,7 @@ def observed_metrics_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
     ).select(
         "rows_in",
         "rows_kept",
-        F.round("mean_chars_in", 4).alias("mean_chars_in"),
+        (F.floor(F.col("mean_chars_in") * 10000 + F.lit(0.5)) / 10000).alias(
+            "mean_chars_in"
+        ),
     )

@@ -18,9 +18,11 @@ selectivity up front): without the bloom filter every fact row crosses the
 exchange and dies in the join; with it, the filtered dim builds a bloom
 filter that `might_contain`-prunes the fact side BEFORE its shuffle write.
 
-Reported per plan: wall time (best of N), the join-input shuffle bytes
-(read from the UI REST API), and whether `might_contain` appears in the
-executed plan.
+Reported per plan: wall time (best of N), per-run shuffle-write bytes
+(UI REST API, drained per plan so warmup/inspection stages are never
+attributed to a measured plan), the executed-plan `might_contain`
+marker, and the result signature — the two plans' signatures must be
+identical.
 
 Usage:  python probes/bloom_probe.py
 Writes probes/results/bloom_probe.json; rerunnable.
@@ -114,22 +116,35 @@ def _shuffle_bytes(spark: SparkSession) -> int | None:
 
 
 def measure(spark: SparkSession, label: str) -> dict:
+    # Order matters: the plan-inspection collect() runs FIRST (it also
+    # serves as the warm run) and its stages are drained from the
+    # shuffle-byte counter BEFORE the timed runs — a first version
+    # collected AFTER draining, leaking one full execution's shuffle into
+    # the NEXT plan's number (the committed round-6 bloom figure read
+    # -66% when the true cut is far larger).
+    df = the_join(spark)
+    sig = df.agg(
+        F.sum("n").alias("n"), F.round(F.sum("v"), 2).alias("v")
+    ).collect()[0]
+    df.collect()  # finalize THIS DataFrame's adaptive plan for inspection
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    _shuffle_bytes(spark)  # drain warmup/inspection stages, discard
     walls = []
     for _ in range(RUNS):
         t0 = time.perf_counter()
         the_join(spark).write.format("noop").mode("overwrite").save()
         walls.append(round(time.perf_counter() - t0, 3))
-    out = {
+    total = _shuffle_bytes(spark)
+    return {
         "plan": label,
         "wall_s": walls,
         "wall_best": min(walls),
-        "shuffle_write_bytes": _shuffle_bytes(spark),
+        "shuffle_write_bytes_per_run": (
+            total // RUNS if total is not None else None
+        ),
+        "plan_shows_might_contain": "might_contain" in plan,
+        "signature": [sig["n"], float(sig["v"])],
     }
-    df = the_join(spark)
-    df.collect()  # finalize THIS DataFrame's adaptive plan for inspection
-    plan = df._jdf.queryExecution().executedPlan().toString()
-    out["plan_shows_might_contain"] = "might_contain" in plan
-    return out
 
 
 def main() -> None:
@@ -157,11 +172,9 @@ def main() -> None:
         ):
             results.append(measure(spark, "bloom"))
 
-    # Result identity between the two plans.
-    with scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
-        sig = the_join(spark).agg(
-            F.sum("n").alias("n"), F.round(F.sum("v"), 2).alias("v")
-        ).collect()[0]
+    # Result identity: each plan's signature was computed under ITS confs
+    # inside measure(); the comparison is the point (a runtime filter that
+    # dropped or duplicated fact rows must fail here).
     payload = {
         "fact_rows": N_ROWS,
         "dim_keys": N_KEYS,
@@ -169,7 +182,7 @@ def main() -> None:
         "runs_per_plan": RUNS,
         "load_1m_end": round(os.getloadavg()[0], 2),
         "plans": results,
-        "signature": [sig["n"], float(sig["v"])],
+        "identical_results": results[0]["signature"] == results[1]["signature"],
     }
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
     os.makedirs(out_dir, exist_ok=True)

@@ -44,14 +44,15 @@ def test_deletion_vector_conserves_rows(spark, sf_dir):
         F.col("o_orderkey") % MOD == 0
     )
     doomed = orders.filter(doomed_pred).count()
-    kept = merge_on_read_deletion_vectors(spark, sf_dir).agg(
-        F.sum("n_orders")
-    ).collect()[0][0]
-    assert kept == total - doomed
+    # One dv_alive_rows call materializes the base+tombstone sink once;
+    # both the count check and the key-set check derive from that frame
+    # (merge_on_read_deletion_vectors would re-run the whole rewrite).
+    alive = dv_alive_rows(spark, sf_dir)
+    assert alive.count() == total - doomed
     # Key-level: the merge-on-read kept set equals the logical filter
     # row-for-row in both directions (exceptAll is a multiset diff, so a
     # duplicate-key imbalance would also surface).
-    alive_keys = dv_alive_rows(spark, sf_dir).select("o_orderkey")
+    alive_keys = alive.select("o_orderkey")
     logical_keys = orders.filter(~doomed_pred).select("o_orderkey")
     assert alive_keys.exceptAll(logical_keys).count() == 0
     assert logical_keys.exceptAll(alive_keys).count() == 0

@@ -159,6 +159,13 @@ def test_python_datasource_filter_pushdown_semantics():
     )
     assert [type(f).__name__ for f in residual] == ["StringContains"]
     assert (r.lo, r.hi, r.bucket) == (100, 500, 7)
+    # The consumed-filter record: exactly the three handled filters, in
+    # arrival order (the residual never appears here).
+    assert [s.split("(")[0] for s in r.pushed] == [
+        "GreaterThan",
+        "LessThanOrEqual",
+        "EqualTo",
+    ]
     spans = sorted((p.start, p.end) for p in r.partitions())
     assert spans[0][0] == 100 and spans[-1][1] == 500
     assert all(a[1] == b[0] for a, b in zip(spans, spans[1:]))
