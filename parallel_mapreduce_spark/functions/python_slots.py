@@ -393,3 +393,89 @@ def cogrouped_user_value_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value double",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Polymorphic UDTF (round 6): Spark 4's `analyze` API — the output schema
+# is COMPUTED AT PLAN TIME from the call's constant arguments, the one
+# UDTF capability the fixed-DDL slot above cannot show. Here the table
+# function explodes word n-grams into one COLUMN PER POSITION (t1..tn), so
+# `poly_ngrams(text, 3)` and `poly_ngrams(text, 4)` have different result
+# schemas from one class. Catalyst sees the analyze-derived schema like
+# any static one (column pruning and downstream resolution work normally);
+# the oracle's column list doubles as the schema proof.
+# --------------------------------------------------------------------------
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+POLY_N = 3  # the registered query's n (constant at plan time)
+POLY_DOC_LIMIT = 50  # bound the exploded output: doc_id < 50
+
+
+class _PolyNgrams:
+    @staticmethod
+    def analyze(text, n):
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
+        from pyspark.sql.udtf import AnalyzeResult
+
+        if not isinstance(n.value, int) or n.value < 1:
+            raise ValueError("poly_ngrams: n must be a positive int literal")
+        return AnalyzeResult(
+            StructType(
+                [StructField("idx", LongType())]
+                + [
+                    StructField(f"t{i}", StringType())
+                    for i in range(1, n.value + 1)
+                ]
+            )
+        )
+
+    def eval(self, text: str, n: int):
+        # Same token class as functions.text.tokens(): split on ' ',
+        # empties dropped.
+        toks = [t for t in (text or "").split(" ") if t]
+        for i in range(len(toks) - n + 1):
+            yield (i + 1, *toks[i : i + n])
+
+
+@query(
+    "udtf_poly_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_SQL_TOKS} AS toks
+      FROM documents WHERE doc_id < {POLY_DOC_LIMIT}
+    ), u AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - {POLY_N - 1}),
+               i -> {{'idx': i, 't1': toks[i], 't2': toks[i + 1],
+                      't3': toks[i + 2]}}
+             )) AS s
+      FROM t
+    )
+    SELECT doc_id, CAST(s.idx AS BIGINT) AS idx,
+           s.t1 AS t1, s.t2 AS t2, s.t3 AS t3
+    FROM u
+    """,
+)
+def udtf_poly_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL poly_ngrams(text, 3) over a bounded doc subset: the result
+    schema (idx, t1, t2, t3) exists only because analyze() built it from
+    the literal 3 — the schema assertion is free in the oracle compare.
+    The doc_id filter sits in the subquery so the fan-out runs on 50 docs,
+    not the corpus; one partition-parallel Python stage, no shuffle."""
+    from pyspark.sql.functions import udtf
+
+    register_views(spark, sf_dir)
+    spark.udtf.register("poly_ngrams", udtf(_PolyNgrams))
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, s.idx, s.t1, s.t2, s.t3
+        FROM (SELECT doc_id, text FROM documents
+              WHERE doc_id < {POLY_DOC_LIMIT}) d,
+             LATERAL poly_ngrams(d.text, {POLY_N}) s
+        """
+    )

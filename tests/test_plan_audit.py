@@ -26,6 +26,7 @@ PYTHON_SURFACE = {
     "pandas_grouped_zscore",
     "multimodal_resize",
     "udtf_split_sentences",
+    "udtf_poly_ngrams",
     "arrow_doc_lengths",
     "cogrouped_user_value_share",
 }
