@@ -2701,3 +2701,137 @@ def observed_metrics_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame
             "mean_chars_in"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL pipe syntax (round 6): Spark 4's |> operator chain — the same
+# logical plan as nested SELECTs, written as a linear dataflow (scan |>
+# filter |> aggregate |> post-filter |> projection). Catalyst sees
+# ordinary operators (the pipe form is pure surface syntax), so pushdown
+# and partial aggregation are unchanged; the oracle is the classic-SQL
+# spelling of the identical plan, proving the two syntaxes agree.
+# --------------------------------------------------------------------------
+@query(
+    "pipe_syntax_order_stats",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price,
+           ROUND(MAX(o_totalprice), 4) AS max_price
+    FROM orders
+    WHERE o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    HAVING COUNT(*) > 10
+    """,
+)
+def pipe_syntax_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        FROM orders
+        |> WHERE o_orderstatus = 'O'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     ROUND(SUM(o_totalprice), 4) AS total_price,
+                     ROUND(MAX(o_totalprice), 4) AS max_price
+           GROUP BY o_orderpriority
+        |> WHERE n_orders > 10
+        |> SELECT o_orderpriority, n_orders, total_price, max_price
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# SQL UDF (round 6): CREATE FUNCTION ... RETURN <expr> — a function whose
+# body is SQL, so Catalyst INLINES it into the plan like a macro: it
+# stays inside whole-stage codegen with zero serialization boundary, the
+# polar opposite of a Python UDF. The right default for reusable business
+# expressions at 100 TB; the oracle hand-inlines the same expression.
+# --------------------------------------------------------------------------
+@query(
+    "sql_udf_net_price_stats",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4)
+             AS net_revenue
+    FROM lineitem
+    WHERE l_quantity >= 25
+    GROUP BY l_returnflag
+    """,
+)
+def sql_udf_net_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION pmr_net_price(
+          price DOUBLE, discount DOUBLE, tax DOUBLE
+        ) RETURNS DOUBLE
+        RETURN price * (1 - discount) * (1 + tax)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               COUNT(*) AS n_items,
+               ROUND(SUM(pmr_net_price(l_extendedprice, l_discount, l_tax)), 4)
+                 AS net_revenue
+        FROM lineitem
+        WHERE l_quantity >= 25
+        GROUP BY l_returnflag
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# String collation (round 6): Spark 4 collations make case-insensitive
+# comparison a TYPE property instead of a lower()-wrapping convention —
+# the collation rides the column through joins/groups and (unlike
+# lower()) keeps equality sargable for pushdown. The exhibit doubles
+# every other supplier name as an UPPERCASE variant, then groups under
+# UTF8_LCASE: each doubled name folds into ONE group of 2. Group keys
+# themselves are NOT emitted (the engine may surface either case variant
+# as the representative — nondeterministic across engines); the output is
+# the group-size histogram plus collated vs binary distinct counts. The
+# oracle folds with lower(), which coincides with UTF8_LCASE folding on
+# this ASCII corpus.
+# --------------------------------------------------------------------------
+@query(
+    "collated_group_fold",
+    oracle="""
+    WITH doubled AS (
+      SELECT s_name FROM supplier
+      UNION ALL
+      SELECT upper(s_name) FROM supplier WHERE s_suppkey % 2 = 0
+    ), g AS (
+      SELECT lower(s_name) AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM doubled GROUP BY lower(s_name)
+    )
+    SELECT cnt AS group_size,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           (SELECT CAST(COUNT(DISTINCT lower(s_name)) AS BIGINT) FROM doubled)
+             AS n_distinct_folded,
+           (SELECT CAST(COUNT(DISTINCT s_name) AS BIGINT) FROM doubled)
+             AS n_distinct_binary
+    FROM g
+    GROUP BY cnt
+    """,
+)
+def collated_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    sup = load_table(spark, sf_dir, "supplier")
+    doubled = sup.select("s_name").unionAll(
+        sup.filter(F.col("s_suppkey") % 2 == 0).select(
+            F.upper("s_name").alias("s_name")
+        )
+    )
+    folded = F.collate(F.col("s_name"), "UTF8_LCASE")
+    g = doubled.groupBy(folded.alias("k")).agg(F.count("*").alias("cnt"))
+    counts = doubled.agg(
+        F.countDistinct(folded).alias("n_distinct_folded"),
+        F.countDistinct("s_name").alias("n_distinct_binary"),
+    )
+    return (
+        g.groupBy(F.col("cnt").alias("group_size"))
+        .agg(F.count("*").alias("n_groups"))
+        .crossJoin(F.broadcast(counts))
+    )
