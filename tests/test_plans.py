@@ -531,3 +531,65 @@ def test_lateral_limit_subquery_decorrelates_to_group_limit(spark, sf_dir):
     assert "CartesianProduct" not in opt
     # outer predicate reaches the inner (orders) branch pre-window
     assert opt.count("% 10") >= 2
+
+
+def test_pipe_syntax_plan_identical_to_classic_sql(spark, sf_dir):
+    """Spark 4's |> pipe chain is pure surface syntax: the optimized plan
+    must be byte-identical (modulo expr IDs) to the classic nested-SELECT
+    spelling — proving pushdown/partial-agg are unchanged by the syntax."""
+    import re
+
+    from parallel_mapreduce_spark.operators.relational import pipe_syntax_order_stats
+
+    pipe = pipe_syntax_order_stats(spark, sf_dir)
+    # Classic spelling of the same plan. (The registered DuckDB oracle is NOT
+    # reusable here: its CAST(COUNT(*) AS BIGINT) — a DuckDB-hugeint guard —
+    # blocks Catalyst from unifying HAVING COUNT(*) with the casted alias,
+    # yielding a fatter plan with a duplicate count output.)
+    classic = spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price,
+               ROUND(MAX(o_totalprice), 4) AS max_price
+        FROM orders
+        WHERE o_orderstatus = 'O'
+        GROUP BY o_orderpriority
+        HAVING n_orders > 10
+        """
+    )
+    canon = lambda df: re.sub(r"#\d+", "#x", _optimized(df))
+    assert canon(pipe) == canon(classic)
+
+
+def test_sql_udf_is_inlined_not_called(spark, sf_dir):
+    """CREATE FUNCTION ... RETURN <expr> must be macro-inlined by Catalyst:
+    the optimized plan carries the arithmetic itself (inside codegen), no
+    function-invocation or Python-eval node, and the quantity filter still
+    reaches the parquet scan through the inlined projection."""
+    from parallel_mapreduce_spark.operators.relational import sql_udf_net_price_stats
+
+    df = sql_udf_net_price_stats(spark, sf_dir)
+    opt = _optimized(df)
+    assert "pmr_net_price" not in opt  # no residual call node
+    assert "(1.0 - discount" in opt or "(1.0 - l_discount" in opt  # body inlined
+    plan = _plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "GreaterThanOrEqual(l_quantity,25.0)" in plan.replace(" ", "")
+
+
+def test_collated_group_fold_invariants(spark, sf_dir):
+    """UTF8_LCASE grouping semantics, checked beyond the oracle: doubled
+    (uppercased) names fold into groups of exactly 2, never-doubled names
+    stay singletons, and group sizes account for every input row."""
+    from parallel_mapreduce_spark.operators.relational import collated_group_fold
+    from parallel_mapreduce_spark.sources.tables import load_table
+
+    rows = {r["group_size"]: r for r in collated_group_fold(spark, sf_dir).collect()}
+    assert set(rows) <= {1, 2}
+    n_sup = load_table(spark, sf_dir, "supplier").count()
+    n_doubled = rows.get(2, {"n_groups": 0})["n_groups"]
+    total_rows = sum(size * r["n_groups"] for size, r in rows.items())
+    any_row = next(iter(rows.values()))
+    assert any_row["n_distinct_folded"] == n_sup  # folding recovers the originals
+    assert any_row["n_distinct_binary"] == n_sup + n_doubled
+    assert total_rows == n_sup + n_doubled
