@@ -238,6 +238,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.streaming.dedup_stream  # noqa: F401
     import parallel_mapreduce_spark.streaming.events_stream  # noqa: F401
     import parallel_mapreduce_spark.streaming.joins_stream  # noqa: F401
+    import parallel_mapreduce_spark.streaming.state_reader  # noqa: F401
     import parallel_mapreduce_spark.streaming.stateful  # noqa: F401
 
     _LOADED = True
