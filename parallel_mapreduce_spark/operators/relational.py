@@ -2835,3 +2835,40 @@ def collated_group_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_groups"))
         .crossJoin(F.broadcast(counts))
     )
+
+
+# --------------------------------------------------------------------------
+# Parameterized SQL (round 6): spark.sql(query, args=...) with named
+# parameter markers plus the IDENTIFIER() clause for the table name — the
+# injection-safe way to template queries (the reference's CLI takes file
+# paths and a lookup word as runtime arguments, main.c:10-24; this is the
+# SQL-surface equivalent of binding user input). Parameters bind as
+# literals BEFORE optimization, so they constant-fold into pushable scan
+# filters exactly like hand-inlined constants — pinned in
+# tests/test_plans.py; IDENTIFIER() binds the table name without string
+# splicing. The oracle hand-inlines the same constants.
+# --------------------------------------------------------------------------
+@query(
+    "parameterized_sql_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    WHERE o_totalprice > 150000.0 AND o_orderstatus = 'O'
+    GROUP BY o_orderpriority
+    """,
+)
+def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :min_price AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={"tbl": "orders", "min_price": 150000.0, "status": "O"},
+    )

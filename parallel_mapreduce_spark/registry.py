@@ -228,6 +228,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.functions.text  # noqa: F401
     import parallel_mapreduce_spark.functions.trainprep  # noqa: F401
     import parallel_mapreduce_spark.mr  # noqa: F401
+    import parallel_mapreduce_spark.operators.cbo  # noqa: F401
     import parallel_mapreduce_spark.operators.events  # noqa: F401
     import parallel_mapreduce_spark.operators.relational  # noqa: F401
     import parallel_mapreduce_spark.operators.skew  # noqa: F401

@@ -593,3 +593,17 @@ def test_collated_group_fold_invariants(spark, sf_dir):
     assert any_row["n_distinct_folded"] == n_sup  # folding recovers the originals
     assert any_row["n_distinct_binary"] == n_sup + n_doubled
     assert total_rows == n_sup + n_doubled
+
+
+def test_parameterized_sql_binds_before_optimization(spark, sf_dir):
+    """Named parameters must bind as literals pre-optimization: both bound
+    predicates reach the parquet scan as pushed filters (a post-hoc string
+    substitution or a runtime-evaluated parameter node would break this),
+    and the IDENTIFIER() table resolves to the ordinary parquet relation."""
+    from parallel_mapreduce_spark.operators.relational import (
+        parameterized_sql_revenue,
+    )
+
+    plan = _plan(parameterized_sql_revenue(spark, sf_dir)).replace(" ", "")
+    assert "GreaterThan(o_totalprice,150000.0)" in plan
+    assert "EqualTo(o_orderstatus,O)" in plan
