@@ -921,3 +921,57 @@ def snapshot_manifest_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame
         )
 
     return read_snapshot(1, manifest1).unionByName(read_snapshot(2, manifest2))
+
+
+# --------------------------------------------------------------------------
+# Hidden file-metadata columns (round 6): every file scan exposes
+# _metadata.file_path / file_name / file_size / row_index with NO stored
+# column — row-level lineage for free. At 100 TB this is the tool for
+# quarantining one bad ingest file out of millions, incremental
+# re-processing ("which files produced these rows"), and a stable row
+# identity (file_path, row_index) that — unlike
+# monotonically_increasing_id — survives re-reads, is reproducible across
+# jobs, and never depends on partition scheduling. The exhibit writes
+# orders as a 4-file dataset, scans it back with lineage, and emits a
+# manifest-shaped invariant row; per-file row_index contiguity
+# (max - min + 1 == file row count, min == 0) proves row_index is
+# per-FILE ordinal position, not a global or partition-relative counter.
+# --------------------------------------------------------------------------
+@query(
+    "file_metadata_lineage",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_files,
+           CAST(COUNT(*) AS BIGINT) AS total_rows,
+           TRUE AS row_index_contiguous_per_file,
+           TRUE AS all_files_nonempty,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    """,
+)
+def file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    out = sink_dir("file_metadata")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    ).repartition(4).write.mode("overwrite").parquet(out)
+    scanned = spark.read.parquet(out).select(
+        "o_totalprice",
+        F.col("_metadata.file_path").alias("file_path"),
+        F.col("_metadata.row_index").alias("row_index"),
+    )
+    per_file = scanned.groupBy("file_path").agg(
+        F.count("*").alias("n_rows"),
+        F.min("row_index").alias("min_idx"),
+        F.max("row_index").alias("max_idx"),
+        F.sum("o_totalprice").alias("price"),
+    )
+    return per_file.agg(
+        F.count("*").alias("n_files"),
+        F.sum("n_rows").alias("total_rows"),
+        F.every(
+            (F.col("min_idx") == 0)
+            & (F.col("max_idx") - F.col("min_idx") + 1 == F.col("n_rows"))
+        ).alias("row_index_contiguous_per_file"),
+        F.every(F.col("n_rows") > 0).alias("all_files_nonempty"),
+        F.round(F.sum("price"), 4).alias("total_price"),
+    )
