@@ -975,3 +975,139 @@ def file_metadata_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.every(F.col("n_rows") > 0).alias("all_files_nonempty"),
         F.round(F.sum("price"), 4).alias("total_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# binaryFile source (round 6): the ingest path for opaque blobs (images,
+# audio, model shards) BEFORE they live in parquet — each file becomes a
+# (path, modificationTime, length, content) row. The exhibit materializes
+# one .bin file per document EXECUTOR-SIDE (foreachPartition — at scale
+# ingest writers run on the cluster, never through the driver), scans the
+# directory back with binaryFile + pathGlobFilter, recovers the doc key
+# from the file path, and value-proves the byte round trip against the
+# documents table. The multimodal family (multimodal.py) starts from
+# blobs already in parquet; this covers the step before it.
+# Scale note: binaryFile has no write support and one row per file — the
+# right pattern at 100 TB is exactly this exhibit's shape: scan once,
+# join metadata, then land blobs INTO parquet/multimodal tables for
+# everything downstream (small-files pressure is the compaction query's
+# territory, small_files_compaction_stats).
+# --------------------------------------------------------------------------
+@query(
+    "binaryfile_ingest_roundtrip",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           TRUE AS all_roundtrip_exact
+    FROM documents
+    WHERE doc_id < 20
+    """,
+)
+def binaryfile_ingest_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    register_views(spark, sf_dir)
+    out = sink_dir("binaryfile")
+    os.makedirs(out, exist_ok=True)
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+
+    def _write_blobs(rows) -> None:
+        # Executor-side blob writer: plain os/builtins only, so the closure
+        # pickles without the package being importable on workers.
+        import os as _os
+
+        for r in rows:
+            tmp = _os.path.join(out, f".doc_{r['doc_id']}.tmp")
+            with open(tmp, "wb") as f:
+                f.write(r["text"].encode("utf-8"))
+            _os.replace(tmp, _os.path.join(out, f"doc_{r['doc_id']}.bin"))
+
+    docs.select("doc_id", "text").repartition(4).foreachPartition(_write_blobs)
+    blobs = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"doc_(\d+)\.bin$", 1)
+            .cast("bigint")
+            .alias("doc_id"),
+            "length",
+            F.decode(F.col("content"), "UTF-8").alias("text_back"),
+        )
+    )
+    joined = blobs.join(docs.select("doc_id", "text"), "doc_id")
+    return joined.agg(
+        F.count("*").alias("n_files"),
+        F.sum("length").alias("total_bytes"),
+        F.every(F.col("text_back") == F.col("text")).alias("all_roundtrip_exact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Compression codec round trip (round 6): the same data written under
+# zstd and snappy, both read back value-identical, with zstd's size
+# advantage asserted from the actual footprint. At 100 TB the codec is a
+# first-order cost knob — zstd typically cuts cold-storage parquet
+# 20-40% vs snappy for a small decode tax — and "codec changed, values
+# didn't" is precisely the invariant a migration needs proven. Sizes are
+# driver-side os.walk over the two sink dirs (file METADATA, not data).
+# --------------------------------------------------------------------------
+@query(
+    "codec_roundtrip_compare",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(SUM(l_extendedprice), 4) AS total_price,
+           TRUE AS codecs_value_identical,
+           TRUE AS zstd_not_larger
+    FROM lineitem
+    WHERE l_quantity >= 30
+    """,
+)
+def codec_roundtrip_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    register_views(spark, sf_dir)
+    base = sink_dir("codec")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_quantity") >= 30)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag")
+    )
+    paths = {}
+    for codec in ("zstd", "snappy"):
+        paths[codec] = f"{base}/{codec}"
+        li.write.mode("overwrite").option("compression", codec).parquet(paths[codec])
+
+    def _dir_bytes(d: str) -> int:
+        return sum(
+            os.path.getsize(os.path.join(r, f))
+            for r, _, fs in os.walk(d)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+
+    back = {c: spark.read.parquet(p) for c, p in paths.items()}
+    agg = {
+        c: df.agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_extendedprice"), 4).alias("total_price"),
+        )
+        for c, df in back.items()
+    }
+    z, s = agg["zstd"], agg["snappy"]
+    identical = (
+        z.withColumnRenamed("n_rows", "zn").withColumnRenamed("total_price", "zp")
+        .crossJoin(s)
+        .select(
+            F.col("n_rows"),
+            F.col("total_price"),
+            ((F.col("zn") == F.col("n_rows")) & (F.col("zp") == F.col("total_price")))
+            .alias("codecs_value_identical"),
+        )
+    )
+    return identical.select(
+        "*",
+        F.lit(_dir_bytes(paths["zstd"]) <= _dir_bytes(paths["snappy"])).alias(
+            "zstd_not_larger"
+        ),
+    )
