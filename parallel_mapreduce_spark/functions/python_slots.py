@@ -479,3 +479,107 @@ def udtf_poly_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL poly_ngrams(d.text, {POLY_N}) s
         """
     )
+
+
+# --------------------------------------------------------------------------
+# UDTF with a TABLE argument (round 6): `udtf(TABLE(...) PARTITION BY k
+# ORDER BY o)` hands one PARTITION of input rows to each UDTF instance,
+# in the requested order, with terminate() emitting the per-partition
+# result. This is Spark 4's exact analogue of the reference's sorted
+# grouped-reduce contract (mapreduce.c's per-partition sort + group
+# dispatch, SURVEY.md P5-P7): keys hash to partitions, rows arrive
+# sorted, user code folds them streamingly. The `ids_ascending` output
+# is the order proof — it can only be TRUE if the engine actually
+# delivered rows in ORDER BY doc_id order — and chars counts Python
+# len() (codepoints), matching the oracle's length().
+# --------------------------------------------------------------------------
+class _LangFold:
+    def __init__(self) -> None:
+        self.lang = None
+        self.n = 0
+        self.chars = 0
+        self.prev = None
+        self.ascending = True
+
+    def eval(self, row) -> None:  # noqa: D102 — UDTF contract method
+        self.lang = row["lang"]
+        self.n += 1
+        self.chars += len(row["text"])
+        if self.prev is not None and row["doc_id"] <= self.prev:
+            self.ascending = False
+        self.prev = row["doc_id"]
+
+    def terminate(self):  # noqa: D102 — UDTF contract method
+        if self.lang is not None:
+            yield self.lang, self.n, self.chars, self.ascending
+
+
+@query(
+    "udtf_table_arg_lang_fold",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           TRUE AS ids_ascending
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def udtf_table_arg_lang_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    register_views(spark, sf_dir)
+    spark.udtf.register(
+        "pmr_lang_fold",
+        udtf(
+            _LangFold,
+            returnType="lang string, n_docs bigint, total_chars bigint,"
+            " ids_ascending boolean",
+        ),
+    )
+    return spark.sql(
+        """
+        SELECT * FROM pmr_lang_fold(
+            TABLE(SELECT doc_id, lang, text FROM documents)
+            PARTITION BY lang ORDER BY doc_id)
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Grouped applyInArrow (round 6): the last cell of the Python slot
+# matrix — per-GROUP user code over raw pyarrow Tables, no pandas
+# materialization at all (mapInArrow's grouped sibling). The kernel here
+# is a columnar reduction (pyarrow.compute over the group's table), the
+# shape for group-level logic whose inputs are large arrays or binary
+# blobs where pandas conversion would double memory.
+# --------------------------------------------------------------------------
+def _lang_arrow_summary(table):
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    ids = table.column("doc_id")
+    return pa.table(
+        {
+            "lang": [table.column("lang")[0].as_py()],
+            "n_docs": [table.num_rows],
+            "id_span": [pc.max(ids).as_py() - pc.min(ids).as_py()],
+        }
+    )
+
+
+@query(
+    "applyinarrow_lang_summary",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(doc_id) - MIN(doc_id) AS BIGINT) AS id_span
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def applyinarrow_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
+    return docs.groupBy("lang").applyInArrow(
+        _lang_arrow_summary, schema="lang string, n_docs bigint, id_span bigint"
+    )
