@@ -46,7 +46,15 @@ SEGMENT = "BUILDING"
 
 
 def _filtered(spark: SparkSession, table: str) -> DataFrame:
-    return spark.table(table).filter(F.col("c_mktsegment") == SEGMENT)
+    # Two stacked predicates (~1.7% combined selectivity): without column
+    # stats Catalyst cannot estimate either one and keeps the raw relation
+    # size; with stats the equality (1/ndv) and range (fraction of
+    # [min,max]) selectivities MULTIPLY, so the estimate gap is structural
+    # — an order of magnitude, not a few percent — and the midpoint
+    # threshold below cannot degenerate at any tested scale.
+    return spark.table(table).filter(
+        (F.col("c_mktsegment") == SEGMENT) & (F.col("c_acctbal") < 0)
+    )
 
 
 def _size_estimate(df: DataFrame) -> tuple[int, bool]:
@@ -82,7 +90,7 @@ def _join_strategy(orders: DataFrame, dim: DataFrame) -> str:
            TRUE AS rowcount_only_with_stats,
            TRUE AS flipped_to_broadcast
     FROM orders JOIN customer ON o_custkey = c_custkey
-    WHERE c_mktsegment = '{SEGMENT}'
+    WHERE c_mktsegment = '{SEGMENT}' AND c_acctbal < 0
     GROUP BY c_mktsegment
     """,
 )
@@ -113,6 +121,19 @@ def cbo_stats_broadcast_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "FOR COLUMNS c_custkey, c_mktsegment, c_acctbal"
         )
         est_stats, rows_known_stats = _size_estimate(_filtered(spark, stats_name))
+        # Degenerate-midpoint guard: if the two estimates ever stop
+        # separating (compression could in principle push the on-disk raw
+        # size under the stats-side rowCount x in-memory-width product),
+        # the flip is unprovable — fail with the diagnostic instead of
+        # shipping a silent flipped_to_broadcast=false that reads as an
+        # engine bug in the driver's red row.
+        if est_stats >= est_raw:
+            raise AssertionError(
+                "CBO estimates not separable: "
+                f"no-stats={est_raw}B <= with-stats={est_stats}B — the "
+                "exhibit's filter selectivity no longer shrinks the "
+                "estimate at this scale; widen the predicate."
+            )
         threshold = (est_raw + est_stats) // 2
         cs.enter_context(
             scoped_conf(spark, "spark.sql.autoBroadcastJoinThreshold", str(threshold))
