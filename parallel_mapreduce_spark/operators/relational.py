@@ -2872,3 +2872,107 @@ def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"tbl": "orders", "min_price": 150000.0, "status": "O"},
     )
+
+
+# --------------------------------------------------------------------------
+# Three-valued NOT IN semantics (round 6): the classic ANSI null trap.
+# `x NOT IN (subquery)` is NULL — never TRUE — for every x as soon as
+# the subquery produces one NULL, so the predicate filters ALL rows;
+# NOT EXISTS / anti join ignores the NULLs and keeps the real
+# non-matches. Engines that "fix" this silently (or users who alias the
+# two forms) corrupt results at any scale; the exhibit pins both counts
+# side by side against DuckDB's independent ANSI implementation, plus
+# the null-filtered NOT IN that makes the two forms agree again. The
+# probe set marks every 7th customer key NULL via CASE so the documents
+# can't dodge the trap by schema (c_custkey itself is non-null).
+# --------------------------------------------------------------------------
+@query(
+    "not_in_null_semantics_report",
+    oracle="""
+    WITH probe AS (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer WHERE c_mktsegment = 'BUILDING'
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT k FROM probe)) AS n_not_in_with_nulls,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+        AS n_not_exists,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        AS n_not_in_null_filtered,
+      CAST(0 AS BIGINT) AS expected_with_nulls
+    """,
+)
+def not_in_null_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH probe AS (
+          SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+        )
+        SELECT
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT k FROM probe))
+            AS n_not_in_with_nulls,
+          (SELECT COUNT(*) FROM orders o
+           WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+            AS n_not_exists,
+          (SELECT COUNT(*) FROM orders
+           WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+            AS n_not_in_null_filtered,
+          CAST(0 AS BIGINT) AS expected_with_nulls
+        """
+    )
+
+
+# --------------------------------------------------------------------------
+# Schema-drift union (round 6): unionByName(allowMissingColumns=True) —
+# the DataFrame-side twin of the mergeSchema read
+# (schema_evolution_merged_read): two batches whose schemas drifted
+# (one gained a column, one lost a column) union BY NAME, with the
+# missing side null-filled — position-based unionAll would silently
+# misalign columns or refuse. DuckDB's UNION ALL BY NAME is the
+# independent oracle for the same semantics. The ingest posture at
+# 100 TB: feeds evolve, the union must never depend on column order.
+# --------------------------------------------------------------------------
+@query(
+    "union_by_name_drift",
+    oracle="""
+    WITH old_batch AS (
+      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+    ), new_batch AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 1
+    ), unioned AS (
+      SELECT * FROM old_batch UNION ALL BY NAME SELECT * FROM new_batch
+    )
+    SELECT COALESCE(o_orderpriority, '<missing>') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM unioned
+    GROUP BY COALESCE(o_orderpriority, '<missing>')
+    """,
+)
+def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    old_batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    new_batch = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    unioned = old_batch.unionByName(new_batch, allowMissingColumns=True)
+    return (
+        unioned.groupBy(
+            F.coalesce(F.col("o_orderpriority"), F.lit("<missing>")).alias(
+                "priority"
+            )
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )

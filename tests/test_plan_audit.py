@@ -27,6 +27,7 @@ PYTHON_SURFACE = {
     "multimodal_resize",
     "udtf_split_sentences",
     "udtf_poly_ngrams",
+    "udtf_table_arg_lang_fold",
     "arrow_doc_lengths",
     "cogrouped_user_value_share",
 }
