@@ -2976,3 +2976,101 @@ def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (round 6): the third ANSI-null exhibit (with
+# not_in_null_semantics_report and ansi_try_arithmetic_report). `a <=> b`
+# (IS NOT DISTINCT FROM) treats NULL as a joinable value: NULL matches
+# NULL and nothing else, while plain `=` makes NULL match nothing. The
+# report pins both inner-join cardinalities on a deliberately
+# null-seeded key pair plus the null-pair product — the invariant
+# n_null_safe == n_eq + n_null_pairs holds structurally (null-safe adds
+# exactly the NULL×NULL cross group to the equi matches) and is emitted
+# as an oracled boolean. At scale the lesson is the same as skew: the
+# NULL group joins as ONE key, so a null-heavy column under <=> is a
+# built-in hot key (here both null groups are filter-bounded).
+# DuckDB's IS NOT DISTINCT FROM is the independent oracle.
+# --------------------------------------------------------------------------
+@query(
+    "null_safe_join_report",
+    oracle="""
+    WITH l AS (
+      SELECT CASE WHEN o_custkey % 11 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    ), r AS (
+      SELECT CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_custkey END AS k
+      FROM customer WHERE c_mktsegment = 'MACHINERY'
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM l JOIN r ON l.k = r.k)
+        AS n_eq_join,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM l JOIN r
+        ON l.k IS NOT DISTINCT FROM r.k) AS n_null_safe_join,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM l JOIN r
+        ON l.k IS NULL AND r.k IS NULL) AS n_null_pairs,
+      (SELECT COUNT(*) FROM l JOIN r ON l.k IS NOT DISTINCT FROM r.k)
+        = (SELECT COUNT(*) FROM l JOIN r ON l.k = r.k)
+          + (SELECT COUNT(*) FROM l JOIN r ON l.k IS NULL AND r.k IS NULL)
+        AS decomposition_holds
+    """,
+)
+def null_safe_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lhs = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.when(F.col("o_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("lk")
+    )
+    rhs = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("rk")
+    )
+    n_eq = lhs.join(rhs, lhs.lk == rhs.rk, "inner").count()
+    n_null_safe = lhs.join(rhs, lhs.lk.eqNullSafe(rhs.rk), "inner").count()
+    n_null_pairs = lhs.join(
+        rhs, lhs.lk.isNull() & rhs.rk.isNull(), "inner"
+    ).count()
+    return spark.createDataFrame(
+        [
+            (
+                n_eq,
+                n_null_safe,
+                n_null_pairs,
+                n_null_safe == n_eq + n_null_pairs,
+            )
+        ],
+        "n_eq_join bigint, n_null_safe_join bigint, n_null_pairs bigint,"
+        " decomposition_holds boolean",
+    )
+
+
+# --------------------------------------------------------------------------
+# GROUP BY ALL / ORDER BY ALL / LIMIT-OFFSET pagination (round 6): the
+# modern SQL resolution shortcuts plus the pagination clause, pinned
+# against DuckDB's implementation of the SAME text. Determinism: ORDER
+# BY ALL sorts the select list left-to-right and the leading
+# (o_orderpriority, o_orderstatus) pair is the unique group key, so the
+# OFFSET 3 / LIMIT 5 page is a total-order slice, not an arbitrary one.
+# The at-scale note is OFFSET's cost model: Spark executes it as a
+# global single-partition skip after the sort — fine for page-sized
+# offsets, degenerate for deep pagination (keyset pagination on the
+# sort key is the 100 TB idiom; this exhibit is the page-1 shape).
+# --------------------------------------------------------------------------
+_GROUP_BY_ALL_SQL = """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(o_totalprice), 4) AS total_price
+FROM orders
+GROUP BY ALL
+ORDER BY ALL
+LIMIT 5 OFFSET 3
+"""
+
+
+@query("group_by_all_pagination", oracle=_GROUP_BY_ALL_SQL)
+def group_by_all_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_GROUP_BY_ALL_SQL)
