@@ -3074,3 +3074,65 @@ LIMIT 5 OFFSET 3
 def group_by_all_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_GROUP_BY_ALL_SQL)
+
+
+# --------------------------------------------------------------------------
+# EXECUTE IMMEDIATE + session variables (round 6): Spark 4's dynamic-SQL
+# surface — DECLARE VARIABLE, EXECUTE IMMEDIATE ... INTO (a query result
+# captured into a variable), then EXECUTE IMMEDIATE ... USING binding
+# the variable into a second statement. Distinct from
+# parameterized_sql_revenue (named markers on spark.sql) and
+# sql_scripting_threshold_search (BEGIN..END control flow): this is the
+# compose-SQL-from-SQL path a warehouse migration hits first. The
+# at-scale point, verified via .explain during development: USING binds
+# BEFORE optimization, so the variable's value constant-folds into
+# PushedFilters on the dim scan and the broadcast join still fires —
+# unlike the driver-side collect()-then-format string building it
+# replaces, identical plan quality to a literal. Variable names are
+# invocation-unique and dropped after use (session variables are
+# session-global state; a fixed name would race concurrent invocations
+# between INTO and USING).
+# --------------------------------------------------------------------------
+_EXEC_IMM_SEQ = __import__("itertools").count(1)
+
+
+@query(
+    "execute_immediate_variables",
+    oracle="""
+    WITH seg AS (
+      SELECT c_mktsegment AS s FROM customer
+      GROUP BY 1 ORDER BY COUNT(*) DESC, c_mktsegment LIMIT 1
+    )
+    SELECT (SELECT s FROM seg) AS segment, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = (SELECT s FROM seg)
+    GROUP BY o_orderstatus
+    """,
+)
+def execute_immediate_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    var = f"exec_imm_target_segment_{next(_EXEC_IMM_SEQ)}"
+    spark.sql(f"DECLARE OR REPLACE VARIABLE {var} STRING")
+    try:
+        spark.sql(
+            f"""EXECUTE IMMEDIATE
+            'SELECT c_mktsegment FROM customer
+             GROUP BY 1 ORDER BY COUNT(*) DESC, c_mktsegment LIMIT 1'
+            INTO {var}"""
+        )
+        out = spark.sql(
+            f"""EXECUTE IMMEDIATE
+            'SELECT ? AS segment, o_orderstatus,
+                    CAST(COUNT(*) AS BIGINT) AS n_orders,
+                    ROUND(SUM(o_totalprice), 4) AS total_price
+             FROM orders JOIN customer ON o_custkey = c_custkey
+             WHERE c_mktsegment = ? GROUP BY o_orderstatus'
+            USING {var}, {var}"""
+        )
+        # EXECUTE IMMEDIATE binds the variable's VALUE at execution, so the
+        # returned plan is literal-bound and survives the variable drop.
+        return out
+    finally:
+        spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {var}")
