@@ -607,3 +607,64 @@ def test_parameterized_sql_binds_before_optimization(spark, sf_dir):
     plan = _plan(parameterized_sql_revenue(spark, sf_dir)).replace(" ", "")
     assert "GreaterThan(o_totalprice,150000.0)" in plan
     assert "EqualTo(o_orderstatus,O)" in plan
+
+
+def test_null_safe_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """`<=>` must compile to an EQUI hash join: Catalyst rewrites the
+    null-safe predicate into join keys (coalesce(k, 0), isnull(k)) so the
+    NULL group hashes like any other key — a nested-loop fallback here
+    would turn the null-seeded join quadratic at scale. Pin the rewrite
+    and the hash strategy on the same joins the report counts."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.sources import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lhs = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.when(F.col("o_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("lk")
+    )
+    rhs = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("rk")
+    )
+    plan = _plan(lhs.join(rhs, lhs.lk.eqNullSafe(rhs.rk), "inner"))
+    assert "HashJoin" in plan  # broadcast or shuffled — never nested loop
+    assert "NestedLoop" not in plan and "Cartesian" not in plan
+    assert "coalesce(" in plan and "isnull(" in plan  # the equi rewrite
+
+
+def test_pagination_fuses_into_take_ordered_with_offset(spark, sf_dir):
+    """ORDER BY ALL + LIMIT 5 OFFSET 3 must compile to ONE distributed
+    top-k operator — TakeOrderedAndProject(limit=8, offset=3), i.e. each
+    partition keeps limit+offset rows and the skip happens once at the
+    end — with map-side partial aggregation below it. A global Sort (or
+    a single-partition Exchange under the limit) would be the
+    deep-pagination anti-plan the query's docstring warns about."""
+    from parallel_mapreduce_spark.operators.relational import (
+        group_by_all_pagination,
+    )
+
+    df = group_by_all_pagination(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "limit=8" in plan and "offset=3" in plan
+    assert "partial_count" in plan  # GROUP BY ALL resolved to a real agg
+    assert "Sort " not in plan  # no global sort node
+
+
+def test_execute_immediate_variable_binds_before_optimization(spark, sf_dir):
+    """The USING-bound session variable must reach the dim scan as a
+    pushed literal filter (EqualTo on c_mktsegment) and leave the
+    broadcast join intact — dynamic SQL with variables has to match
+    static-SQL plan quality or it would silently forfeit pushdown."""
+    from parallel_mapreduce_spark.operators.relational import (
+        execute_immediate_variables,
+    )
+
+    plan = _plan(execute_immediate_variables(spark, sf_dir)).replace(" ", "")
+    assert "EqualTo(c_mktsegment," in plan
+    assert "BroadcastHashJoin" in plan
