@@ -24,6 +24,8 @@ Scale notes (100 TB posture), validated by plan tests in tests/test_plans.py:
 
 from __future__ import annotations
 
+import itertools
+
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
@@ -3054,10 +3056,13 @@ def null_safe_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # BY ALL sorts the select list left-to-right and the leading
 # (o_orderpriority, o_orderstatus) pair is the unique group key, so the
 # OFFSET 3 / LIMIT 5 page is a total-order slice, not an arbitrary one.
-# The at-scale note is OFFSET's cost model: Spark executes it as a
-# global single-partition skip after the sort — fine for page-sized
-# offsets, degenerate for deep pagination (keyset pagination on the
-# sort key is the 100 TB idiom; this exhibit is the page-1 shape).
+# The at-scale note is OFFSET's cost model: the plan pin
+# (tests/test_plans.py) shows Spark fuses sort+limit+offset into ONE
+# TakeOrderedAndProject(limit=offset+limit, offset=...) — every
+# partition keeps offset+limit rows, so cost grows with the page DEPTH
+# even though no global sort runs; fine for page-sized offsets,
+# degenerate for deep pagination (keyset pagination on the sort key is
+# the 100 TB idiom; this exhibit is the page-1 shape).
 # --------------------------------------------------------------------------
 _GROUP_BY_ALL_SQL = """
 SELECT o_orderpriority, o_orderstatus,
@@ -3093,7 +3098,7 @@ def group_by_all_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
 # session-global state; a fixed name would race concurrent invocations
 # between INTO and USING).
 # --------------------------------------------------------------------------
-_EXEC_IMM_SEQ = __import__("itertools").count(1)
+_EXEC_IMM_SEQ = itertools.count(1)
 
 
 @query(
