@@ -2886,65 +2886,60 @@ def parameterized_sql_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 # side by side against DuckDB's independent ANSI implementation, plus
 # the null-filtered NOT IN that makes the two forms agree again. The
 # probe set marks every 7th customer key NULL via CASE so the documents
-# can't dodge the trap by schema (c_custkey itself is non-null).
+# can't dodge the trap by schema (c_custkey itself is non-null), and
+# trap_fired is COMPUTED (NOT IN emptied the result while NOT EXISTS
+# kept rows), not a decorative constant: if a fixture change ever left
+# the probe NULL-free, the boolean would flip and the gate would catch
+# the exhibit no longer demonstrating its headline semantics.
 # --------------------------------------------------------------------------
-@query(
-    "not_in_null_semantics_report",
-    oracle="""
-    WITH probe AS (
-      SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k
-      FROM customer WHERE c_mktsegment = 'BUILDING'
-    )
-    SELECT
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-       WHERE o_custkey NOT IN (SELECT k FROM probe)) AS n_not_in_with_nulls,
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
-       WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
-        AS n_not_exists,
-      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
-       WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
-        AS n_not_in_null_filtered,
-      CAST(0 AS BIGINT) AS expected_with_nulls
-    """,
+_NOT_IN_SQL = """
+WITH probe AS (
+  SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k
+  FROM customer WHERE c_mktsegment = 'BUILDING'
+), counts AS (
+  SELECT
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+     WHERE o_custkey NOT IN (SELECT k FROM probe)) AS n_not_in_with_nulls,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+     WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
+      AS n_not_exists,
+    (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+     WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+      AS n_not_in_null_filtered
 )
+SELECT n_not_in_with_nulls, n_not_exists, n_not_in_null_filtered,
+       (n_not_in_with_nulls = 0 AND n_not_exists > 0) AS trap_fired
+FROM counts
+"""
+
+
+@query("not_in_null_semantics_report", oracle=_NOT_IN_SQL)
 def not_in_null_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.sql(
-        """
-        WITH probe AS (
-          SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_custkey END AS k
-          FROM customer WHERE c_mktsegment = 'BUILDING'
-        )
-        SELECT
-          (SELECT COUNT(*) FROM orders
-           WHERE o_custkey NOT IN (SELECT k FROM probe))
-            AS n_not_in_with_nulls,
-          (SELECT COUNT(*) FROM orders o
-           WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = o.o_custkey))
-            AS n_not_exists,
-          (SELECT COUNT(*) FROM orders
-           WHERE o_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
-            AS n_not_in_null_filtered,
-          CAST(0 AS BIGINT) AS expected_with_nulls
-        """
-    )
+    return spark.sql(_NOT_IN_SQL)
 
 
 # --------------------------------------------------------------------------
 # Schema-drift union (round 6): unionByName(allowMissingColumns=True) —
 # the DataFrame-side twin of the mergeSchema read
-# (schema_evolution_merged_read): two batches whose schemas drifted
-# (one gained a column, one lost a column) union BY NAME, with the
-# missing side null-filled — position-based unionAll would silently
-# misalign columns or refuse. DuckDB's UNION ALL BY NAME is the
-# independent oracle for the same semantics. The ingest posture at
-# 100 TB: feeds evolve, the union must never depend on column order.
+# (schema_evolution_merged_read): two batches whose schemas drifted in
+# BOTH directions — the old batch still carries o_orderstatus (dropped
+# from the new feed) and the new batch gained o_orderpriority (absent
+# from the old) — union BY NAME, with each side's missing column
+# null-filled: position-based unionAll would misalign columns or
+# refuse. Both fill directions are value-proven: the priority grouping
+# exercises the old side's null fill, n_with_status (COUNT over the
+# nullable status column) counts exactly the old rows and exercises the
+# new side's. DuckDB's UNION ALL BY NAME is the independent oracle. The
+# ingest posture at 100 TB: feeds evolve, the union must never depend
+# on column order.
 # --------------------------------------------------------------------------
 @query(
     "union_by_name_drift",
     oracle="""
     WITH old_batch AS (
-      SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 2 = 0
+      SELECT o_orderkey, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 2 = 0
     ), new_batch AS (
       SELECT o_orderkey, o_orderpriority, o_totalprice
       FROM orders WHERE o_orderkey % 2 = 1
@@ -2953,6 +2948,7 @@ def not_in_null_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT COALESCE(o_orderpriority, '<missing>') AS priority,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(o_orderstatus) AS BIGINT) AS n_with_status,
            ROUND(SUM(o_totalprice), 4) AS total_price
     FROM unioned
     GROUP BY COALESCE(o_orderpriority, '<missing>')
@@ -2961,7 +2957,7 @@ def not_in_null_semantics_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     old_batch = orders.filter(F.col("o_orderkey") % 2 == 0).select(
-        "o_orderkey", "o_totalprice"
+        "o_orderkey", "o_orderstatus", "o_totalprice"
     )
     new_batch = orders.filter(F.col("o_orderkey") % 2 == 1).select(
         "o_orderkey", "o_orderpriority", "o_totalprice"
@@ -2975,6 +2971,7 @@ def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count("*").alias("n_orders"),
+            F.count("o_orderstatus").alias("n_with_status"),
             F.round(F.sum("o_totalprice"), 4).alias("total_price"),
         )
     )
@@ -2994,6 +2991,28 @@ def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # built-in hot key (here both null groups are filter-bounded).
 # DuckDB's IS NOT DISTINCT FROM is the independent oracle.
 # --------------------------------------------------------------------------
+def null_seeded_join_sides(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """The null-seeded (lhs, rhs) key frames counted by
+    null_safe_join_report — shared with the plan pin in
+    tests/test_plans.py so the HashJoin/equi-rewrite guarantee always
+    covers the exact joins the shipped report measures."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lhs = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.when(F.col("o_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("o_custkey"))
+        .alias("lk")
+    )
+    rhs = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
+        .otherwise(F.col("c_custkey"))
+        .alias("rk")
+    )
+    return lhs, rhs
+
+
 @query(
     "null_safe_join_report",
     oracle="""
@@ -3018,18 +3037,7 @@ def union_by_name_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def null_safe_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    lhs = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.when(F.col("o_custkey") % 11 == 0, F.lit(None))
-        .otherwise(F.col("o_custkey"))
-        .alias("lk")
-    )
-    rhs = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
-        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
-        .otherwise(F.col("c_custkey"))
-        .alias("rk")
-    )
+    lhs, rhs = null_seeded_join_sides(spark, sf_dir)
     n_eq = lhs.join(rhs, lhs.lk == rhs.rk, "inner").count()
     n_null_safe = lhs.join(rhs, lhs.lk.eqNullSafe(rhs.rk), "inner").count()
     n_null_pairs = lhs.join(

@@ -614,23 +614,14 @@ def test_null_safe_join_is_hash_join_not_nested_loop(spark, sf_dir):
     null-safe predicate into join keys (coalesce(k, 0), isnull(k)) so the
     NULL group hashes like any other key — a nested-loop fallback here
     would turn the null-seeded join quadratic at scale. Pin the rewrite
-    and the hash strategy on the same joins the report counts."""
-    from pyspark.sql import functions as F
-
-    from parallel_mapreduce_spark.sources import load_table
-
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    lhs = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        F.when(F.col("o_custkey") % 11 == 0, F.lit(None))
-        .otherwise(F.col("o_custkey"))
-        .alias("lk")
+    and the hash strategy on the same joins the report counts (the
+    frames come from the report's own builder, so the pin cannot drift
+    from the shipped query's seeding)."""
+    from parallel_mapreduce_spark.operators.relational import (
+        null_seeded_join_sides,
     )
-    rhs = customer.filter(F.col("c_mktsegment") == "MACHINERY").select(
-        F.when(F.col("c_custkey") % 11 == 0, F.lit(None))
-        .otherwise(F.col("c_custkey"))
-        .alias("rk")
-    )
+
+    lhs, rhs = null_seeded_join_sides(spark, sf_dir)
     plan = _plan(lhs.join(rhs, lhs.lk.eqNullSafe(rhs.rk), "inner"))
     assert "HashJoin" in plan  # broadcast or shuffled — never nested loop
     assert "NestedLoop" not in plan and "Cartesian" not in plan
