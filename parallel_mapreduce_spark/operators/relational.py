@@ -3149,3 +3149,41 @@ def execute_immediate_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         spark.sql(f"DROP TEMPORARY VARIABLE IF EXISTS {var}")
+
+
+# --------------------------------------------------------------------------
+# listagg / string_agg (round 6): Spark 4's ordered string aggregation —
+# `listagg(expr, sep) WITHIN GROUP (ORDER BY ...)`, the SQL:2016 form —
+# against DuckDB's string_agg(... ORDER BY ...). The WITHIN GROUP order
+# key (s_name, unique per group) makes the concatenation a total order,
+# so the STRING ITSELF is value-checked, not just its length. At 100 TB
+# the operator's hazard is that the result grows with the group: it is
+# a sort-based aggregate whose per-group output must fit in one row, so
+# the exhibit bounds groups with a key-sample filter — the pattern a
+# real pipeline should follow (aggregate a bounded top-N, never an
+# unbounded corpus, into a string).
+# --------------------------------------------------------------------------
+@query(
+    "listagg_nation_suppliers",
+    oracle="""
+    SELECT n_name,
+           string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv,
+           CAST(COUNT(*) AS BIGINT) AS n_suppliers
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE s_suppkey % 3 = 0
+    GROUP BY n_name
+    """,
+)
+def listagg_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name,
+               listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)
+                 AS supplier_csv,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        WHERE s_suppkey % 3 = 0
+        GROUP BY n_name
+        """
+    )
