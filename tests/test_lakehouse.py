@@ -111,3 +111,59 @@ def test_variant_get_absent_path_is_null(spark):
     )
     row = df.collect()[0]
     assert row.a == 1 and row.m is None and row.n is None
+
+
+def test_dynamic_overwrite_leaves_other_partitions_untouched(
+    spark, sf_dir, tmp_path
+):
+    """The physical contract behind dynamic_partition_overwrite_stats that
+    the value oracle can't see: a dynamic overwrite of one partition must
+    not REWRITE the others — their data files stay byte-identical in
+    place (same paths, sizes, mtimes; zero rewrite amplification) while
+    the target partition's files are replaced. The static-mode twin's
+    destructiveness is pinned too: after it, only the written partition's
+    directory remains."""
+    import os
+
+    def _files(root):
+        out = {}
+        for dirpath, _dirs, names in os.walk(root):
+            part = os.path.basename(dirpath)
+            if not part.startswith("lang="):
+                continue
+            for n in names:
+                if n.startswith("part-"):
+                    p = os.path.join(dirpath, n)
+                    st = os.stat(p)
+                    out[(part, n)] = (st.st_size, st.st_mtime_ns)
+        return out
+
+    from parallel_mapreduce_spark.sources import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    revised = docs.filter((F.col("lang") == "en") & (F.col("doc_id") % 2 == 0))
+    dyn = str(tmp_path / "dyn")
+    docs.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(dyn)
+    before = _files(dyn)
+    (
+        revised.repartition("lang")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("lang")
+        .parquet(dyn)
+    )
+    after = _files(dyn)
+    before_others = {k: v for k, v in before.items() if k[0] != "lang=en"}
+    after_others = {k: v for k, v in after.items() if k[0] != "lang=en"}
+    assert before_others == after_others  # untouched, byte-for-byte in place
+    assert before_others  # non-vacuous: other partitions exist
+    # the target partition's file set was replaced, not appended to
+    assert {k for k in before if k[0] == "lang=en"}.isdisjoint(
+        {k for k in after if k[0] == "lang=en"}
+    )
+    assert any(k[0] == "lang=en" for k in after)
+    # static twin: the same revised write without the option truncates all
+    stat = str(tmp_path / "stat")
+    docs.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(stat)
+    revised.repartition("lang").write.mode("overwrite").partitionBy("lang").parquet(stat)
+    assert {k[0] for k in _files(stat)} == {"lang=en"}
