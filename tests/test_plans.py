@@ -659,3 +659,25 @@ def test_execute_immediate_variable_binds_before_optimization(spark, sf_dir):
     plan = _plan(execute_immediate_variables(spark, sf_dir)).replace(" ", "")
     assert "EqualTo(c_mktsegment," in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_aqe_coalesces_post_shuffle_partitions(spark, sf_dir):
+    """The runtime half of the shuffle-sizing story: with AQE on, a
+    group-by whose shuffle output is far below the target partition size
+    must COALESCE its post-shuffle partitions (AQEShuffleRead coalesced)
+    instead of running all configured shuffle partitions as micro-tasks
+    — at 100 TB the same mechanism right-sizes every stage to the data
+    it actually produces rather than to a static conf. AQE decides at
+    runtime, so the plan is inspected after execution."""
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.sources import load_table
+
+    df = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(F.sum("o_totalprice").alias("total"))
+    )
+    df.collect()  # bounded: 5 groups
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan
