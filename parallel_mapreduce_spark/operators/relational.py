@@ -3187,3 +3187,47 @@ def listagg_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY n_name
         """
     )
+
+
+# --------------------------------------------------------------------------
+# percentile_cont vs percentile_disc (round 6): the SQL:2016 inverse
+# distribution pair, same text on both engines. The semantic split
+# matters operationally: _cont interpolates (its p50 may be a value no
+# row ever had — fine for dashboards, wrong for "pick a real example
+# row"), _disc returns the first actual data value whose cumulative
+# distribution reaches the fraction. disc_is_data_value pins the
+# defining property with an EXISTS membership test on the UNROUNDED
+# disc result (exact equality is safe — disc copies a value, never
+# computes one). Exact percentiles are the small-data oracle twin; the
+# 100 TB path stays percentile_approx (price_percentiles_approx).
+# --------------------------------------------------------------------------
+_PCT_DISC_SQL = """
+WITH p AS (
+  SELECT l_returnflag,
+         percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+           AS p50_cont_raw,
+         percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+           AS p50_disc_raw,
+         percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice)
+           AS p95_disc_raw
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       ROUND(p50_cont_raw, 4) AS p50_cont,
+       ROUND(p50_disc_raw, 4) AS p50_disc,
+       ROUND(p95_disc_raw, 4) AS p95_disc,
+       EXISTS (SELECT 1 FROM lineitem li
+               WHERE li.l_returnflag = p.l_returnflag
+                 AND li.l_extendedprice = p.p50_disc_raw)
+         AND EXISTS (SELECT 1 FROM lineitem li
+                     WHERE li.l_returnflag = p.l_returnflag
+                       AND li.l_extendedprice = p.p95_disc_raw)
+         AS disc_is_data_value
+FROM p
+"""
+
+
+@query("percentile_disc_vs_cont", oracle=_PCT_DISC_SQL)
+def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_PCT_DISC_SQL)
