@@ -3231,3 +3231,69 @@ FROM p
 def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_PCT_DISC_SQL)
+
+
+# --------------------------------------------------------------------------
+# explode vs explode_outer (round 6): generator null/empty semantics.
+# Inner explode DROPS every row whose array is empty or null — the
+# classic silent row-loss bug in per-document pipelines (a doc with no
+# qualifying items vanishes from downstream stats with no error);
+# explode_outer preserves the row with a NULL element. The probe builds
+# per-order arrays of rare high-quantity items via a left join +
+# collect_list (collect_list over a null-producing left join yields
+# EMPTY arrays, the exact shape that triggers the trap), runs BOTH
+# generators, and pins all four cardinalities against a closed-form
+# relational oracle (no unnest needed on the DuckDB side): outer =
+# inner + rows-with-no-hits, and the NULL-element count IS that
+# row-loss delta.
+# --------------------------------------------------------------------------
+@query(
+    "explode_outer_row_preservation",
+    oracle="""
+    WITH probe AS (
+      SELECT o_orderkey FROM orders WHERE o_orderkey % 17 = 0
+    ), hits AS (
+      SELECT o_orderkey, COUNT(*) AS n
+      FROM lineitem JOIN probe ON l_orderkey = o_orderkey
+      WHERE l_quantity >= 48
+      GROUP BY o_orderkey
+    )
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probe) AS n_orders,
+      (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM hits)
+        AS n_inner_rows,
+      (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) FROM hits)
+        + (SELECT CAST(COUNT(*) AS BIGINT) FROM probe)
+        - (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_outer_rows,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM probe)
+        - (SELECT CAST(COUNT(*) AS BIGINT) FROM hits) AS n_null_rows
+    """,
+)
+def explode_outer_row_preservation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    probe = orders.filter(F.col("o_orderkey") % 17 == 0).select("o_orderkey")
+    big_items = lineitem.filter(F.col("l_quantity") >= 48).select(
+        "l_orderkey", "l_quantity"
+    )
+    per_order = (
+        probe.join(
+            big_items,
+            probe.o_orderkey == big_items.l_orderkey,
+            "left_outer",
+        )
+        .groupBy("o_orderkey")
+        .agg(F.collect_list("l_quantity").alias("qs"))
+    )
+    n_orders = per_order.count()
+    n_inner = per_order.select(F.explode("qs").alias("q")).count()
+    outer = per_order.select(F.explode_outer("qs").alias("q"))
+    n_outer = outer.count()
+    n_null = outer.filter(F.col("q").isNull()).count()
+    return spark.createDataFrame(
+        [(n_orders, n_inner, n_outer, n_null)],
+        "n_orders bigint, n_inner_rows bigint, n_outer_rows bigint,"
+        " n_null_rows bigint",
+    )
