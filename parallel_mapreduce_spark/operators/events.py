@@ -1490,3 +1490,86 @@ GROUP BY user_id
 def clamped_balance_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_BALANCE_SQL)
+
+
+# --------------------------------------------------------------------------
+# Map higher-order functions (round 6): the map-typed column family —
+# map_from_entries to BUILD per-user (event_type -> stat) maps from an
+# aggregate, then transform_values (count -> share), map_filter
+# (frequent types only), map_zip_with (count-map x sum-map -> per-type
+# mean map), and aggregate() folds over map_values — all JVM-side
+# lambda expressions inside codegen, the idiomatic way to carry a
+# small keyed summary per row WITHOUT exploding it back to rows. The
+# oracle recomputes every scalar relationally (DuckDB never touches a
+# map), so the map algebra is value-proven against plain SQL. The
+# zipped-map checksum works in INTEGER cents with exact floor
+# division: a float version failed at sf0.1 because per-type SUM(value)
+# differs between engines in the last ulp (summation order), and the
+# per-type means land EXACTLY on round-half boundaries (2-decimal data
+# divided by small counts), so any float rounding idiom splits.
+# Integer sums are order-independent; (s - s % c) / c is an exact
+# double, so both engines agree bit-for-bit. top_share stays float-safe
+# because MAX(c)/SUM(c) divides identical exact integers. At 100 TB the
+# map stays bounded by |event_type| per user — a per-row summary, never
+# a corpus-scale collection.
+# --------------------------------------------------------------------------
+@query(
+    "map_higher_order_report",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, event_type, COUNT(*) AS c,
+             SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s_cents
+      FROM events GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN c >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_frequent_types,
+           floor(MAX(c) * 1.0 / SUM(c) * 10000 + 0.5) / 10000 AS top_share,
+           CAST(SUM((s_cents - s_cents % c) / c) AS BIGINT)
+             AS mean_cents_checksum
+    FROM per GROUP BY user_id
+    """,
+)
+def map_higher_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(
+        F.count("*").alias("c"),
+        F.sum(
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long")
+        ).alias("s"),
+    )
+    maps = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "c"))
+        ).alias("cnt_map"),
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "s"))
+        ).alias("sum_map"),
+    )
+    total = F.aggregate(
+        F.map_values("cnt_map"), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    share_map = F.transform_values("cnt_map", lambda _k, v: v / total)
+    # exact: s is divisible by c after the % subtraction, so the double
+    # quotient is integral and the long cast loses nothing
+    mean_map = F.map_zip_with(
+        "cnt_map",
+        "sum_map",
+        lambda _k, c, s: ((s - s % c) / c).cast("long"),
+    )
+    checksum = F.aggregate(
+        F.map_values(mean_map), F.lit(0).cast("long"), lambda a, x: a + x
+    )
+    return maps.select(
+        "user_id",
+        F.size("cnt_map").cast("long").alias("n_types"),
+        F.size(F.map_filter("cnt_map", lambda _k, v: v >= 3))
+        .cast("long")
+        .alias("n_frequent_types"),
+        (
+            F.floor(F.array_max(F.map_values(share_map)) * 10000 + F.lit(0.5))
+            / 10000
+        ).alias("top_share"),
+        checksum.alias("mean_cents_checksum"),
+    )
