@@ -1519,7 +1519,9 @@ def clamped_balance_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH per AS (
       SELECT user_id, event_type, COUNT(*) AS c,
              SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS s_cents
-      FROM events GROUP BY user_id, event_type
+      FROM events
+      WHERE event_type IS NOT NULL AND value IS NOT NULL
+      GROUP BY user_id, event_type
     )
     SELECT user_id,
            CAST(COUNT(*) AS BIGINT) AS n_types,
@@ -1533,6 +1535,14 @@ def clamped_balance_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def map_higher_order_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    # Totality guards, mirrored in the oracle: a NULL event_type would make
+    # map_from_entries raise ("null as map key") and an all-NULL value group
+    # would NULL-poison the Spark-side fold while DuckDB's SUM skips it —
+    # the current generator emits neither, but the query must not depend on
+    # that.
+    events = events.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    )
     per = events.groupBy("user_id", "event_type").agg(
         F.count("*").alias("c"),
         F.sum(

@@ -3159,18 +3159,24 @@ def execute_immediate_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
 # so the STRING ITSELF is value-checked, not just its length. At 100 TB
 # the operator's hazard is that the result grows with the group: it is
 # a sort-based aggregate whose per-group output must fit in one row, so
-# the exhibit bounds groups with a key-sample filter — the pattern a
-# real pipeline should follow (aggregate a bounded top-N, never an
-# unbounded corpus, into a string).
+# the exhibit aggregates a TRUE top-N — a ROW_NUMBER window caps each
+# nation at its first 8 suppliers by name, keeping the per-group string
+# CONSTANT-sized at any corpus scale (a fractional sample would still
+# grow linearly; aggregate a bounded top-N, never an unbounded corpus,
+# into a string).
 # --------------------------------------------------------------------------
 @query(
     "listagg_nation_suppliers",
     oracle="""
+    WITH ranked AS (
+      SELECT n_name, s_name,
+             ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_name) AS rn
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
     SELECT n_name,
            string_agg(s_name, ',' ORDER BY s_name) AS supplier_csv,
            CAST(COUNT(*) AS BIGINT) AS n_suppliers
-    FROM supplier JOIN nation ON s_nationkey = n_nationkey
-    WHERE s_suppkey % 3 = 0
+    FROM ranked WHERE rn <= 8
     GROUP BY n_name
     """,
 )
@@ -3178,12 +3184,17 @@ def listagg_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(
         """
+        WITH ranked AS (
+          SELECT n_name, s_name,
+                 ROW_NUMBER() OVER (PARTITION BY n_name ORDER BY s_name)
+                   AS rn
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        )
         SELECT n_name,
                listagg(s_name, ',') WITHIN GROUP (ORDER BY s_name)
                  AS supplier_csv,
                CAST(COUNT(*) AS BIGINT) AS n_suppliers
-        FROM supplier JOIN nation ON s_nationkey = n_nationkey
-        WHERE s_suppkey % 3 = 0
+        FROM ranked WHERE rn <= 8
         GROUP BY n_name
         """
     )
@@ -3245,7 +3256,12 @@ def percentile_disc_vs_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
 # generators, and pins all four cardinalities against a closed-form
 # relational oracle (no unnest needed on the DuckDB side): outer =
 # inner + rows-with-no-hits, and the NULL-element count IS that
-# row-loss delta.
+# row-loss delta. The three one-row aggregate branches combine in ONE
+# lazy plan (broadcast singleton cross joins), so the generators sit
+# inside the audited, returned plan and materialization is a single
+# action — a first draft used four driver-side count() actions, which
+# re-ran the probe join per action and hid the real plan from the
+# audit behind a literal scan.
 # --------------------------------------------------------------------------
 @query(
     "explode_outer_row_preservation",
@@ -3287,13 +3303,16 @@ def explode_outer_row_preservation(
         .groupBy("o_orderkey")
         .agg(F.collect_list("l_quantity").alias("qs"))
     )
-    n_orders = per_order.count()
-    n_inner = per_order.select(F.explode("qs").alias("q")).count()
-    outer = per_order.select(F.explode_outer("qs").alias("q"))
-    n_outer = outer.count()
-    n_null = outer.filter(F.col("q").isNull()).count()
-    return spark.createDataFrame(
-        [(n_orders, n_inner, n_outer, n_null)],
-        "n_orders bigint, n_inner_rows bigint, n_outer_rows bigint,"
-        " n_null_rows bigint",
+    orders_cnt = per_order.agg(F.count("*").alias("n_orders"))
+    inner_cnt = per_order.select(F.explode("qs").alias("q")).agg(
+        F.count("*").alias("n_inner_rows")
+    )
+    outer_cnt = per_order.select(F.explode_outer("qs").alias("q")).agg(
+        F.count("*").alias("n_outer_rows"),
+        F.sum(F.when(F.col("q").isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_null_rows"),
+    )
+    return orders_cnt.crossJoin(F.broadcast(inner_cnt)).crossJoin(
+        F.broadcast(outer_cnt)
     )
