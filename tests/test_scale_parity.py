@@ -42,6 +42,16 @@ SCALE_SENSITIVE = [
     "codec_roundtrip_compare",
     "file_metadata_lineage",
     "udtf_table_arg_lang_fold",
+    # round-6 closers whose oracles embed data- or engine-dependent
+    # behavior: the NOT IN trap boolean (needs a NULL in the probe and
+    # nonzero true non-matches — fixture-dependent), the inverse
+    # distribution pair (percentile_disc rank boundaries shift with N),
+    # and the map-algebra report (its first float checksum split on
+    # half-ulp boundaries at sf0.1 only — the class this module exists
+    # to catch)
+    "not_in_null_semantics_report",
+    "percentile_disc_vs_cont",
+    "map_higher_order_report",
 ]
 
 
