@@ -496,21 +496,37 @@ def udtf_poly_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
 class _LangFold:
     def __init__(self) -> None:
         self.lang = None
+        self.seen = False
         self.n = 0
         self.chars = 0
         self.prev = None
         self.ascending = True
 
     def eval(self, row) -> None:  # noqa: D102 — UDTF contract method
+        # Totality guards (same stance as map_higher_order_report): a NULL
+        # text contributes 0 chars (the oracle's SUM(length(text)) skips
+        # NULLs, COALESCEd to 0 for an all-NULL group), and a NULL-lang
+        # partition is EMITTED as the lang=NULL group — PARTITION BY lang
+        # routes it to one instance, exactly like GROUP BY lang keeps the
+        # NULL group in the oracle. `seen` (not `lang is not None`) gates
+        # terminate() so that group isn't silently dropped.
         self.lang = row["lang"]
+        self.seen = True
         self.n += 1
-        self.chars += len(row["text"])
-        if self.prev is not None and row["doc_id"] <= self.prev:
+        text = row["text"]
+        self.chars += len(text) if text is not None else 0
+        doc_id = row["doc_id"]
+        if (
+            self.prev is not None
+            and doc_id is not None
+            and doc_id <= self.prev
+        ):
             self.ascending = False
-        self.prev = row["doc_id"]
+        if doc_id is not None:
+            self.prev = doc_id
 
     def terminate(self):  # noqa: D102 — UDTF contract method
-        if self.lang is not None:
+        if self.seen:
             yield self.lang, self.n, self.chars, self.ascending
 
 
@@ -519,7 +535,7 @@ class _LangFold:
     oracle="""
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars,
            TRUE AS ids_ascending
     FROM documents
     GROUP BY lang

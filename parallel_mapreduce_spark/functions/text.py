@@ -1983,6 +1983,20 @@ def frequent_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct_bytes, n_total = toks.agg(
         cms_agg.alias("sk"), F.count("*").alias("n")
     ).collect()[0]
+    if not per_source or direct_bytes is None or n_total == 0:
+        # Degenerate-input guard (round-7 advice, same stance as the
+        # midpoint guard in cbo.py): an empty documents fixture — or one
+        # whose texts tokenize to nothing — would otherwise surface as a
+        # bare IndexError on per_source[0] in the driver. The sketch
+        # comparison is meaningless without tokens; fail loudly and
+        # early rather than emit an empty frame that would LOOK like a
+        # passing zero-row oracle compare.
+        toks.unpersist()
+        raise AssertionError(
+            "frequent_tokens_cms: documents yielded zero tokens "
+            f"(per_source={len(per_source)} groups, n_total={n_total}) — "
+            "CMS probe set is undefined on an empty corpus"
+        )
     jvm = spark.sparkContext._jvm
     read_from = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom
     direct = read_from(bytes(direct_bytes))

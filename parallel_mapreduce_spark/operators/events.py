@@ -1457,12 +1457,20 @@ def events_value_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 # re-reads events. The oracle is DuckDB's recursive CTE over the same
 # SQL shape, value-checking Spark's brand-new recursion execution against
 # an independent engine. Depth safety: 30 < the default
-# spark.sql.cteRecursionLevelLimit of 100.
+# spark.sql.cteRecursionLevelLimit of 100. Arithmetic is EXACT INTEGER
+# CENTS end to end (round-7 advice, same fix as map_higher_order_report):
+# the per-day delta is a SUM of doubles whose order differs between
+# engines, and the walk's `bal = 0` floor test plus the folded balances
+# are half-ulp-sensitive — floats here are the documented float-checksum
+# hazard class. Integer sums are order-independent, GREATEST/+ stay in
+# BIGINT, and the floor comparison is exact, so the cross-engine hash
+# cannot split at any scale.
 # --------------------------------------------------------------------------
 _BALANCE_SQL = """
 WITH RECURSIVE deltas AS (
   SELECT user_id, CAST(ts AS DATE) AS day,
-         SUM(CASE WHEN event_type = 'purchase' THEN -value ELSE value END)
+         SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+             * CASE WHEN event_type = 'purchase' THEN -1 ELSE 1 END)
            AS delta
   FROM events
   GROUP BY user_id, CAST(ts AS DATE)
@@ -1471,15 +1479,15 @@ WITH RECURSIVE deltas AS (
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day) AS i
   FROM deltas
 ), walk (user_id, i, bal) AS (
-  SELECT user_id, i, GREATEST(delta, 0.0) FROM seq WHERE i = 1
+  SELECT user_id, i, GREATEST(delta, CAST(0 AS BIGINT)) FROM seq WHERE i = 1
   UNION ALL
-  SELECT s.user_id, s.i, GREATEST(w.bal + s.delta, 0.0)
+  SELECT s.user_id, s.i, GREATEST(w.bal + s.delta, CAST(0 AS BIGINT))
   FROM walk w JOIN seq s ON s.user_id = w.user_id AND s.i = w.i + 1
 )
 SELECT user_id,
        CAST(MAX(i) AS BIGINT) AS n_days,
-       ROUND(MAX_BY(bal, i), 4) AS final_bal,
-       ROUND(MAX(bal), 4) AS peak_bal,
+       CAST(MAX_BY(bal, i) AS BIGINT) AS final_bal_cents,
+       CAST(MAX(bal) AS BIGINT) AS peak_bal_cents,
        CAST(COUNT(*) FILTER (WHERE bal = 0) AS BIGINT) AS n_floored_days
 FROM walk
 GROUP BY user_id

@@ -3037,23 +3037,33 @@ def null_seeded_join_sides(
     """,
 )
 def null_safe_join_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE lazy plan (round-7 advice): the null-safe join's output
+    # partitions exactly into the equi-join rows (key non-null on both
+    # sides) and the null-pair rows (key null on both — `<=>` matched
+    # them, so lk IS NULL iff rk IS NULL in the output). Conditional
+    # aggregation over that single join therefore yields all three
+    # cardinalities with the join executed ONCE, and the registered
+    # query's plan IS the null-safe hash join — visible to the plan
+    # audit, unlike the previous three-`.count()` driver-side version
+    # whose returned frame was a local literal scan. The decomposition
+    # check stays meaningful cross-engine: the ORACLE still runs the
+    # three joins separately in DuckDB, so the value compare proves
+    # Spark's one `<=>` join against an independent engine's
+    # equi+null-pair decomposition.
     lhs, rhs = null_seeded_join_sides(spark, sf_dir)
-    n_eq = lhs.join(rhs, lhs.lk == rhs.rk, "inner").count()
-    n_null_safe = lhs.join(rhs, lhs.lk.eqNullSafe(rhs.rk), "inner").count()
-    n_null_pairs = lhs.join(
-        rhs, lhs.lk.isNull() & rhs.rk.isNull(), "inner"
-    ).count()
-    return spark.createDataFrame(
-        [
-            (
-                n_eq,
-                n_null_safe,
-                n_null_pairs,
-                n_null_safe == n_eq + n_null_pairs,
-            )
-        ],
-        "n_eq_join bigint, n_null_safe_join bigint, n_null_pairs bigint,"
-        " decomposition_holds boolean",
+    joined = lhs.join(rhs, lhs.lk.eqNullSafe(rhs.rk), "inner")
+    return joined.agg(
+        F.count(F.when(F.col("lk").isNotNull(), 1)).alias("n_eq_join"),
+        F.count(F.lit(1)).alias("n_null_safe_join"),
+        F.count(F.when(F.col("lk").isNull(), 1)).alias("n_null_pairs"),
+    ).select(
+        "n_eq_join",
+        "n_null_safe_join",
+        "n_null_pairs",
+        (
+            F.col("n_null_safe_join")
+            == F.col("n_eq_join") + F.col("n_null_pairs")
+        ).alias("decomposition_holds"),
     )
 
 

@@ -100,11 +100,11 @@ def test_clamped_balance_recursion_semantics(spark, sf_dir):
     try:
         fake.createOrReplaceTempView("events")
         got = {r["user_id"]: r for r in spark.sql(_BALANCE_SQL).collect()}
-        assert got[1]["final_bal"] == 5.0
-        assert got[1]["peak_bal"] == 10.0
+        assert got[1]["final_bal_cents"] == 500
+        assert got[1]["peak_bal_cents"] == 1000
         assert got[1]["n_floored_days"] == 1
         assert got[1]["n_days"] == 3
-        assert got[2]["final_bal"] == 3.0
+        assert got[2]["final_bal_cents"] == 300
         assert got[2]["n_floored_days"] == 1
     finally:
         load_table(spark, sf_dir, "events").createOrReplaceTempView("events")

@@ -25,12 +25,33 @@ PYTHON_SURFACE = {
     "pandas_udf_vowel_ratio",
     "pandas_grouped_zscore",
     "multimodal_resize",
+    "multimodal_frame_sample",
     "udtf_split_sentences",
     "udtf_poly_ngrams",
     "udtf_table_arg_lang_fold",
     "arrow_doc_lengths",
     "cogrouped_user_value_share",
+    "applyinarrow_lang_summary",
+    "pandas_grouped_agg_iqr",
 }
+
+# EVERY physical node that runs user Python — not just the scalar-UDF
+# eval nodes. Round 6's applyInArrow query (FlatMapGroupsInArrow) slipped
+# through a BatchEvalPython/ArrowEvalPython-only grep, so the audit now
+# names the full family: scalar eval, grouped/cogrouped pandas, grouped
+# arrow, whole-partition map (pandas + arrow), and stateful streaming.
+PYTHON_STAGE_MARKERS = (
+    "BatchEvalPython",
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",  # applyInPandas (+WithState prefix-matches)
+    "FlatMapGroupsInArrow",  # applyInArrow
+    "FlatMapCoGroupsInPandas",  # cogroup().applyInPandas
+    "MapInPandas",  # mapInPandas
+    "PythonMapInArrow",  # mapInArrow
+    "MapInArrow",  # alt node name across Spark versions
+    "AggregateInPandas",  # grouped-agg pandas_udf
+    "PythonUDAF",  # grouped-agg pandas_udf inside hash aggregate
+)
 # Queries that execute eagerly on construction (stream run / iterative loop);
 # their returned frame's plan is a result scan, still audited for the flags.
 EAGER = {"stream_user_totals", "neardup_clusters", "pipeline_clean_corpus"}
@@ -48,7 +69,8 @@ def test_no_scale_red_flags(spark, sf_dir, name):
     if name not in PYTHON_SURFACE:
         assert "BatchEvalPython" not in plan, f"{name}: row-wise Python UDF"
         if name not in EAGER:
-            assert "ArrowEvalPython" not in plan, f"{name}: unexpected Python stage"
+            hits = [m for m in PYTHON_STAGE_MARKERS if m in plan]
+            assert not hits, f"{name}: undocumented Python stage(s) {hits}"
 
 
 # Shuffle-census regression pins: each headline query's physical plan may

@@ -52,6 +52,11 @@ SCALE_SENSITIVE = [
     "not_in_null_semantics_report",
     "percentile_disc_vs_cont",
     "map_higher_order_report",
+    # round-7: recursive clamped fold — rebuilt in exact integer cents
+    # (the map_higher_order_report fix); kept here because its floor
+    # hits (bal = 0) and recursion depth are data-dependent, so a
+    # regression back toward floats would split here first
+    "clamped_balance_recursive",
 ]
 
 
