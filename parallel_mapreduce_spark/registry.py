@@ -124,6 +124,8 @@ DRIVER_PRIORITY: list[str] = [
     "lateral_top_orders_per_customer",
     "observed_metrics_quality_gate",
     "snapshot_manifest_time_travel",
+    # round-7 additions (front of the unrowed set for the next window)
+    "dpp_partitioned_join",
 ]
 
 

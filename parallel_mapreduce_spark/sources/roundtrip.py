@@ -1196,3 +1196,101 @@ def dynamic_partition_overwrite_stats(
             "n_rows_static_total",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Dynamic partition pruning (round 7): the planner-side completion of the
+# pruning story. Static pruning (partition_pruned_read) needs the filter
+# ON the partition key; runtime bloom pruning (probes/bloom_probe.py)
+# filters ROWS after the scan. DPP is the third mechanism — and the
+# classic 100 TB plan feature: a fact table partitioned on the join key,
+# joined to a dim filtered on an attribute the fact doesn't carry. The
+# dim's qualifying keys are only known at RUNTIME, so no static rule can
+# prune; Spark instead compiles the fact scan with
+# ``PartitionFilters: [dynamicpruningexpression(lang IN dynamicpruning#N)]``
+# (pinned by tests/test_plans.py), executes the dim's broadcast first,
+# and lists only the matching partition directories — whole-directory
+# skipping driven by the join, before a single fact byte is read.
+#
+# Shape notes, learned by measurement (see the plan-pin test, which also
+# verifies partitions-read 2-of-5 from executed-plan metrics):
+# - the dim must be a MATERIALIZED table scan + filter. Deriving the
+#   filtered dim inline (agg + window over the base table) plans the
+#   dynamicpruning expression but never executes the pruning — the
+#   runtime subquery only reuses a broadcast whose build side is a plain
+#   scan-filter subtree; with the inline derivation the fact scan read
+#   all 5 partitions at full row count. The materialized lang-dim here
+#   IS the realistic shape (date dims, tenant dims are tables, not CTEs).
+# - the dim filter (rnk <= 2 — "the two most common languages") is on an
+#   attribute NOT derivable from the key value, so constraint
+#   propagation cannot turn it into a static IN-list on the fact.
+#
+# Reference tie-in: the reference's MR_DefaultHashPartition
+# (src/mapreduce.c:129-138) decides which partition holds a key at WRITE
+# time; DPP is the read-side payoff of key-partitioned layouts — the
+# consumer skips every partition whose keys the probe side cannot match.
+# --------------------------------------------------------------------------
+def dpp_join_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(partitioned fact, filtered dim) used by dpp_partitioned_join —
+    shared with the plan pin in tests/test_plans.py so the pinned
+    dynamicpruning scan is exactly the shipped query's."""
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    base = sink_dir("dpp_sink")
+    fact_dir, dim_dir = base + "/docs_by_lang", base + "/lang_dim"
+    docs.write.mode("overwrite").partitionBy("lang").parquet(fact_dir)
+    # Per-lang popularity dim: the window runs over |lang| pre-aggregated
+    # rows (bounded frame — the documented unpartitioned-window class).
+    (
+        docs.groupBy("lang")
+        .agg(F.count("*").alias("n_docs_lang"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("n_docs_lang").desc(), F.col("lang"))
+            ),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(dim_dir)
+    )
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        spark.read.parquet(dim_dir)
+        .filter(F.col("rnk") <= 2)
+        .select("lang")
+    )
+    return fact, dim
+
+
+@query(
+    "dpp_partitioned_join",
+    oracle="""
+    WITH dim AS (
+      SELECT lang, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, lang) AS rnk
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_chars) AS BIGINT) AS sum_chars
+    FROM documents d JOIN dim ON d.lang = dim.lang
+    WHERE dim.rnk <= 2
+    GROUP BY d.lang, d.source
+    """,
+)
+def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    fact, dim = dpp_join_parts(spark, sf_dir)
+    return (
+        fact.join(F.broadcast(dim), "lang")
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+        )
+    )
