@@ -126,6 +126,7 @@ DRIVER_PRIORITY: list[str] = [
     "snapshot_manifest_time_travel",
     # round-7 additions (front of the unrowed set for the next window)
     "dpp_partitioned_join",
+    "rebalance_hint_write_stats",
 ]
 
 

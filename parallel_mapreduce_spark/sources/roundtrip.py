@@ -1294,3 +1294,60 @@ def dpp_partitioned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("long").alias("sum_chars"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# REBALANCE hint (round 7): the manual override knob beside the two
+# AQE pins. AQE's post-shuffle coalescing and skew-split (plan-pinned in
+# tests/test_plans.py, measured in probes/skew_probe.py) fix partition
+# sizes the engine can SEE; REBALANCE(col) is the writer-side idiom for
+# the case the engine can't — a partitionBy(col) sink fed by an
+# arbitrary upstream layout writes one file per (task x live value),
+# the small-files explosion at 100 TB (every one of T tasks holds a few
+# rows of every value). The hint inserts a REBALANCE_PARTITIONS_BY_COL
+# exchange that AQE re-sizes at runtime (merging small blocks, and —
+# unlike a plain repartition(col) — SPLITTING a skewed value across
+# tasks instead of bottlenecking one), so each partition directory is
+# written by the minimal set of tasks. The oracle value-pins the layout
+# consequence itself: ONE file per lang at this scale (a plain
+# repartition-free write from the 32-task upstream would write up to
+# |tasks| files per lang), plus full row/char conservation through the
+# rebalanced write. Plan marker (REBALANCE_PARTITIONS_BY_COL) is pinned
+# by tests/test_plans.py from the executed pre-write frame.
+# --------------------------------------------------------------------------
+def rebalanced_write_frame(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The REBALANCE-hinted pre-write frame (shared with the plan pin)."""
+    return (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .hint("rebalance", "lang")
+    )
+
+
+@query(
+    "rebalance_hint_write_stats",
+    oracle="""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(1 AS BIGINT) AS n_files
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def rebalance_hint_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    out = sink_dir("rebalance_sink") + "/docs_by_lang"
+    rebalanced_write_frame(spark, sf_dir).write.mode("overwrite").partitionBy(
+        "lang"
+    ).parquet(out)
+    back = spark.read.parquet(out).select(
+        "lang", "n_chars", F.input_file_name().alias("f")
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("sum_chars"),
+        F.countDistinct("f").alias("n_files"),
+    )

@@ -745,3 +745,18 @@ def test_dpp_prunes_fact_partitions_at_runtime(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, saved)
+
+
+def test_rebalance_hint_compiles_to_rebalance_exchange(spark, sf_dir):
+    """The REBALANCE(lang) hint must survive optimization as a
+    RebalancePartitions node and compile to the AQE-resizable
+    REBALANCE_PARTITIONS_BY_COL exchange — not a plain fixed-width
+    hashpartitioning repartition (which AQE may neither merge nor
+    split)."""
+    from parallel_mapreduce_spark.sources.roundtrip import (
+        rebalanced_write_frame,
+    )
+
+    df = rebalanced_write_frame(spark, sf_dir)
+    assert "RebalancePartitions" in _optimized(df)
+    assert "REBALANCE_PARTITIONS_BY_COL" in _plan(df)

@@ -57,6 +57,10 @@ SCALE_SENSITIVE = [
     # hits (bal = 0) and recursion depth are data-dependent, so a
     # regression back toward floats would split here first
     "clamped_balance_recursive",
+    # round-7: oracle-pinned LAYOUT literal (one file per lang after the
+    # REBALANCE-hinted write) — a bigger input could in principle cross
+    # the AQE advisory size and split a lang into multiple files
+    "rebalance_hint_write_stats",
 ]
 
 
