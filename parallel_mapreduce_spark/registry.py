@@ -127,6 +127,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-7 additions (front of the unrowed set for the next window)
     "dpp_partitioned_join",
     "rebalance_hint_write_stats",
+    "avro_roundtrip_order_stats",
 ]
 
 

@@ -1351,3 +1351,89 @@ def rebalance_hint_write_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("long").alias("sum_chars"),
         F.countDistinct("f").alias("n_files"),
     )
+
+
+# --------------------------------------------------------------------------
+# Avro round trip behind a SELF-HEALING registration gate (round 7).
+# spark-avro is an external module (org.apache.spark:spark-avro_2.13) —
+# not part of the pyspark wheel or $SPARK_HOME/jars in this container,
+# and pip has no index route here (failed attempts logged in README).
+# Mirrors the _tws_available pattern (streaming/stateful.py): probe the
+# environment at registration time; if the jar ever appears in a future
+# container, the REAL query (ORC-twin row-format round trip) registers
+# with its full value oracle with zero code changes — until then the
+# name carries an explicit, oracle-agreeing skip row so the driver
+# correctness file documents the environment gap instead of the surface
+# silently lacking the format.
+# --------------------------------------------------------------------------
+def _spark_avro_available() -> bool:
+    import glob
+    import os
+
+    roots = []
+    if os.environ.get("SPARK_HOME"):
+        roots.append(os.path.join(os.environ["SPARK_HOME"], "jars"))
+    try:
+        import pyspark
+
+        roots.append(os.path.join(os.path.dirname(pyspark.__file__), "jars"))
+    except ImportError:  # pragma: no cover — pyspark is a hard dep
+        pass
+    return any(
+        glob.glob(os.path.join(r, "spark-avro*.jar")) for r in roots
+    )
+
+
+def _avro_query(fn):
+    if _spark_avro_available():  # pragma: no cover — jar absent here
+        return query(
+            "avro_roundtrip_order_stats",
+            oracle="""
+            SELECT o_orderstatus,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   ROUND(SUM(o_totalprice), 4) AS total_spend
+            FROM orders
+            WHERE o_totalprice > 100000
+            GROUP BY o_orderstatus
+            """,
+        )(fn)
+    skip_reason = (
+        "SKIPPED: avro round trip requires the external spark-avro jar "
+        "(org.apache.spark:spark-avro); not present in this container and "
+        "pip/maven are unreachable (attempts logged in README). Row-format "
+        "sink coverage is carried by the CSV/JSON/XML round trips; this "
+        "query self-registers with a full value oracle when the jar "
+        "appears."
+    )
+
+    @query(
+        "avro_roundtrip_order_stats",
+        oracle=f"SELECT '{skip_reason}' AS status, FALSE AS ran",
+    )
+    def _avro_skip_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return spark.createDataFrame(
+            [(skip_reason, False)], "status string, ran boolean"
+        )
+
+    return fn
+
+
+@_avro_query
+def avro_roundtrip_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders (filtered) -> Avro sink -> Avro scan -> agg: the row-format
+    (scan-everything) counterpart of the ORC/parquet columnar trips —
+    Avro is the standard wire format for ingest pipelines (Kafka,
+    schema-registry) feeding a columnar lake."""
+    register_views(spark, sf_dir)
+    sub = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    out = sink_dir("avro_sink") + "/orders"
+    sub.write.mode("overwrite").format("avro").save(out)
+    back = spark.read.format("avro").load(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
+    )
