@@ -68,6 +68,30 @@ DISJOINT_QUERIES = (
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 
+# Round 7: the join/window/events headliners, probed with KEY-OFFSET
+# replication — every foreign key is offset by the same k*stride as the
+# primary key it references, so replica k is a self-contained copy of the
+# relational world (join fan-outs, per-customer window widths, per-user
+# event chains, and HAVING-group sizes are all CONSTANT across scales;
+# the fitted exponent measures plan cost, not structure drift). Dims
+# (region/nation/part) stay fixed — the realistic 100 TB shape: facts
+# grow, dims don't.
+RELATIONAL_QUERIES = (
+    "q5_region_revenue",
+    "q18_large_volume_customers",
+    "q21_waiting_suppliers_shape",
+    "window_top_orders_per_customer",
+    "asof_purchase_attribution",
+    "events_hourly",
+)
+RELATIONAL_KEYS = {
+    "customer": ("c_custkey",),
+    "supplier": ("s_suppkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+}
+
 ALL_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
@@ -134,23 +158,48 @@ def _replicate_supplier(spark: SparkSession, factor: int):
     return out
 
 
+def _replicate_keyed(spark: SparkSession, table: str, factor: int):
+    """Replica k offsets every key column (PK + the FKs referencing other
+    replicated tables' PKs) by the SAME k*stride, so referential joins
+    stay intact within each replica and never cross replicas."""
+    base = spark.read.parquet(f"{SRC}/{table}.parquet")
+    parts = [base]
+    for k in range(1, factor):
+        d = base
+        for c in RELATIONAL_KEYS[table]:
+            d = d.withColumn(c, F.col(c) + k * ID_STRIDE)
+        parts.append(d)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def build_scale_dir(spark: SparkSession, factor: int, mode: str) -> str:
     dest = f"{ROOT}/{mode}/x{factor}"
     marker = f"{dest}/.complete"
     if os.path.exists(marker):
         return dest
     os.makedirs(dest, exist_ok=True)
-    _replicate_documents(spark, factor, mode).coalesce(
-        max(1, factor)
-    ).write.mode("overwrite").parquet(f"{dest}/documents.parquet")
-    _replicate_embeddings(spark, factor).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{dest}/embeddings.parquet")
-    _replicate_supplier(spark, factor).coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{dest}/supplier.parquet")
+    if mode == "relational":
+        written = set(RELATIONAL_KEYS)
+        for t in RELATIONAL_KEYS:
+            _replicate_keyed(spark, t, factor).coalesce(
+                max(1, factor)
+            ).write.mode("overwrite").parquet(f"{dest}/{t}.parquet")
+    else:
+        written = {"documents", "embeddings", "supplier"}
+        _replicate_documents(spark, factor, mode).coalesce(
+            max(1, factor)
+        ).write.mode("overwrite").parquet(f"{dest}/documents.parquet")
+        _replicate_embeddings(spark, factor).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/embeddings.parquet")
+        _replicate_supplier(spark, factor).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{dest}/supplier.parquet")
     for t in ALL_TABLES:
-        if t in ("documents", "embeddings", "supplier"):
+        if t in written:
             continue
         link = f"{dest}/{t}.parquet"
         if not os.path.exists(link):
@@ -182,16 +231,21 @@ def fit_exponent(scales: list[int], times: list[float]) -> float:
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--mode", choices=("disjoint", "neardup", "both"),
-                    default="both")
+    ap.add_argument(
+        "--mode",
+        choices=("disjoint", "neardup", "relational", "both", "all"),
+        default="both",
+    )
     args = ap.parse_args()
     _load_all()
     spark = get_spark("scale_probe")
     plan = []
-    if args.mode in ("disjoint", "both"):
+    if args.mode in ("disjoint", "both", "all"):
         plan.append(("disjoint", DISJOINT_QUERIES))
-    if args.mode in ("neardup", "both"):
+    if args.mode in ("neardup", "both", "all"):
         plan.append(("neardup", NEARDUP_QUERIES))
+    if args.mode in ("relational", "all"):
+        plan.append(("relational", RELATIONAL_QUERIES))
 
     results: dict[str, dict] = {}
     for mode, names in plan:
@@ -230,14 +284,25 @@ def main() -> None:
 
     out_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "results")
     os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, "scale_probe.json")
+    # Merge with any prior run's results so per-mode invocations
+    # accumulate into one file instead of clobbering the other modes.
+    merged: dict = {}
+    if os.path.exists(out_path):
+        try:
+            with open(out_path) as fh:
+                merged = json.load(fh).get("results", {})
+        except (OSError, ValueError):
+            merged = {}
+    merged.update(results)
     payload = {
         "source": SRC,
         "scales": list(SCALES),
         "runs_per_point": RUNS,
         "load_1m_end": round(os.getloadavg()[0], 2),
-        "results": results,
+        "results": merged,
     }
-    with open(os.path.join(out_dir, "scale_probe.json"), "w") as fh:
+    with open(out_path, "w") as fh:
         json.dump(payload, fh, indent=1)
     print(json.dumps({k: v["time_exponent"] for k, v in results.items()}))
 
