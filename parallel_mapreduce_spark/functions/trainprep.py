@@ -1692,3 +1692,113 @@ def temperature_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("effective_epochs"),
     )
+
+
+# --------------------------------------------------------------------------
+# DSIR importance weights (round 7): Data Selection via Importance
+# Resampling (Xie et al. 2023, arXiv:2302.03169) — the standard recipe
+# for "select raw-corpus documents that look like a target domain":
+# featurize every document as hashed n-gram counts, fit two bag-of-
+# hashed-ngrams unigram models (target vs raw), and score each document
+# by its importance log-ratio  w(doc) = sum_f log(p_target(f) /
+# p_raw(f)).  High-weight documents are the resampling candidates. The
+# target here is the 'src0' slice standing in for the curated domain
+# (wiki/books in the paper); features are hashed BIGRAMS (the paper's
+# default) in DSIR_BUCKETS buckets with +1 smoothing on both models.
+#
+# Scale shape: the corpus is scanned exactly twice — once to build the
+# bucket statistics, once to score — the same inherent two-pass shape as
+# unigram_logprob_score (self-referential statistic). Both models come
+# out of ONE aggregation (conditional count over the same exploded
+# stream), the log-ratio table is bounded by DSIR_BUCKETS rows
+# (broadcast-joined back to the feature stream), and per-document
+# weights are a partial-aggregated SUM — nothing corpus-scale crosses a
+# second shuffle beyond the doc-keyed score aggregation itself. The
+# hash is the engine-portable phash60, so the oracle reproduces the
+# bucketing exactly and the weights are value-checked, not rows-only.
+# --------------------------------------------------------------------------
+DSIR_BUCKETS = 4096
+DSIR_TARGET_SOURCE = "src0"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, source, {_SQL_TOKS} AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             {phash60_sql("'dsir:' || bg")} % {DSIR_BUCKETS} AS b
+      FROM (
+        SELECT doc_id, source, unnest({_SQL_BIGRAMS}) AS bg
+        FROM t WHERE len(toks) >= 2
+      )
+    ),
+    stats AS (
+      SELECT b, COUNT(*) AS cr,
+             COUNT(*) FILTER (WHERE source = '{DSIR_TARGET_SOURCE}') AS ct
+      FROM f GROUP BY b
+    ),
+    tot AS (
+      SELECT CAST(SUM(cr) AS BIGINT) AS tr, CAST(SUM(ct) AS BIGINT) AS tt
+      FROM stats
+    ),
+    llr AS (
+      SELECT b, ln((ct + 1.0) / (tt + {DSIR_BUCKETS}))
+               - ln((cr + 1.0) / (tr + {DSIR_BUCKETS})) AS w
+      FROM stats, tot
+    )
+    SELECT f.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_feats,
+           ROUND(SUM(l.w), 4) AS dsir_weight
+    FROM f JOIN llr l USING (b)
+    GROUP BY f.doc_id
+    """,
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    feats = (
+        docs.select("doc_id", "source", "text")
+        .repartition(n_parts, "doc_id")
+        .select(
+            "doc_id",
+            "source",
+            F.explode(bigrams(tokens("text"))).alias("bg"),
+        )
+        .select(
+            "doc_id",
+            "source",
+            (
+                phash60(F.concat(F.lit("dsir:"), F.col("bg")))
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    stats = feats.groupBy("b").agg(
+        F.count("*").alias("cr"),
+        F.count(
+            F.when(F.col("source") == DSIR_TARGET_SOURCE, 1)
+        ).alias("ct"),
+    )
+    tot = stats.agg(
+        F.sum("cr").cast("long").alias("tr"),
+        F.sum("ct").cast("long").alias("tt"),
+    )
+    llr = stats.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.log((F.col("ct") + 1.0) / (F.col("tt") + DSIR_BUCKETS))
+            - F.log((F.col("cr") + 1.0) / (F.col("tr") + DSIR_BUCKETS))
+        ).alias("w"),
+    )
+    return (
+        feats.join(F.broadcast(llr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_feats"),
+            F.round(F.sum("w"), 4).alias("dsir_weight"),
+        )
+    )

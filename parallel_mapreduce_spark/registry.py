@@ -128,6 +128,7 @@ DRIVER_PRIORITY: list[str] = [
     "dpp_partitioned_join",
     "rebalance_hint_write_stats",
     "avro_roundtrip_order_stats",
+    "dsir_importance_weights",
 ]
 
 

@@ -61,6 +61,10 @@ SCALE_SENSITIVE = [
     # REBALANCE-hinted write) — a bigger input could in principle cross
     # the AQE advisory size and split a lang into multiple files
     "rebalance_hint_write_stats",
+    # round-7: engine-order-dependent double SUM of log-ratios rounded to
+    # 4 decimals — same accepted float class as unigram_logprob_score,
+    # re-proven at sf0.1 where ten times the docs probe the boundary
+    "dsir_importance_weights",
 ]
 
 
