@@ -1802,3 +1802,186 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("w"), 4).alias("dsir_weight"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Model-based quality/domain classifier (round 7): logistic regression by
+# full-batch gradient descent, 2 fixed iterations — the fastText/CCNet
+# recipe (Wenzek et al. 2020; the GPT-3 quality classifier, Brown et al.
+# 2020 App. A): fit "does this doc look like the curated target domain?"
+# on cheap per-doc features, then score every document; high scorers are
+# kept/upweighted. Target = the 'src0' slice (as dsir_importance_weights);
+# features are exactly-replicable per-doc scalars (token count /100,
+# char count /1000, distinct-token ratio @6dp); init w=0, learning rate
+# 1.0 — so each weight is a plain difference of 6dp-rounded gradient
+# averages and the update introduces NO new rounding step (a fractional
+# rate times a 6dp gradient would manufacture 7th-decimal midpoints, the
+# exact half-ulp class the kmeans comment documents). The DuckDB oracle
+# unrolls both iterations; remaining cross-engine risk is the usual
+# engine-order AVG fold landing within one ulp of a 1e-6 midpoint, plus
+# the p > 0.5 prediction boundary (z would have to hit 0.0 exactly) —
+# both documented classes, listed in tests/test_scale_parity.py.
+#
+# Scale shape: the canonical distributed-ML loop (same family as
+# kmeans_lloyd_2iter). Per iteration: ONE corpus-scale partially-
+# aggregated AVG collapsing to a single 4-double gradient row, broadcast
+# back via crossJoin — the model is O(features), never corpus-scale, and
+# no shuffle moves anything bigger than the per-source summary. Three
+# feature passes total (grad1, grad2, score), inherent to full-batch GD.
+# --------------------------------------------------------------------------
+LRQ_TARGET_SOURCE = "src0"
+
+_LRQ_FEAT_SQL = f"""
+  SELECT source,
+         CASE WHEN source = '{LRQ_TARGET_SOURCE}' THEN 1.0 ELSE 0.0 END AS y,
+         len(toks) / 100.0 AS x1,
+         length(text) / 1000.0 AS x2,
+         ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS x3
+  FROM (SELECT source, text, {_SQL_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 1
+"""
+
+_LRQ_P = "1.0 / (1.0 + exp(-(w.b + w.w1*f.x1 + w.w2*f.x2 + w.w3*f.x3)))"
+
+
+def _lrq_sigmoid(z):
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+
+
+def _lrq_z():
+    return (
+        F.col("b")
+        + F.col("w1") * F.col("x1")
+        + F.col("w2") * F.col("x2")
+        + F.col("w3") * F.col("x3")
+    )
+
+
+def _lrq_step(feat: DataFrame, wrow: DataFrame) -> DataFrame:
+    """One full-batch GD step: (weights row) -> (updated weights row).
+    The corpus collapses to one 4-double gradient row; rate 1.0 keeps
+    the update a pure difference of 6dp-rounded averages."""
+    s = feat.crossJoin(F.broadcast(wrow))
+    err = _lrq_sigmoid(_lrq_z()) - F.col("y")
+    g = s.agg(
+        F.round(F.avg(err), 6).alias("gb"),
+        F.round(F.avg(err * F.col("x1")), 6).alias("g1"),
+        F.round(F.avg(err * F.col("x2")), 6).alias("g2"),
+        F.round(F.avg(err * F.col("x3")), 6).alias("g3"),
+        F.first("b").alias("b0"),
+        F.first("w1").alias("w10"),
+        F.first("w2").alias("w20"),
+        F.first("w3").alias("w30"),
+    )
+    return g.select(
+        (F.col("b0") - F.col("gb")).alias("b"),
+        (F.col("w10") - F.col("g1")).alias("w1"),
+        (F.col("w20") - F.col("g2")).alias("w2"),
+        (F.col("w30") - F.col("g3")).alias("w3"),
+    )
+
+
+@query(
+    "quality_classifier_lr2",
+    oracle=f"""
+    WITH f AS ({_LRQ_FEAT_SQL}),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+    g1 AS (
+      SELECT ROUND(AVG({_LRQ_P} - f.y), 6) AS gb,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x1), 6) AS g1,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x2), 6) AS g2,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x3), 6) AS g3
+      FROM f CROSS JOIN w0 w
+    ),
+    wa AS (
+      SELECT w.b - g.gb AS b, w.w1 - g.g1 AS w1,
+             w.w2 - g.g2 AS w2, w.w3 - g.g3 AS w3
+      FROM w0 w CROSS JOIN g1 g
+    ),
+    g2c AS (
+      SELECT ROUND(AVG({_LRQ_P} - f.y), 6) AS gb,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x1), 6) AS g1,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x2), 6) AS g2,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x3), 6) AS g3
+      FROM f CROSS JOIN wa w
+    ),
+    wb AS (
+      SELECT w.b - g.gb AS b, w.w1 - g.g1 AS w1,
+             w.w2 - g.g2 AS w2, w.w3 - g.g3 AS w3
+      FROM wa w CROSS JOIN g2c g
+    ),
+    scored AS (
+      SELECT f.source, ROUND({_LRQ_P}, 6) AS p
+      FROM f CROSS JOIN wb w
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(AVG(s.p), 4) AS avg_score,
+           CAST(SUM(CASE WHEN s.p > 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_pred_target,
+           ROUND(w.b, 6) AS b_fit,
+           ROUND(w.w1, 6) AS w1_fit,
+           ROUND(w.w2, 6) AS w2_fit,
+           ROUND(w.w3, 6) AS w3_fit
+    FROM scored s CROSS JOIN wb w
+    GROUP BY s.source, w.b, w.w1, w.w2, w.w3
+    """,
+)
+def quality_classifier_lr2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    feat = (
+        docs.select("source", "text")
+        .repartition(n_parts)
+        .withColumn("toks", tokens("text"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "source",
+            F.when(F.col("source") == LRQ_TARGET_SOURCE, 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+            (F.size("toks") / F.lit(100.0)).alias("x1"),
+            (F.length("text") / F.lit(1000.0)).alias("x2"),
+            F.round(
+                F.size(F.array_distinct("toks")) * F.lit(1.0)
+                / F.size("toks"),
+                6,
+            ).alias("x3"),
+        )
+    )
+    w0 = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+    )
+    wb = _lrq_step(feat, _lrq_step(feat, w0))
+    scored = feat.crossJoin(F.broadcast(wb)).select(
+        "source",
+        F.round(_lrq_sigmoid(_lrq_z()), 6).alias("p"),
+        "b",
+        "w1",
+        "w2",
+        "w3",
+    )
+    return (
+        scored.groupBy("source", "b", "w1", "w2", "w3")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("p"), 4).alias("avg_score"),
+            F.sum(F.when(F.col("p") > 0.5, 1).otherwise(0))
+            .cast("long")
+            .alias("n_pred_target"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "avg_score",
+            "n_pred_target",
+            F.round("b", 6).alias("b_fit"),
+            F.round("w1", 6).alias("w1_fit"),
+            F.round("w2", 6).alias("w2_fit"),
+            F.round("w3", 6).alias("w3_fit"),
+        )
+    )

@@ -3326,3 +3326,75 @@ def explode_outer_row_preservation(
     return orders_cnt.crossJoin(F.broadcast(inner_cnt)).crossJoin(
         F.broadcast(outer_cnt)
     )
+
+
+# --------------------------------------------------------------------------
+# Join strategy hints (round 7): the manual physical-join override — the
+# one planner knob the engine uses everywhere (broadcast) but had never
+# pinned as a *user-facing* surface. At 100 TB the optimizer's size
+# estimates can mislead (post-filter dim cardinality unknown, stats
+# stale), and the fix is a hint, not a rewrite: BROADCAST ships the dim
+# to every task and the fact never shuffles; MERGE keeps both sides
+# spillable (sort-merge — the safe choice when both sides are huge);
+# SHUFFLE_HASH skips the sort when one side hashes into task memory.
+# The probe runs the SAME orders x customer aggregate under all three
+# hints in ONE union plan — tests/test_plans.py pins that each branch
+# compiles to its distinct physical join (BroadcastHashJoin /
+# SortMergeJoin / ShuffledHashJoin) — and the oracle computes the join
+# once, cross-joined with the strategy labels: physical strategy must
+# not change results, and each branch is value-checked independently.
+# (Each branch's double SUM folds in its own partition order before the
+# 4-dp round; a sum landing on a rounding midpoint could in principle
+# split branches — same documented half-ulp class as kmeans.)
+# --------------------------------------------------------------------------
+JOIN_HINT_STRATEGIES: dict[str, str] = {
+    "broadcast": "BROADCAST(c)",
+    "merge": "MERGE(c)",
+    "shuffle_hash": "SHUFFLE_HASH(c)",
+}
+
+_HINT_JOIN_BODY = """
+    SELECT /*+ {hint} */
+           c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 4) AS total_price
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+"""
+
+
+def hinted_join_branch(spark: SparkSession, strategy: str) -> DataFrame:
+    """One strategy's branch: the hinted aggregate tagged with its label.
+    Exposed for the plan-pin test, which asserts each branch alone
+    compiles to its hinted physical join."""
+    body = _HINT_JOIN_BODY.format(hint=JOIN_HINT_STRATEGIES[strategy])
+    return spark.sql(body).select(
+        F.lit(strategy).alias("strategy"),
+        "segment",
+        "n_orders",
+        "total_price",
+    )
+
+
+@query(
+    "join_strategy_hint_matrix",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS segment,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o.o_totalprice), 4) AS total_price
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    )
+    SELECT s.strategy, j.segment, j.n_orders, j.total_price
+    FROM j CROSS JOIN (
+      VALUES ('broadcast'), ('merge'), ('shuffle_hash')
+    ) AS s(strategy)
+    """,
+)
+def join_strategy_hint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    out = hinted_join_branch(spark, "broadcast")
+    for strategy in ("merge", "shuffle_hash"):
+        out = out.unionByName(hinted_join_branch(spark, strategy))
+    return out

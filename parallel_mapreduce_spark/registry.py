@@ -129,6 +129,8 @@ DRIVER_PRIORITY: list[str] = [
     "rebalance_hint_write_stats",
     "avro_roundtrip_order_stats",
     "dsir_importance_weights",
+    "join_strategy_hint_matrix",
+    "quality_classifier_lr2",
 ]
 
 

@@ -760,3 +760,29 @@ def test_rebalance_hint_compiles_to_rebalance_exchange(spark, sf_dir):
     df = rebalanced_write_frame(spark, sf_dir)
     assert "RebalancePartitions" in _optimized(df)
     assert "REBALANCE_PARTITIONS_BY_COL" in _plan(df)
+
+
+def test_join_hints_bind_distinct_physical_strategies(spark, sf_dir):
+    """Each join-strategy hint must compile to ITS physical join — the
+    manual-override knob for mis-estimated 100 TB plans: BROADCAST(c) ->
+    BroadcastHashJoin (fact never shuffles), MERGE(c) -> SortMergeJoin
+    (both sides spillable), SHUFFLE_HASH(c) -> ShuffledHashJoin (no
+    sort). The registered matrix query value-checks that the physical
+    choice cannot change results."""
+    from parallel_mapreduce_spark.operators.relational import (
+        hinted_join_branch,
+    )
+    from parallel_mapreduce_spark.sources import register_views
+
+    register_views(spark, sf_dir)
+    expected = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    all_nodes = set(expected.values())
+    for strategy, node in expected.items():
+        plan = _plan(hinted_join_branch(spark, strategy))
+        assert node in plan, (strategy, plan)
+        for other in all_nodes - {node}:
+            assert other not in plan, (strategy, other)

@@ -65,6 +65,14 @@ SCALE_SENSITIVE = [
     # 4 decimals — same accepted float class as unigram_logprob_score,
     # re-proven at sf0.1 where ten times the docs probe the boundary
     "dsir_importance_weights",
+    # round-7: two-iteration GD replay — gradient AVG folds in engine
+    # order before the 1e-6 round, and the p > 0.5 prediction boundary
+    # is data-dependent; a midpoint/boundary hit would split here first
+    "quality_classifier_lr2",
+    # round-7: each hint branch folds its double SUM in its own
+    # partition order before the 4-dp round — a midpoint hit would
+    # desynchronize the branches at a bigger scale before anywhere else
+    "join_strategy_hint_matrix",
 ]
 
 
