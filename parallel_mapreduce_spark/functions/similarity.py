@@ -1289,3 +1289,141 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / F.count("*"), 4
         ).alias("recall"),
     )
+
+
+# --------------------------------------------------------------------------
+# SemDeDup (round 7): semantic dedup with CLUSTER-BOUNDED pair generation
+# (Abbas et al. 2023, arXiv:2303.09540) — the third member of the
+# embedding near-dup family: emb_neardup_pairs is the exact all-pairs
+# baseline (bounded id range, quadratic by design), emb_neardup_lsh_pairs
+# bounds candidates by hyperplane buckets, and this one bounds them by a
+# k-means partition: assign every vector to its nearest seed centroid
+# (the SEMDEDUP_K lowest-vec_id embeddings, the kmeans_lloyd_2iter init
+# convention), then compare pairs ONLY within a cluster and prune all
+# but the lowest vec_id of each duplicate pair (keep-first, the text
+# near-dup convention). Result: per-cluster dedup report.
+#
+# Scale posture — the reason SemDeDup ships at 100 TB: candidate
+# generation is a cid-keyed EQUI-join (co-partitioned self-join after
+# one shuffle on cid), so pair count is sum_c n_c^2 instead of N^2 —
+# operators tune K so clusters fit task memory and the per-cluster
+# quadratic stays bounded (raise K, pairs shrink). Assignment reuses the
+# kmeans broadcast-argmin (one row of K*dim doubles, no shuffle); the
+# only corpus-scale shuffle is the cid repartition. Distances and
+# cosines round to 6 dp before compare (the documented kmeans midpoint
+# class); the oracle replays assignment via the same unnest-SUM CTE
+# pattern as kmeans_lloyd_2iter.
+# --------------------------------------------------------------------------
+SEMDEDUP_K = 8
+SEMDEDUP_THRESHOLD = EMB_DEDUP_THRESHOLD  # same calibrated corpus threshold
+
+
+@query(
+    "semdedup_cluster_report",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), ve AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ), c0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
+            LIMIT {SEMDEDUP_K})
+    ), cv AS (
+      SELECT c0.cid, v.pos, v.val AS cval FROM c0 JOIN v USING (vec_id)
+    ), d AS (
+      SELECT v.vec_id, c.cid, ROUND(SUM((v.val - c.cval) ^ 2), 6) AS d
+      FROM v JOIN cv c USING (pos) GROUP BY v.vec_id, c.cid
+    ), a AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM d) WHERE rn = 1
+    ), m AS (
+      SELECT a.cid, a.vec_id, ve.e FROM a JOIN ve USING (vec_id)
+    ), pairs AS (
+      SELECT x.cid, x.vec_id AS id_a, y.vec_id AS id_b
+      FROM m x JOIN m y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE ROUND(list_cosine_similarity(x.e, y.e), 6)
+              >= {SEMDEDUP_THRESHOLD}
+    ), per AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_dup_pairs,
+             CAST(COUNT(DISTINCT id_b) AS BIGINT) AS n_pruned
+      FROM pairs GROUP BY cid
+    ), sizes AS (
+      SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_members FROM a GROUP BY cid
+    )
+    SELECT s.cid, s.n_members,
+           CAST(COALESCE(p.n_dup_pairs, 0) AS BIGINT) AS n_dup_pairs,
+           CAST(COALESCE(p.n_pruned, 0) AS BIGINT) AS n_pruned,
+           ROUND(COALESCE(p.n_pruned, 0) * 1.0 / s.n_members, 4)
+             AS prune_rate
+    FROM sizes s LEFT JOIN per p USING (cid)
+    """,
+)
+def semdedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.repartition(n_parts, "vec_id").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    seeds = (
+        emb.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select("vec_id", as_double(F.col("embedding")).alias("c"))
+        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+    )
+    cents0 = seeds.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("c")))).alias(
+            "cents"
+        )
+    )
+    assigned = _kmeans_assign(vecs, cents0).withColumn(
+        "nrm", l2_norm(F.col("e"))
+    )
+    # cid-keyed co-partitioned self-join: the SemDeDup candidate bound.
+    x = assigned.select(
+        "cid",
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    ).repartition(n_parts, "cid")
+    y = assigned.select(
+        "cid",
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    sim6 = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    pairs = (
+        x.join(y, "cid")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("cid", "id_a", "id_b", sim6.alias("sim6"))
+        .filter(F.col("sim6") >= SEMDEDUP_THRESHOLD)
+    )
+    per = pairs.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_dup_pairs"),
+        F.countDistinct("id_b").cast("long").alias("n_pruned"),
+    )
+    sizes = assigned.groupBy("cid").agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return sizes.join(per, "cid", "left").select(
+        "cid",
+        "n_members",
+        F.coalesce(F.col("n_dup_pairs"), F.lit(0).cast("long")).alias(
+            "n_dup_pairs"
+        ),
+        F.coalesce(F.col("n_pruned"), F.lit(0).cast("long")).alias("n_pruned"),
+        F.round(
+            F.coalesce(F.col("n_pruned"), F.lit(0)) * F.lit(1.0)
+            / F.col("n_members"),
+            4,
+        ).alias("prune_rate"),
+    )

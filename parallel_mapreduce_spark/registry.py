@@ -131,6 +131,7 @@ DRIVER_PRIORITY: list[str] = [
     "dsir_importance_weights",
     "join_strategy_hint_matrix",
     "quality_classifier_lr2",
+    "semdedup_cluster_report",
 ]
 
 

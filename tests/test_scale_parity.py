@@ -73,6 +73,10 @@ SCALE_SENSITIVE = [
     # partition order before the 4-dp round — a midpoint hit would
     # desynchronize the branches at a bigger scale before anywhere else
     "join_strategy_hint_matrix",
+    # round-7: assignment distances and pairwise cosines round to 6 dp
+    # before compare (the kmeans midpoint class); a bigger corpus probes
+    # more boundaries, so the cluster report re-proves at sf0.1
+    "semdedup_cluster_report",
 ]
 
 
