@@ -1320,6 +1320,7 @@ SEMDEDUP_THRESHOLD = EMB_DEDUP_THRESHOLD  # same calibrated corpus threshold
 
 @query(
     "semdedup_cluster_report",
+    headline=True,
     oracle=f"""
     WITH v AS (
       SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,

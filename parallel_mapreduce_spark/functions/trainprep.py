@@ -1883,6 +1883,7 @@ def _lrq_step(feat: DataFrame, wrow: DataFrame) -> DataFrame:
 
 @query(
     "quality_classifier_lr2",
+    headline=True,
     oracle=f"""
     WITH f AS ({_LRQ_FEAT_SQL}),
     w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),

@@ -65,6 +65,15 @@ DISJOINT_QUERIES = (
     "fuzzy_name_pairs",
     "cosine_topk",
     "ann_sq_topk",
+    # round 7: the LR classifier is per-doc features + O(1)-size gradient
+    # rows — expect ~1. SemDeDup is probed at FIXED K while N grows, so
+    # per-cluster membership rises linearly and within-cluster pairs
+    # quadratically: the measured super-linear exponent quantifies the
+    # documented fixed-K hazard (production raises K with N to hold
+    # cluster size constant), the same role the exact all-pairs baseline
+    # plays for the text near-dup family.
+    "quality_classifier_lr2",
+    "semdedup_cluster_report",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 
@@ -236,6 +245,11 @@ def main() -> None:
         choices=("disjoint", "neardup", "relational", "both", "all"),
         default="both",
     )
+    ap.add_argument(
+        "--queries",
+        default=None,
+        help="comma-separated subset to time (merge keeps prior results)",
+    )
     args = ap.parse_args()
     _load_all()
     spark = get_spark("scale_probe")
@@ -246,6 +260,13 @@ def main() -> None:
         plan.append(("neardup", NEARDUP_QUERIES))
     if args.mode in ("relational", "all"):
         plan.append(("relational", RELATIONAL_QUERIES))
+
+    if args.queries:
+        keep = set(args.queries.split(","))
+        plan = [
+            (m, tuple(n for n in names if n in keep)) for m, names in plan
+        ]
+        plan = [(m, names) for m, names in plan if names]
 
     results: dict[str, dict] = {}
     for mode, names in plan:

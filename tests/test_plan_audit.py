@@ -107,6 +107,13 @@ HEADLINE_EXCHANGE_CEILING = {
     "q18_large_volume_customers": 3,
     "q21_waiting_suppliers_shape": 7,
     "asof_purchase_attribution": 2,
+    # round 7: the LR classifier's 18 = 3 feature passes x (partial/final
+    # gradient or summary agg) + broadcast weight rows; semdedup's 18 =
+    # seed collect + assignment + cid repartition + pair/summary aggs —
+    # both counts are singleton-row or cid-keyed exchanges, nothing
+    # corpus-wide beyond the documented feature/assignment scans
+    "quality_classifier_lr2": 18,
+    "semdedup_cluster_report": 18,
 }
 
 
