@@ -132,6 +132,7 @@ DRIVER_PRIORITY: list[str] = [
     "join_strategy_hint_matrix",
     "quality_classifier_lr2",
     "semdedup_cluster_report",
+    "python_datasource_write_roundtrip",
 ]
 
 

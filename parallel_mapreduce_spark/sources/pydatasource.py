@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
 
 from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.sources.tables import (
+    load_table,
+    read_json,
+    register_views,
+)
 
 SYNTH_ROWS = 100_000
 SYNTH_PARTS = 8
@@ -162,6 +167,7 @@ def register_synth_source(spark: SparkSession) -> None:
     _REGISTERED.add(key)
     spark.dataSource.register(SynthDataSource)
     spark.dataSource.register(SynthPushdownDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
 
 
 @query(
@@ -250,4 +256,179 @@ def python_datasource_pushdown_scan(spark: SparkSession, sf_dir: str) -> DataFra
         F.sum("value").alias("sum_value"),
         F.min("row_id").alias("min_row"),
         F.max("row_id").alias("max_row"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Python DataSource WRITE path (round 7): the other half of the custom-
+# connector story. The read side above proves schema/partitions/pushdown;
+# this sink proves the executor-side write + driver-side two-phase COMMIT
+# protocol — the property that matters at 100 TB, where task retries and
+# speculative duplicates are routine: every task writes to a staged file
+# named by (partitionId, taskAttemptId), returns a commit message, and
+# only the driver's commit() publishes staged files and records them in a
+# _MANIFEST.json; readers trust the manifest, never the directory
+# listing, so orphaned attempts are invisible. abort() discards staging.
+# (The same rename-into-manifest design as Spark's own
+# HadoopMapReduceCommitProtocol / the lakehouse snapshot exhibit in
+# sources/roundtrip.py, here exercised through the user-extension API.)
+# --------------------------------------------------------------------------
+from pyspark.sql.datasource import DataSourceWriter, WriterCommitMessage
+
+
+class _SinkCommit(WriterCommitMessage):
+    def __init__(self, staged: str, rows: int):
+        self.staged = staged
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    def __init__(self, options: dict, schema, overwrite: bool):
+        import glob
+        import os
+
+        self.path = options["path"]
+        self.cols = [f.name for f in schema.fields]
+        os.makedirs(self.path, exist_ok=True)
+        if overwrite:
+            # Driver-side, before any task runs: clear the previous
+            # committed generation (manifest + published parts).
+            for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                os.remove(p)
+            m = os.path.join(self.path, "_MANIFEST.json")
+            if os.path.exists(m):
+                os.remove(m)
+
+    def write(self, iterator):
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        staging = os.path.join(self.path, "_staging")
+        os.makedirs(staging, exist_ok=True)
+        staged = os.path.join(
+            staging,
+            f"part-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl",
+        )
+        n = 0
+        with open(staged, "w") as fh:
+            for row in iterator:
+                fh.write(
+                    json.dumps(
+                        dict(zip(self.cols, row)), separators=(",", ":")
+                    )
+                    + "\n"
+                )
+                n += 1
+        return _SinkCommit(staged=staged, rows=n)
+
+    def commit(self, messages):
+        import json
+        import os
+        import shutil
+
+        files, total = [], 0
+        for m in messages:
+            base = os.path.basename(m.staged)
+            # part-<pid>-<attempt>.jsonl -> part-<pid>.jsonl: exactly one
+            # published file per partition, whichever attempt won.
+            final = "-".join(base.split("-")[:2]) + ".jsonl"
+            os.replace(m.staged, os.path.join(self.path, final))
+            files.append({"file": final, "rows": m.rows})
+            total += m.rows
+        with open(os.path.join(self.path, "_MANIFEST.json"), "w") as fh:
+            json.dump({"files": files, "total_rows": total}, fh)
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+    def abort(self, messages):
+        import shutil
+        import os
+
+        shutil.rmtree(
+            os.path.join(self.path, "_staging"), ignore_errors=True
+        )
+
+
+class JsonlSinkDataSource(DataSource):
+    """``df.write.format("pmr_jsonl_sink").option("path", ...)`` —
+    manifest-committed JSON-lines sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pmr_jsonl_sink"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonlSinkWriter(self.options, schema, overwrite)
+
+
+SINK_PARTS = 4
+
+
+@query(
+    "python_datasource_write_roundtrip",
+    oracle=f"""
+    WITH agg AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs, sum_chars,
+           CAST({SINK_PARTS} AS BIGINT) AS n_committed_files,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS manifest_rows,
+           CAST(0 AS BIGINT) AS n_staged_residue
+    FROM agg
+    """,
+)
+def python_datasource_write_roundtrip(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """documents -> custom Python sink (staged write, manifest commit) ->
+    manifest-listed JSON scan -> agg. The audit columns are MEASURED from
+    the filesystem (committed-file count, manifest row total, staging
+    residue) and pinned by the oracle's expectations: a task writing
+    around the staging protocol, a lost commit message, or an uncleaned
+    staging dir each fails the value check."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    from parallel_mapreduce_spark.session import apply_runtime_conf
+    from parallel_mapreduce_spark.sources.tables import sink_dir
+
+    apply_runtime_conf(spark)
+    register_views(spark, sf_dir)
+    register_synth_source(spark)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = sink_dir("pyds_jsonl_sink") + "/docs"
+    (
+        docs.repartition(SINK_PARTS, "doc_id")
+        .write.format("pmr_jsonl_sink")
+        .mode("overwrite")
+        .option("path", out)
+        .save()
+    )
+    manifest = _json.load(open(_os.path.join(out, "_MANIFEST.json")))
+    files = [_os.path.join(out, f["file"]) for f in manifest["files"]]
+    residue = len(_glob.glob(_os.path.join(out, "_staging", "*")))
+    back = read_json(
+        spark, files, schema="doc_id bigint, lang string, n_chars bigint"
+    )
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    ).select(
+        "lang",
+        "n_docs",
+        "sum_chars",
+        F.lit(len(files)).cast("long").alias("n_committed_files"),
+        F.lit(int(manifest["total_rows"]))
+        .cast("long")
+        .alias("manifest_rows"),
+        F.lit(residue).cast("long").alias("n_staged_residue"),
     )

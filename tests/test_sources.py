@@ -310,3 +310,38 @@ def test_binaryfile_blob_writer_is_idempotent(spark, sf_dir):
     files = glob.glob(os.path.join(sink_dir("binaryfile"), "*.bin"))
     assert len(files) == first["n_files"]
     assert not glob.glob(os.path.join(sink_dir("binaryfile"), ".*.tmp"))
+
+
+def test_python_sink_commit_protocol(spark, sf_dir):
+    """The custom Python sink's two-phase commit: staged files are
+    published by rename only at driver commit(), exactly one part file
+    per input partition survives (attempt suffix stripped), the manifest
+    row total equals the input count, and staging is cleaned. A second
+    overwrite run must replace the generation, not accumulate files."""
+    import glob
+    import json
+    import os
+
+    from parallel_mapreduce_spark.sources.pydatasource import (
+        SINK_PARTS,
+        python_datasource_write_roundtrip,
+    )
+    from parallel_mapreduce_spark.sources.tables import load_table, sink_dir
+
+    first = python_datasource_write_roundtrip(spark, sf_dir).collect()
+    out = sink_dir("pyds_jsonl_sink") + "/docs"
+    parts = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    assert len(parts) == SINK_PARTS
+    # Published names carry no attempt id: part-<pid>.jsonl.
+    assert all(
+        os.path.basename(p).count("-") == 1 for p in parts
+    ), parts
+    manifest = json.load(open(os.path.join(out, "_MANIFEST.json")))
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert manifest["total_rows"] == n_docs
+    assert sum(f["rows"] for f in manifest["files"]) == n_docs
+    assert not glob.glob(os.path.join(out, "_staging", "*"))
+
+    second = python_datasource_write_roundtrip(spark, sf_dir).collect()
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+    assert len(glob.glob(os.path.join(out, "part-*.jsonl"))) == SINK_PARTS
