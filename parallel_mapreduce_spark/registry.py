@@ -133,6 +133,7 @@ DRIVER_PRIORITY: list[str] = [
     "quality_classifier_lr2",
     "semdedup_cluster_report",
     "python_datasource_write_roundtrip",
+    "stream_python_source_totals",
 ]
 
 

@@ -19,6 +19,7 @@ row_id * 1103515245 under 2^63.
 
 from __future__ import annotations
 
+import itertools
 from collections.abc import Iterator, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
@@ -168,6 +169,7 @@ def register_synth_source(spark: SparkSession) -> None:
     spark.dataSource.register(SynthDataSource)
     spark.dataSource.register(SynthPushdownDataSource)
     spark.dataSource.register(JsonlSinkDataSource)
+    spark.dataSource.register(SynthStreamDataSource)
 
 
 @query(
@@ -432,3 +434,126 @@ def python_datasource_write_roundtrip(
         .alias("manifest_rows"),
         F.lit(residue).cast("long").alias("n_staged_residue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Python DataSource STREAM read path (round 7): the streaming third of
+# the custom-connector story (batch read + pushdown + batch write above).
+# SimpleDataSourceStreamReader is the queue/API-poller extension point:
+# the engine asks initialOffset() once, then per micro-batch read(start)
+# -> (rows, nextOffset); readBetweenOffsets(start, end) must replay any
+# committed range EXACTLY (that replay contract is what makes recovery
+# after a crash exactly-once), and commit(end) releases what the sink
+# has durably consumed. This source emits the same LCG rows as the batch
+# synth source in STREAM_BATCH-row micro-batches and goes DRY at
+# STREAM_TOTAL rows (read returns an empty chunk with an unchanged
+# offset), so processAllAvailable() terminates deterministically and the
+# closed form remains a full DuckDB value oracle — for a source that is
+# a stream, not a file.
+# --------------------------------------------------------------------------
+from pyspark.sql.datasource import SimpleDataSourceStreamReader
+
+STREAM_TOTAL = 50_000
+STREAM_BATCH = 8_000
+
+
+def _lcg_rows(lo: int, hi: int) -> Iterator[tuple]:
+    # A LIST-iterator, not a generator: the engine's prefetch cache both
+    # next()s the returned value and copy.copy()s it to serve replays —
+    # generators can't be copied, bare lists can't be next()ed. Bounded
+    # by the micro-batch size, never the stream.
+    return iter(
+        [
+            (i, i % SYNTH_BUCKETS, (i * SYNTH_A + SYNTH_C) % SYNTH_M)
+            for i in range(lo, hi)
+        ]
+    )
+
+
+class SynthStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict):
+        self.total = int(options.get("rows", STREAM_TOTAL))
+        self.batch = int(options.get("batchrows", STREAM_BATCH))
+
+    def initialOffset(self) -> dict:  # noqa: N802 (API name)
+        return {"i": 0}
+
+    def read(self, start: dict):
+        lo = int(start["i"])
+        hi = min(lo + self.batch, self.total)
+        return _lcg_rows(lo, hi), {"i": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):  # noqa: N802
+        return _lcg_rows(int(start["i"]), int(end["i"]))
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to release: the generator is stateless
+
+
+class SynthStreamDataSource(DataSource):
+    """``spark.readStream.format("pmr_synth_stream")`` — finite
+    deterministic LCG micro-batch stream."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "pmr_synth_stream"
+
+    def schema(self) -> str:
+        return "row_id bigint, bucket int, value bigint"
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:  # noqa: N802
+        return SynthStreamReader(self.options)
+
+
+_STREAM_SEQ = itertools.count()
+
+
+@query(
+    "stream_python_source_totals",
+    oracle=f"""
+    SELECT CAST(i % {SYNTH_BUCKETS} AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM((i * {SYNTH_A} + {SYNTH_C}) % {SYNTH_M}) AS BIGINT)
+             AS sum_value
+    FROM range(0, {STREAM_TOTAL}) t(i)
+    GROUP BY 1
+    """,
+)
+def stream_python_source_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-bucket totals over the custom Python STREAM source, drained to
+    a memory sink across ~7 micro-batches (sf_dir unused — synthetic by
+    design). Complete output mode; the finite source goes dry, so
+    processAllAvailable() is a deterministic drain. The multi-batch
+    schedule matters: the result is only correct if every micro-batch's
+    rows arrive exactly once across the offset ranges."""
+    from parallel_mapreduce_spark.session import (
+        apply_runtime_conf,
+        state_sized_shuffle,
+    )
+
+    apply_runtime_conf(spark)
+    register_synth_source(spark)
+    name = f"stream_pyds_totals_{next(_STREAM_SEQ)}"
+    agg = (
+        spark.readStream.format("pmr_synth_stream")
+        .load()
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("value").alias("sum_value"),
+        )
+    )
+    with state_sized_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)

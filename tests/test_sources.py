@@ -345,3 +345,45 @@ def test_python_sink_commit_protocol(spark, sf_dir):
     second = python_datasource_write_roundtrip(spark, sf_dir).collect()
     assert sorted(map(tuple, first)) == sorted(map(tuple, second))
     assert len(glob.glob(os.path.join(out, "part-*.jsonl"))) == SINK_PARTS
+
+
+def test_python_stream_source_multibatch_and_replay(spark):
+    """The custom stream source must (a) deliver the total in MULTIPLE
+    micro-batches (offset pacing, not one big read), (b) sum to exactly
+    the closed-form total across batches, and (c) honor the replay
+    contract: readBetweenOffsets(a, b) returns exactly the rows the
+    paced read()s produced over [a, b) — what makes post-crash recovery
+    exactly-once."""
+    from parallel_mapreduce_spark.sources.pydatasource import (
+        STREAM_BATCH,
+        STREAM_TOTAL,
+        SynthStreamReader,
+        register_synth_source,
+    )
+
+    register_synth_source(spark)
+    batches = []
+
+    def sink(df, bid):
+        batches.append(df.count())
+
+    q = (
+        spark.readStream.format("pmr_synth_stream")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(batches) >= -(-STREAM_TOTAL // STREAM_BATCH)
+    assert sum(batches) == STREAM_TOTAL
+
+    r = SynthStreamReader({})
+    off = r.initialOffset()
+    paced = []
+    while int(off["i"]) < 2 * STREAM_BATCH + 7:
+        rows, off = r.read(off)
+        paced.extend(rows)
+    assert list(r.readBetweenOffsets({"i": 0}, off)) == paced
