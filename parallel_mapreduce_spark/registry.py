@@ -134,6 +134,7 @@ DRIVER_PRIORITY: list[str] = [
     "semdedup_cluster_report",
     "python_datasource_write_roundtrip",
     "stream_python_source_totals",
+    "stream_python_sink_roundtrip",
 ]
 
 
