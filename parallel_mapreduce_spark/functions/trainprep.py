@@ -1832,12 +1832,13 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 LRQ_TARGET_SOURCE = "src0"
 
 _LRQ_FEAT_SQL = f"""
-  SELECT source,
+  SELECT doc_id, lang, source,
          CASE WHEN source = '{LRQ_TARGET_SOURCE}' THEN 1.0 ELSE 0.0 END AS y,
          len(toks) / 100.0 AS x1,
          length(text) / 1000.0 AS x2,
          ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS x3
-  FROM (SELECT source, text, {_SQL_TOKS} AS toks FROM documents)
+  FROM (SELECT doc_id, lang, source, text, {_SQL_TOKS} AS toks
+        FROM documents)
   WHERE len(toks) >= 1
 """
 
@@ -1855,6 +1856,43 @@ def _lrq_z():
         + F.col("w2") * F.col("x2")
         + F.col("w3") * F.col("x3")
     )
+
+
+def _lrq_features(docs: DataFrame, n_parts: int) -> DataFrame:
+    """Per-doc classifier features (doc_id, lang, source, y, x1..x3);
+    zero-token docs are unscorable and dropped on both engines."""
+    return (
+        docs.select("doc_id", "lang", "source", "text")
+        .repartition(n_parts)
+        .withColumn("toks", tokens("text"))
+        .filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.when(F.col("source") == LRQ_TARGET_SOURCE, 1.0)
+            .otherwise(0.0)
+            .alias("y"),
+            (F.size("toks") / F.lit(100.0)).alias("x1"),
+            (F.length("text") / F.lit(1000.0)).alias("x2"),
+            F.round(
+                F.size(F.array_distinct("toks")) * F.lit(1.0)
+                / F.size("toks"),
+                6,
+            ).alias("x3"),
+        )
+    )
+
+
+def _lrq_fit2(spark: SparkSession, feat: DataFrame) -> DataFrame:
+    """Two full-batch GD steps from zero init -> one fitted-weights row."""
+    w0 = spark.range(1).select(
+        F.lit(0.0).alias("b"),
+        F.lit(0.0).alias("w1"),
+        F.lit(0.0).alias("w2"),
+        F.lit(0.0).alias("w3"),
+    )
+    return _lrq_step(feat, _lrq_step(feat, w0))
 
 
 def _lrq_step(feat: DataFrame, wrow: DataFrame) -> DataFrame:
@@ -1932,32 +1970,8 @@ def quality_classifier_lr2(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    feat = (
-        docs.select("source", "text")
-        .repartition(n_parts)
-        .withColumn("toks", tokens("text"))
-        .filter(F.size("toks") >= 1)
-        .select(
-            "source",
-            F.when(F.col("source") == LRQ_TARGET_SOURCE, 1.0)
-            .otherwise(0.0)
-            .alias("y"),
-            (F.size("toks") / F.lit(100.0)).alias("x1"),
-            (F.length("text") / F.lit(1000.0)).alias("x2"),
-            F.round(
-                F.size(F.array_distinct("toks")) * F.lit(1.0)
-                / F.size("toks"),
-                6,
-            ).alias("x3"),
-        )
-    )
-    w0 = spark.range(1).select(
-        F.lit(0.0).alias("b"),
-        F.lit(0.0).alias("w1"),
-        F.lit(0.0).alias("w2"),
-        F.lit(0.0).alias("w3"),
-    )
-    wb = _lrq_step(feat, _lrq_step(feat, w0))
+    feat = _lrq_features(docs, n_parts)
+    wb = _lrq_fit2(spark, feat)
     scored = feat.crossJoin(F.broadcast(wb)).select(
         "source",
         F.round(_lrq_sigmoid(_lrq_z()), 6).alias("p"),
@@ -1984,5 +1998,135 @@ def quality_classifier_lr2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("w1", 6).alias("w1_fit"),
             F.round("w2", 6).alias("w2_fit"),
             F.round("w3", 6).alias("w3_fit"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Model-filtered corpus capstone (round 7): the modern FineWeb/DCLM
+# recipe's learned-filter stage as a pipeline — fit the LR domain
+# classifier (quality_classifier_lr2's exact two GD iterations), KEEP
+# documents the model scores as target-like (p > 0.5), then exact-dedup
+# the survivors (keep-lowest doc_id per distinct text, the dedup_exact
+# convention: Spark groups the (md5, length) digest so text crosses the
+# shuffle only as group survivors; the oracle groups text directly).
+# Unscorable zero-token docs drop at the model stage by definition.
+# Per-lang report: corpus-in, model-kept, final (deduped), surviving
+# chars — the numbers a curation run reports to its operator.
+#
+# Scale shape: the fit is the capstone's only corpus-collapse (4-double
+# gradient rows, broadcast back); scoring rides the feature pass; the
+# dedup is one digest-keyed aggregate + keeper join. Nothing new beyond
+# its parts — which is the point of a capstone: composition cost only.
+# --------------------------------------------------------------------------
+@query(
+    "pipeline_model_filtered_corpus",
+    oracle=f"""
+    WITH f AS ({_LRQ_FEAT_SQL}),
+    w0 AS (SELECT 0.0 AS b, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+    g1 AS (
+      SELECT ROUND(AVG({_LRQ_P} - f.y), 6) AS gb,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x1), 6) AS g1,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x2), 6) AS g2,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x3), 6) AS g3
+      FROM f CROSS JOIN w0 w
+    ),
+    wa AS (
+      SELECT w.b - g.gb AS b, w.w1 - g.g1 AS w1,
+             w.w2 - g.g2 AS w2, w.w3 - g.g3 AS w3
+      FROM w0 w CROSS JOIN g1 g
+    ),
+    g2c AS (
+      SELECT ROUND(AVG({_LRQ_P} - f.y), 6) AS gb,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x1), 6) AS g1,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x2), 6) AS g2,
+             ROUND(AVG(({_LRQ_P} - f.y) * f.x3), 6) AS g3
+      FROM f CROSS JOIN wa w
+    ),
+    wb AS (
+      SELECT w.b - g.gb AS b, w.w1 - g.g1 AS w1,
+             w.w2 - g.g2 AS w2, w.w3 - g.g3 AS w3
+      FROM wa w CROSS JOIN g2c g
+    ),
+    scored AS (
+      SELECT f.doc_id, ROUND({_LRQ_P}, 6) AS p
+      FROM f CROSS JOIN wb w
+    ),
+    kept AS (
+      SELECT d.doc_id, d.lang, d.text, d.n_chars
+      FROM documents d JOIN scored s USING (doc_id)
+      WHERE s.p > 0.5
+    ),
+    keeper AS (
+      SELECT MIN(doc_id) AS doc_id FROM kept GROUP BY text
+    ),
+    final AS (SELECT k.* FROM kept k JOIN keeper USING (doc_id)),
+    base AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs_in
+      FROM documents GROUP BY lang
+    ),
+    km AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept_model
+      FROM kept GROUP BY lang
+    ),
+    kf AS (
+      SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept_final,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars_final
+      FROM final GROUP BY lang
+    )
+    SELECT b.lang, b.n_docs_in,
+           CAST(COALESCE(km.n_kept_model, 0) AS BIGINT) AS n_kept_model,
+           CAST(COALESCE(kf.n_kept_final, 0) AS BIGINT) AS n_kept_final,
+           CAST(COALESCE(kf.sum_chars_final, 0) AS BIGINT)
+             AS sum_chars_final
+    FROM base b
+    LEFT JOIN km USING (lang)
+    LEFT JOIN kf USING (lang)
+    """,
+)
+def pipeline_model_filtered_corpus(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    feat = _lrq_features(docs, n_parts)
+    wb = _lrq_fit2(spark, feat)
+    scored = feat.crossJoin(F.broadcast(wb)).select(
+        "doc_id", F.round(_lrq_sigmoid(_lrq_z()), 6).alias("p")
+    )
+    kept = docs.select("doc_id", "lang", "text", "n_chars").join(
+        scored.filter(F.col("p") > 0.5).select("doc_id"), "doc_id"
+    )
+    keeper = (
+        kept.groupBy(
+            F.md5("text").alias("_k"), F.length("text").alias("_l")
+        )
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    final = kept.join(keeper, "doc_id")
+    base = docs.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_docs_in")
+    )
+    km = kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept_model")
+    )
+    kf = final.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_kept_final"),
+        F.sum("n_chars").cast("long").alias("sum_chars_final"),
+    )
+    zero = F.lit(0).cast("long")
+    return (
+        base.join(km, "lang", "left")
+        .join(kf, "lang", "left")
+        .select(
+            "lang",
+            "n_docs_in",
+            F.coalesce(F.col("n_kept_model"), zero).alias("n_kept_model"),
+            F.coalesce(F.col("n_kept_final"), zero).alias("n_kept_final"),
+            F.coalesce(F.col("sum_chars_final"), zero).alias(
+                "sum_chars_final"
+            ),
         )
     )

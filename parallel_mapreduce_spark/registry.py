@@ -135,6 +135,7 @@ DRIVER_PRIORITY: list[str] = [
     "python_datasource_write_roundtrip",
     "stream_python_source_totals",
     "stream_python_sink_roundtrip",
+    "pipeline_model_filtered_corpus",
 ]
 
 

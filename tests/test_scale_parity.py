@@ -77,6 +77,9 @@ SCALE_SENSITIVE = [
     # before compare (the kmeans midpoint class); a bigger corpus probes
     # more boundaries, so the cluster report re-proves at sf0.1
     "semdedup_cluster_report",
+    # round-7: inherits the LR fit's gradient-AVG fold AND the p > 0.5
+    # keep boundary; a midpoint/boundary hit would flip keep counts here
+    "pipeline_model_filtered_corpus",
 ]
 
 
