@@ -1128,3 +1128,148 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("batch_doc", "index_doc")
         .agg(F.count("*").alias("n_bands"))
     )
+
+
+# --------------------------------------------------------------------------
+# Segment-level exact dedup with ORDER-PRESERVING reassembly — the CCNet /
+# RefinedWeb "duplicated paragraph removal" stage (Wenzek et al. 2020 run
+# it per paragraph; Penedo et al. 2023 per line), at a finer granularity
+# than dedup_exact (whole documents) and a coarser one than
+# strip_boilerplate_tokens (single tokens): the corpus keeps exactly ONE
+# copy of every repeated span, the first occurrence in (doc_id, position)
+# order, and every document is rebuilt from its surviving segments.
+#
+# Segmentation: non-overlapping 8-token chunks via ONE linear regex pass
+# (SEGDEDUP_RX matches a token plus up to 7 ' '-separated followers — the
+# same single-space token convention as tokens()/_SQL_TOKS, identical in
+# Java regex and RE2 so the oracle chunks bit-identically). A
+# transform-over-sequence build was rejected for the same reason
+# shingles3 documents: a lambda that captures the token array re-evaluates
+# the tokenization per element after projection collapse — O(n^2/W) per
+# document; the regex pass is O(n).
+#
+# Scale shape (the whole point): raw text never crosses a shuffle.
+#   1. segment rows shuffle ONCE keyed by the 128-bit segment digest;
+#      partial aggregation (min / min_by) means each map task forwards at
+#      most one survivor text per distinct segment — the _digest_groups
+#      argument, applied at segment grain;
+#   2. winners ARE the kept rows (each distinct segment keeps exactly its
+#      lexicographically-first (doc_id, seg_idx) occurrence) — no join
+#      back against the corpus;
+#   3. reassembly groups the SURVIVING segments by doc_id (second, strictly
+#      smaller shuffle; per-doc collect is bounded by segments-per-doc),
+#      then left-joins the id-keyed per-doc segment counts — dropped-empty
+#      documents surface as n_kept = 0 / md5('') instead of vanishing.
+#
+# Fixture note: the shipped corpora contain no organic cross-document
+# 8-token repeats (random word soup), so — like incremental_neardup_ingest's
+# re-crawl copies — the working set deterministically injects boilerplate
+# variants: every doc_id % 4 == 1 document reappears at +40M with an
+# 8-token footer PREPENDED. The footer aligns to segment 0, so each
+# variant's remaining segments exactly equal its original's; originals
+# (smaller ids) win everything, the minimum-id variant keeps only the
+# footer, every other variant keeps nothing — all three branches
+# (full-keep / partial / zero-keep, incl. the left-join empty-doc path)
+# fire at every SF on both engines.
+# --------------------------------------------------------------------------
+SEGDEDUP_W = 8  # tokens per segment
+SEGDEDUP_RX = "[^ ]+( [^ ]+){0,7}"  # one segment: a token + up to 7 more
+SEGDEDUP_FOOTER = "subscribe newsletter follow social feed cookie policy banner"
+SEGDEDUP_VARIANT_OFFSET = 40_000_000
+SEGDEDUP_VARIANT_MOD = 4  # doc_id % 4 == 1 docs get a footered variant
+
+
+def _segdedup_working(docs: DataFrame) -> DataFrame:
+    """documents plus the deterministic footer-prepended variants."""
+    base = docs.select("doc_id", "text")
+    variants = docs.filter(
+        F.col("doc_id") % SEGDEDUP_VARIANT_MOD == 1
+    ).select(
+        (F.col("doc_id") + SEGDEDUP_VARIANT_OFFSET).alias("doc_id"),
+        F.concat(F.lit(SEGDEDUP_FOOTER + " "), F.col("text")).alias("text"),
+    )
+    return base.unionByName(variants)
+
+
+@query(
+    "segment_dedup_reassemble",
+    oracle=f"""
+    WITH working AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {SEGDEDUP_VARIANT_OFFSET},
+             '{SEGDEDUP_FOOTER} ' || text
+      FROM documents WHERE doc_id % {SEGDEDUP_VARIANT_MOD} = 1
+    ), segged AS (
+      SELECT doc_id, regexp_extract_all(text, '{SEGDEDUP_RX}') AS segs
+      FROM working
+    ), seg_rows AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(segs, 1) AS BIGINT) AS seg_idx,
+             unnest(segs) AS seg
+      FROM segged
+    ), kept AS (
+      SELECT doc_id, seg_idx, seg FROM (
+        SELECT doc_id, seg_idx, seg,
+               ROW_NUMBER() OVER (PARTITION BY seg
+                                  ORDER BY doc_id, seg_idx) AS rn
+        FROM seg_rows)
+      WHERE rn = 1
+    ), rebuilt AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(seg, ' ' ORDER BY seg_idx)) AS clean_md5
+      FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(len(s.segs) AS BIGINT) AS n_segs,
+           COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(r.clean_md5, md5('')) AS clean_md5
+    FROM segged s LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    with_segs = _segdedup_working(docs).select(
+        "doc_id",
+        F.regexp_extract_all("text", F.lit(SEGDEDUP_RX), 0).alias("segs"),
+    )
+    base = with_segs.select(
+        "doc_id", F.size("segs").cast("long").alias("n_segs")
+    )
+    seg_rows = with_segs.select(
+        "doc_id", F.posexplode("segs").alias("seg_idx", "seg")
+    )
+    first_pos = F.struct("doc_id", "seg_idx")
+    kept = (
+        seg_rows.groupBy(
+            F.md5("seg").alias("_k"), F.length("seg").alias("_l")
+        )
+        .agg(
+            F.min(first_pos).alias("w"),
+            F.min_by("seg", first_pos).alias("seg"),
+        )
+        .select(
+            F.col("w.doc_id").alias("doc_id"),
+            F.col("w.seg_idx").alias("seg_idx"),
+            "seg",
+        )
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                    lambda s: s.getField("seg"),
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    return base.join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        "n_segs",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
