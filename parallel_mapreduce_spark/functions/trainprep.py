@@ -2130,3 +2130,90 @@ def pipeline_model_filtered_corpus(
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-source document cap (domain quota): the Common-Crawl-pipeline rule
+# "keep at most N documents per domain" (C4 and RefinedWeb both cap
+# per-host contributions so megasites cannot dominate the mix), as a
+# DETERMINISTIC hash-priority sample: every document gets a portable
+# 60-bit priority, and each source keeps its CAP lowest-priority docs
+# (ties by doc_id). Hash-priority, not random: retries, engines and
+# re-runs must pick the same survivors (the same argument as
+# stratified_split_assign's hash buckets).
+#
+# Scale shape — the naive plan is ROW_NUMBER over (PARTITION BY source),
+# which serializes each source through ONE task; a megasite at 100 TB is
+# exactly the partition that will not fit. This implementation is the
+# salted TWO-PHASE top-k:
+#   stage 1: rank within (source, salt) — NSALT buckets per source, each
+#            a separate window partition — keep the per-bucket top-CAP;
+#   stage 2: rank within source over the survivors (at most NSALT*CAP
+#            rows per source, a bounded frame) — keep the top-CAP.
+# Semantics-preserving: any row in a source's global top-CAP under the
+# total order (priority, doc_id) has at most CAP-1 rows ahead of it
+# globally, hence at most CAP-1 ahead of it inside its own salt bucket,
+# so it survives stage 1 — stage 2 therefore ranks a superset of the
+# answer and returns exactly it. The oracle is the single-window form,
+# which pins the equivalence as a value check at every SF.
+# --------------------------------------------------------------------------
+SOURCE_CAP = 15  # max docs kept per source (25/source shipped at sf0.001)
+SOURCE_CAP_NSALT = 4
+
+
+def _cap_priority() -> F.Column:
+    """Portable per-doc priority; lowest CAP per source survive."""
+    return phash60(F.concat_ws(":", F.lit("cap"), F.col("doc_id")))
+
+
+@query(
+    "source_cap_sample",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT source, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {phash60_sql("'cap:' || doc_id")}, doc_id) AS rn
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_in,
+           CAST(COUNT(*) FILTER (rn <= {SOURCE_CAP}) AS BIGINT) AS n_kept,
+           CAST(COALESCE(SUM(n_chars) FILTER (rn <= {SOURCE_CAP}), 0)
+                AS BIGINT) AS sum_chars_kept
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    pri = docs.withColumn("pri", _cap_priority()).withColumn(
+        "salt",
+        phash60(F.concat_ws(":", F.lit("salt"), F.col("doc_id")))
+        % SOURCE_CAP_NSALT,
+    )
+    stage1 = pri.withColumn(
+        "rn1",
+        F.row_number().over(
+            W.partitionBy("source", "salt").orderBy("pri", "doc_id")
+        ),
+    ).filter(F.col("rn1") <= SOURCE_CAP)
+    stage2 = stage1.withColumn(
+        "rn2",
+        F.row_number().over(W.partitionBy("source").orderBy("pri", "doc_id")),
+    ).filter(F.col("rn2") <= SOURCE_CAP)
+    kept = stage2.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("sum_chars_kept"),
+    )
+    totals = docs.groupBy("source").agg(F.count("*").cast("long").alias("n_in"))
+    zero = F.lit(0).cast("long")
+    return totals.join(kept, "source", "left").select(
+        "source",
+        "n_in",
+        F.coalesce("n_kept", zero).alias("n_kept"),
+        F.coalesce("sum_chars_kept", zero).alias("sum_chars_kept"),
+    )
