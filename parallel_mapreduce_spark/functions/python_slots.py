@@ -28,6 +28,8 @@ fine for per-language groups, would need salting for a pathological mega-group.
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -598,4 +600,82 @@ def applyinarrow_lang_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("lang", "doc_id")
     return docs.groupBy("lang").applyInArrow(
         _lang_arrow_summary, schema="lang string, n_docs bigint, id_span bigint"
+    )
+
+
+# --------------------------------------------------------------------------
+# SCALAR_ITER pandas_udf (Iterator[pd.Series] -> Iterator[pd.Series]): the
+# last pandas_udf variant in the matrix, and the one whose EXISTENCE is the
+# point — the iterator form hands one worker ALL of its partition's Arrow
+# batches through a single generator invocation, so expensive one-time
+# setup (load a tokenizer, an ONNX session, a scoring table) runs once per
+# task instead of once per batch. The plain scalar form re-enters the
+# kernel per batch with no cross-batch state.
+#
+# The "model" here is a token-weight memo (portable 60-bit hash mod 7 —
+# phash60's convention, reimplemented in pure Python for the worker) built
+# up ACROSS batches inside the generator: exactly the lifecycle a real
+# model-scoring UDF needs, deterministic so the DuckDB oracle reproduces
+# every weight. Built-in twin (what production should use when the "model"
+# is expressible): explode + sum of the same md5-prefix expression —
+# encoded as the oracle.
+# --------------------------------------------------------------------------
+TOKEN_WEIGHT_MOD = 7
+
+
+def _token_weight_batches(batches):
+    """Iterator kernel: per-task weight memo shared across Arrow batches."""
+    import hashlib
+
+    cache: dict[str, int] = {}  # the once-per-task "model"
+
+    def weight(tok: str) -> int:
+        v = cache.get(tok)
+        if v is None:
+            v = (
+                int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+                % TOKEN_WEIGHT_MOD
+            )
+            cache[tok] = v
+        return v
+
+    for texts in batches:
+        yield texts.map(
+            lambda t: sum(weight(w) for w in t.split(" ") if w)
+        ).astype("int64")
+
+
+def _token_weight_kernel(
+    batches: Iterator[pd.Series],
+) -> Iterator[pd.Series]:
+    # typing.Iterator hints (module-level import: under `from __future__
+    # import annotations` the hints are strings, and pyspark's
+    # infer_eval_type resolves them against module globals) select the
+    # SCALAR_ITER eval type.
+    yield from _token_weight_batches(batches)
+
+
+def token_weight_iter_udf():
+    # Lazy like vowel_ratio_udf (DDL type parsing needs an active session).
+    return pandas_udf(_token_weight_kernel, "long")
+
+
+@query(
+    "scalar_iter_token_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+    )
+    SELECT doc_id,
+           CAST(SUM(('0x' || substr(md5(word), 1, 15))::BIGINT
+                    % {TOKEN_WEIGHT_MOD}) AS BIGINT) AS score
+    FROM toks
+    GROUP BY doc_id
+    """,
+)
+def scalar_iter_token_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", token_weight_iter_udf()(F.col("text")).alias("score")
     )

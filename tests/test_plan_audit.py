@@ -33,6 +33,7 @@ PYTHON_SURFACE = {
     "cogrouped_user_value_share",
     "applyinarrow_lang_summary",
     "pandas_grouped_agg_iqr",
+    "scalar_iter_token_weights",
 }
 
 # EVERY physical node that runs user Python — not just the scalar-UDF
