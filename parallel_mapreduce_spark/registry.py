@@ -94,6 +94,7 @@ DRIVER_PRIORITY: list[str] = [
     "segment_dedup_reassemble",
     "source_cap_sample",
     "scalar_iter_token_weights",
+    "stream_chained_join_hourly",
 ]
 
 

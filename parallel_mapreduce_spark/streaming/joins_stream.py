@@ -289,3 +289,132 @@ def stream_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("click_ts") <= F.col("cutoff"))
         .select("user_id", "click_id", "purchase_id", "gap_s")
     )
+
+
+# --------------------------------------------------------------------------
+# CHAINED STATEFUL OPERATORS (Spark 3.4+/SPARK-42376): a stream-stream
+# time-interval join feeding a downstream event-time window aggregation in
+# ONE streaming query — two stateful operators in the same plan, the shape
+# older Structured Streaming versions rejected outright. The engine must
+# propagate the watermark THROUGH the join (the join's output watermark is
+# delayed by its buffering bound) for the downstream aggregation to know
+# when a window can close; append mode then emits exactly the closed
+# windows.
+#
+# Same multi-batch replay + measured-cutoff discipline as
+# stream_click_no_purchase above: the bucketed source advances the
+# watermark batch over batch, and BOTH the engine output and the oracle
+# restrict to windows whose END is at or below
+# min(last click, last purchase) - LOJ_CUTOFF_S — the bound under which
+# the propagated watermark semantics guarantee the window was emitted
+# (watermark delay + the join's interval bound + slack). Windows younger
+# than the cutoff may or may not have flushed when the stream drained;
+# both sides exclude them, keeping the value check exact.
+# --------------------------------------------------------------------------
+@query(
+    "stream_chained_join_hourly",
+    oracle=f"""
+    WITH cut AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL {LOJ_CUTOFF_S} SECONDS AS cutoff
+    )
+    SELECT CAST(epoch(date_trunc('hour', p.ts)) AS BIGINT) AS hour_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(date_diff('second', c.ts, p.ts)) AS BIGINT) AS sum_gap_s
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+    CROSS JOIN cut
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND date_trunc('hour', p.ts) + INTERVAL 1 HOUR <= cut.cutoff
+    GROUP BY 1
+    """,
+)
+def stream_chained_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch replay of click->purchase attribution JOINED then
+    WINDOWED in one streaming plan (two chained stateful operators);
+    emitted hourly pair counts equal the batch join+group-by on every
+    window the measured cutoff proves closed."""
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+    from parallel_mapreduce_spark.sources.tables import load_table
+
+    apply_runtime_conf(spark)
+    src_dir = _bucketed_stream_src(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    schema = ev.select("event_id", "ts", "user_id", "event_type").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .withWatermark("click_ts", f"{LOJ_WATERMARK_S} seconds")
+    )
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", f"{LOJ_WATERMARK_S} seconds")
+    )
+    cond = (
+        (clicks.user_id == purchases.p_user_id)
+        & (purchases.purchase_ts >= clicks.click_ts)
+        & (
+            purchases.purchase_ts
+            <= clicks.click_ts
+            + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
+        )
+    )
+    hourly = (
+        clicks.join(purchases, cond, "inner")
+        .groupBy(F.window("purchase_ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(
+                F.unix_timestamp("purchase_ts")
+                - F.unix_timestamp("click_ts")
+            )
+            .cast("long")
+            .alias("sum_gap_s"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("hour_epoch"),
+            F.col("w.end").alias("hour_end"),
+            "n_pairs",
+            "sum_gap_s",
+        )
+    )
+    name = f"stream_chained_join_hourly_{next(_RUN_SEQ)}"
+    with state_sized_shuffle(spark):
+        q = (
+            hourly.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    cutoff = ev.agg(
+        (
+            F.least(
+                F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+            ).cast("timestamp")
+            - F.expr(f"INTERVAL {LOJ_CUTOFF_S} SECONDS")
+        ).alias("cutoff")
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(cutoff))
+        .filter(F.col("hour_end") <= F.col("cutoff"))
+        .select("hour_epoch", "n_pairs", "sum_gap_s")
+    )
