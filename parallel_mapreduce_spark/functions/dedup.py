@@ -1173,7 +1173,10 @@ def incremental_neardup_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fire at every SF on both engines.
 # --------------------------------------------------------------------------
 SEGDEDUP_W = 8  # tokens per segment
-SEGDEDUP_RX = "[^ ]+( [^ ]+){0,7}"  # one segment: a token + up to 7 more
+SEGDEDUP_RX = "[^ ]+( +[^ ]+){0,7}"  # one segment: a token + up to 7 more
+# (` +` not ` `: a segment absorbs runs of spaces, so chunking is by token
+# WINDOW — ceil(n_tokens/8) segments — regardless of spacing; the segment
+# string keeps the original bytes, identically in Java regex and RE2.)
 SEGDEDUP_FOOTER = "subscribe newsletter follow social feed cookie policy banner"
 SEGDEDUP_VARIANT_OFFSET = 40_000_000
 SEGDEDUP_VARIANT_MOD = 4  # doc_id % 4 == 1 docs get a footered variant
@@ -1193,6 +1196,7 @@ def _segdedup_working(docs: DataFrame) -> DataFrame:
 
 @query(
     "segment_dedup_reassemble",
+    headline=True,  # the corpus-rewriting dedup stage: bench the full pass
     oracle=f"""
     WITH working AS (
       SELECT doc_id, text FROM documents

@@ -2166,6 +2166,30 @@ def _cap_priority() -> F.Column:
     return phash60(F.concat_ws(":", F.lit("cap"), F.col("doc_id")))
 
 
+def cap_per_source(
+    docs: DataFrame, cap: int = SOURCE_CAP, nsalt: int = SOURCE_CAP_NSALT
+) -> DataFrame:
+    """The salted two-phase top-k: rows of ``docs`` (needs doc_id, source)
+    that survive the per-source quota. Shared with the stage-1-binding
+    unit test in tests/test_trainprep_cleaning.py — the shipped fixtures'
+    salt buckets hold ~25/nsalt < CAP rows, so only a synthetic skewed
+    source exercises the stage-1 filter."""
+    pri = docs.withColumn("pri", _cap_priority()).withColumn(
+        "salt",
+        phash60(F.concat_ws(":", F.lit("salt"), F.col("doc_id"))) % nsalt,
+    )
+    stage1 = pri.withColumn(
+        "rn1",
+        F.row_number().over(
+            W.partitionBy("source", "salt").orderBy("pri", "doc_id")
+        ),
+    ).filter(F.col("rn1") <= cap)
+    return stage1.withColumn(
+        "rn2",
+        F.row_number().over(W.partitionBy("source").orderBy("pri", "doc_id")),
+    ).filter(F.col("rn2") <= cap)
+
+
 @query(
     "source_cap_sample",
     oracle=f"""
@@ -2190,22 +2214,7 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "source", "n_chars"
     )
-    pri = docs.withColumn("pri", _cap_priority()).withColumn(
-        "salt",
-        phash60(F.concat_ws(":", F.lit("salt"), F.col("doc_id")))
-        % SOURCE_CAP_NSALT,
-    )
-    stage1 = pri.withColumn(
-        "rn1",
-        F.row_number().over(
-            W.partitionBy("source", "salt").orderBy("pri", "doc_id")
-        ),
-    ).filter(F.col("rn1") <= SOURCE_CAP)
-    stage2 = stage1.withColumn(
-        "rn2",
-        F.row_number().over(W.partitionBy("source").orderBy("pri", "doc_id")),
-    ).filter(F.col("rn2") <= SOURCE_CAP)
-    kept = stage2.groupBy("source").agg(
+    kept = cap_per_source(docs).groupBy("source").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.sum("n_chars").cast("long").alias("sum_chars_kept"),
     )

@@ -74,6 +74,14 @@ DISJOINT_QUERIES = (
     # plays for the text near-dup family.
     "quality_classifier_lr2",
     "semdedup_cluster_report",
+    # round 7 (session 2): segment-level dedup — token rewrite makes
+    # replica segments disjoint, so dup structure is constant and rows
+    # grow linearly (b_rows = 1.0 expected); the wall exponent measures
+    # the digest-agg + reassembly plan. source_cap_sample's output is
+    # |sources| rows at every scale; its wall cost is the two-phase
+    # ranking over a linearly growing input.
+    "segment_dedup_reassemble",
+    "source_cap_sample",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 
@@ -92,6 +100,11 @@ RELATIONAL_QUERIES = (
     "window_top_orders_per_customer",
     "asof_purchase_attribution",
     "events_hourly",
+    # round 7 (session 2): the chained-stateful streaming plan under the
+    # same key-offset events replication — per-user join chains constant,
+    # batch count fixed by the bucketing, so wall growth measures the
+    # per-batch state/shuffle cost of join->window at 1x/3x/10x.
+    "stream_chained_join_hourly",
 )
 RELATIONAL_KEYS = {
     "customer": ("c_custkey",),

@@ -169,3 +169,67 @@ def test_connected_components_long_chain_converges(spark):
     )
     labels = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
     assert labels == {i: 0 for i in range(12)}
+
+
+# ---------------------------------------------------------------------------
+# Segment-level dedup (segment_dedup_reassemble): the regex chunking and
+# the keep-first-occurrence / reassembly invariants.
+# ---------------------------------------------------------------------------
+def test_segment_regex_chunks_like_token_windows(spark):
+    """The linear regex pass must chunk exactly like 'split on single
+    spaces, drop empties, group by 8': segment count = ceil(n/8), every
+    segment <= 8 tokens, and re-joining the segments restores the
+    (single-spaced) token stream."""
+    import math
+
+    from parallel_mapreduce_spark.functions.dedup import (
+        SEGDEDUP_RX,
+        SEGDEDUP_W,
+    )
+
+    samples = [
+        "a b c d e f g h i",          # 9 tokens -> 8 + 1
+        "one",                        # single token
+        "a b c d e f g h",            # exact boundary
+        "x  y   z",                   # runs of spaces: empties dropped
+        " lead and trail ",           # edge whitespace
+        "t1 t2 t3 t4 t5 t6 t7 t8 t9 t10 t11 t12 t13 t14 t15 t16 t17",
+    ]
+    rows = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i long, text string"
+    ).select(
+        "i", "text",
+        F.regexp_extract_all("text", F.lit(SEGDEDUP_RX), 0).alias("segs"),
+    ).collect()
+    for r in rows:
+        toks = [t for t in r.text.split(" ") if t]
+        assert len(r.segs) == math.ceil(len(toks) / SEGDEDUP_W), r.text
+        seg_toks = []
+        for seg in r.segs:
+            st = [t for t in seg.split(" ") if t]
+            assert 1 <= len(st) <= SEGDEDUP_W
+            seg_toks.extend(st)
+        assert seg_toks == toks, r.text
+
+
+def test_segment_dedup_footer_variants_lose_everything_but_one_footer(
+    spark, sf_dir
+):
+    """The injected variants' invariants: originals keep all their
+    segments unless an organic earlier copy exists; every variant loses
+    its original's segments (original ids are smaller); exactly ONE
+    variant in the whole corpus keeps the footer segment."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        SEGDEDUP_VARIANT_OFFSET,
+        segment_dedup_reassemble,
+    )
+
+    out = segment_dedup_reassemble(spark, sf_dir).toPandas()
+    variants = out[out.doc_id >= SEGDEDUP_VARIANT_OFFSET]
+    assert len(variants) > 0
+    # Each variant's own-text segments are dups of its original: it can
+    # keep at most the footer.
+    assert (variants.n_kept <= 1).all()
+    assert (variants.n_kept == 1).sum() == 1  # exactly one footer keeper
+    keeper = variants[variants.n_kept == 1].iloc[0]
+    assert keeper.doc_id == variants.doc_id.min()

@@ -118,3 +118,62 @@ def test_ingest_decisions_random_replay(spark):
         for doc_id, t in batch_rows
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# source_cap_sample: the two-phase salted quota must equal the naive
+# single-window form ON A SOURCE WHERE STAGE 1 ACTUALLY BINDS — the
+# shipped fixtures hold ~25/NSALT rows per salt bucket, under the CAP, so
+# only this synthetic megasite exercises the stage-1 filter path.
+# ---------------------------------------------------------------------------
+def test_cap_per_source_two_phase_equals_single_window_under_skew(spark):
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.functions.trainprep import (
+        SOURCE_CAP,
+        SOURCE_CAP_NSALT,
+        _cap_priority,
+        cap_per_source,
+    )
+
+    # One megasite (200 rows: every salt bucket far exceeds the CAP) plus
+    # a small site and an under-CAP site.
+    rows = (
+        [(i, "mega") for i in range(200)]
+        + [(1000 + i, "tiny") for i in range(3)]
+        + [(2000 + i, "exact") for i in range(SOURCE_CAP)]
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, source string")
+    # Sanity: stage 1 must bind (some mega bucket holds > CAP rows).
+    bucket_sizes = (
+        docs.withColumn(
+            "salt",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat_ws(":", F.lit("salt"), F.col("doc_id"))),
+                    1, 15,
+                ), 16, 10,
+            ).cast("long") % SOURCE_CAP_NSALT,
+        )
+        .groupBy("source", "salt").count()
+        .filter(F.col("source") == "mega")
+        .agg(F.max("count")).first()[0]
+    )
+    assert bucket_sizes > SOURCE_CAP
+
+    got = {
+        (r.source, r.doc_id)
+        for r in cap_per_source(docs).select("source", "doc_id").collect()
+    }
+    naive = docs.withColumn("pri", _cap_priority()).withColumn(
+        "rn", F.row_number().over(
+            W.partitionBy("source").orderBy("pri", "doc_id")
+        ),
+    ).filter(F.col("rn") <= SOURCE_CAP)
+    want = {(r.source, r.doc_id) for r in naive.select("source", "doc_id").collect()}
+    assert got == want
+    per_source = {}
+    for s, _ in got:
+        per_source[s] = per_source.get(s, 0) + 1
+    assert per_source == {"mega": SOURCE_CAP, "tiny": 3, "exact": SOURCE_CAP}
