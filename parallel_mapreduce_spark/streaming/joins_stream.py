@@ -311,39 +311,13 @@ def stream_click_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 # than the cutoff may or may not have flushed when the stream drained;
 # both sides exclude them, keeping the value check exact.
 # --------------------------------------------------------------------------
-@query(
-    "stream_chained_join_hourly",
-    oracle=f"""
-    WITH cut AS (
-      SELECT LEAST(
-               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
-               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
-             - INTERVAL {LOJ_CUTOFF_S} SECONDS AS cutoff
-    )
-    SELECT CAST(epoch(date_trunc('hour', p.ts)) AS BIGINT) AS hour_epoch,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(SUM(date_diff('second', c.ts, p.ts)) AS BIGINT) AS sum_gap_s
-    FROM events c
-    JOIN events p
-      ON p.user_id = c.user_id
-     AND p.ts >= c.ts
-     AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
-    CROSS JOIN cut
-    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
-      AND date_trunc('hour', p.ts) + INTERVAL 1 HOUR <= cut.cutoff
-    GROUP BY 1
-    """,
-)
-def stream_chained_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-batch replay of click->purchase attribution JOINED then
-    WINDOWED in one streaming plan (two chained stateful operators);
-    emitted hourly pair counts equal the batch join+group-by on every
-    window the measured cutoff proves closed."""
-    from parallel_mapreduce_spark.session import state_sized_shuffle
-    from parallel_mapreduce_spark.sources.tables import load_table
-
+def chained_join_hourly_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chained-stateful streaming frame (join -> window agg), shared
+    with tests/test_streaming.py's state-operator pin."""
     apply_runtime_conf(spark)
     src_dir = _bucketed_stream_src(spark, sf_dir)
+    from parallel_mapreduce_spark.sources.tables import load_table
+
     ev = load_table(spark, sf_dir, "events")
     schema = ev.select("event_id", "ts", "user_id", "event_type").schema
     stream = (
@@ -374,7 +348,7 @@ def stream_chained_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS")
         )
     )
-    hourly = (
+    return (
         clicks.join(purchases, cond, "inner")
         .groupBy(F.window("purchase_ts", "1 hour").alias("w"))
         .agg(
@@ -393,6 +367,15 @@ def stream_chained_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_gap_s",
         )
     )
+
+
+def run_chained_join_hourly(spark: SparkSession, sf_dir: str):
+    """Drain the chained plan into a memory sink; returns (table_name,
+    final StreamingQuery progress dict) — progress exposes the per-batch
+    stateOperators metrics the unit test pins."""
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+
+    hourly = chained_join_hourly_stream(spark, sf_dir)
     name = f"stream_chained_join_hourly_{next(_RUN_SEQ)}"
     with state_sized_shuffle(spark):
         q = (
@@ -403,6 +386,42 @@ def stream_chained_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        progress = q.lastProgress
+    return name, progress
+
+
+@query(
+    "stream_chained_join_hourly",
+    oracle=f"""
+    WITH cut AS (
+      SELECT LEAST(
+               (SELECT MAX(ts) FROM events WHERE event_type = 'click'),
+               (SELECT MAX(ts) FROM events WHERE event_type = 'purchase'))
+             - INTERVAL {LOJ_CUTOFF_S} SECONDS AS cutoff
+    )
+    SELECT CAST(epoch(date_trunc('hour', p.ts)) AS BIGINT) AS hour_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(date_diff('second', c.ts, p.ts)) AS BIGINT) AS sum_gap_s
+    FROM events c
+    JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL {ATTRIBUTION_WINDOW_S} SECONDS
+    CROSS JOIN cut
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      AND date_trunc('hour', p.ts) + INTERVAL 1 HOUR <= cut.cutoff
+    GROUP BY 1
+    """,
+)
+def stream_chained_join_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-batch replay of click->purchase attribution JOINED then
+    WINDOWED in one streaming plan (two chained stateful operators);
+    emitted hourly pair counts equal the batch join+group-by on every
+    window the measured cutoff proves closed."""
+    from parallel_mapreduce_spark.sources.tables import load_table
+
+    name, _ = run_chained_join_hourly(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
     cutoff = ev.agg(
         (
             F.least(

@@ -421,3 +421,24 @@ def test_statestore_metadata_layout(spark, sf_dir):
     state = spark.read.format("statestore").load(ckpt)
     n_parts = state.select("partition_id").distinct().count()
     assert n_parts > 1  # keys hash-spread, not single-partition
+
+
+def test_chained_join_window_runs_two_stateful_operators(spark, sf_dir):
+    """The chained plan must carry BOTH stateful operators in one query —
+    the stream-stream symmetric hash join AND the downstream window
+    aggregation's state store save — and the final progress must show a
+    multi-batch replay (the watermark actually advanced)."""
+    from parallel_mapreduce_spark.streaming.joins_stream import (
+        run_chained_join_hourly,
+    )
+
+    name, progress = run_chained_join_hourly(spark, sf_dir)
+    ops = progress["stateOperators"]
+    names = sorted(o["operatorName"] for o in ops)
+    assert len(ops) == 2, names
+    assert any("symmetricHashJoin" in n for n in names), names
+    assert any("stateStoreSave" in n for n in names), names
+    # Multi-batch: the bucketed source replays one file per trigger, so
+    # the last batch id must be past the first few buckets.
+    assert progress["batchId"] >= 3
+    assert spark.table(name).count() >= 0
