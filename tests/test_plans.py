@@ -786,3 +786,49 @@ def test_join_hints_bind_distinct_physical_strategies(spark, sf_dir):
         assert node in plan, (strategy, plan)
         for other in all_nodes - {node}:
             assert other not in plan, (strategy, other)
+
+
+def test_segment_dedup_shuffles_digests_with_partial_aggregation(
+    spark, sf_dir
+):
+    """segment_dedup_reassemble's 100 TB contract in the plan: the
+    first-occurrence aggregate is keyed by the (md5, length) DIGEST (raw
+    segment text is never a shuffle KEY), runs with a partial (map-side)
+    phase so only per-distinct-segment survivors cross the exchange, and
+    the final assembly joins on the id — no cartesian anywhere."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        segment_dedup_reassemble,
+    )
+
+    plan = _plan(segment_dedup_reassemble(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    # Partial-then-final aggregate pair around the digest exchange.
+    assert plan.count("SortAggregate") >= 2 or plan.count("HashAggregate") >= 2
+    # The exchange key is the digest pair, not the segment string.
+    import re
+
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^)]*)\)", plan)
+    # Catalyst folds md5/length into _groupingexpression aliases: the
+    # digest exchange is the one keyed by that PAIR.
+    assert any(
+        e.count("_groupingexpression") == 2 or ("_k" in e and "_l" in e)
+        for e in exchanges
+    ), exchanges
+    assert not any("seg#" in e for e in exchanges), exchanges
+
+
+def test_source_cap_windows_are_partitioned(spark, sf_dir):
+    """Both ranking windows must declare partitioning (source+salt, then
+    source) — the query exists to avoid the single-partition window, so
+    an unpartitioned Window node here is a regression."""
+    from parallel_mapreduce_spark.functions.trainprep import source_cap_sample
+
+    plan = _plan(source_cap_sample(spark, sf_dir))
+    import re
+
+    wins = re.findall(r"row_number\(\).*?partitionBy=\[([^\]]*)\]", plan)
+    if not wins:  # formatted plans spell it as PartitionSpec in Arguments
+        wins = re.findall(r"\[row_number.*?\], \[([^\]]*)\], \[", plan)
+    assert len(wins) >= 2, plan[:2000]
+    assert all(w.strip() for w in wins), wins
+    assert "Exchange SinglePartition" not in plan
