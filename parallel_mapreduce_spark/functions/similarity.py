@@ -1428,3 +1428,250 @@ def semdedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("prune_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization ANN (PQ-ADC) — the third member of the FAISS-shaped
+# compression/pruning trio alongside IVF (prune: scan one cell's posting
+# list) and SQ-int8 (compress: 1 byte/dim). PQ compresses to M bytes/vector
+# REGARDLESS of dim: the vector splits into PQ_M subspaces, each subspace
+# gets its own PQ_K-centroid codebook (one Lloyd iteration from the IVF-
+# convention init, vec_ids N_QUERY_VECS..+PQ_K), and a vector is stored as
+# its M nearest-centroid codes. Queries score candidates by ADC (asymmetric
+# distance computation): ONE (Q x M x K)-row distance table per query
+# batch, then every candidate's approximate distance is M integer table
+# lookups — never a full-dim float op against the corpus.
+#
+# Determinism discipline (the kmeans_lloyd_2iter conventions, applied):
+# per-subspace distances round to 6 dp with ties toward the lower cid; the
+# trained codebook rounds to 6 dp; the ADC table converts to EXACT INTEGER
+# micro-units (CAST(ROUND(d * 1e6) AS BIGINT)) so the per-candidate sum
+# over M entries — the quantity that decides the ranking — is
+# order-independent integer arithmetic on both engines. Same residual
+# half-ulp caveat as kmeans on the 16-term float sums feeding each
+# rounding; no shipped corpus hits a midpoint.
+#
+# Scale posture: the codebook is PQ_M x PQ_K x PQ_SUBDIM doubles — always
+# broadcast; codes are the compressed index (M small ints per vector: the
+# only corpus-scale state); the ADC scoring join is codes x broadcast
+# query table with NO full-dim arithmetic; top-k is the salted two-phase
+# rank so no single task ever orders one query's full candidate list. PQ
+# alone scores every candidate (it is the compression leg — compose with
+# the IVF cell-pruning leg for IVF-PQ, the standard pairing).
+# --------------------------------------------------------------------------
+PQ_M = 4  # subspaces
+PQ_SUBDIM = 16  # dims per subspace (embeddings are 64-dim)
+PQ_K = 4  # centroids per subspace codebook
+PQ_TOPK = 5
+PQ_RANK_SALT = 16
+
+
+def _pq_subvecs(df: DataFrame, idcol: str, out_id: str) -> DataFrame:
+    """(id, s, sub): the PQ_M per-subspace slices of the double vector."""
+    slices = F.array(
+        *[
+            F.slice(F.col("e"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+            for s in range(PQ_M)
+        ]
+    )
+    return df.select(
+        F.col(idcol).alias(out_id), F.posexplode(slices).alias("s", "sub")
+    )
+
+
+def _pq_assign(subdf: DataFrame, cb_row: DataFrame, idcol: str) -> DataFrame:
+    """(id, s, cid): nearest codebook centroid per subspace, in-projection
+    argmin against the ONE broadcast codebook row (no shuffle)."""
+    dists = F.transform(
+        F.filter(F.col("cb"), lambda x: x.getField("s") == F.col("s")),
+        lambda x: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sub"),
+                        x.getField("c"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("d"),
+            x.getField("cid").alias("cid"),
+        ),
+    )
+    return subdf.crossJoin(F.broadcast(cb_row)).select(
+        idcol, "s", "sub", F.array_min(dists).getField("cid").alias("cid")
+    )
+
+
+def _pq_cb_row(long: DataFrame) -> DataFrame:
+    """(s, cid, spos, cval) -> one row: array<struct<s, cid, c>>."""
+    per_cell = long.groupBy("s", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("spos"), F.col("cval")))),
+            lambda x: x.getField("cval"),
+        ).alias("c")
+    )
+    return per_cell.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("s"), F.col("cid"), F.col("c")))
+        ).alias("cb")
+    )
+
+
+@query(
+    "ann_pq_adc_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id,
+             (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS s,
+             (generate_subscripts(embedding, 1) - 1) % {PQ_SUBDIM} AS spos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), db AS (
+      SELECT * FROM v WHERE vec_id >= {N_QUERY_VECS}
+    ), c0 AS (
+      SELECT vec_id - {N_QUERY_VECS} AS cid, s, spos, val AS cval
+      FROM v WHERE vec_id >= {N_QUERY_VECS}
+        AND vec_id < {N_QUERY_VECS + PQ_K}
+    ), d0 AS (
+      SELECT db.vec_id, db.s, c.cid,
+             ROUND(SUM((db.val - c.cval) ^ 2), 6) AS d
+      FROM db JOIN c0 c ON db.s = c.s AND db.spos = c.spos
+      GROUP BY 1, 2, 3
+    ), a0 AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, cid) AS rn
+        FROM d0) WHERE rn = 1
+    ), c1 AS (
+      SELECT a0.s, a0.cid, db.spos, ROUND(AVG(db.val), 6) AS cval
+      FROM a0 JOIN db ON a0.vec_id = db.vec_id AND a0.s = db.s
+      GROUP BY 1, 2, 3
+    ), d1 AS (
+      SELECT db.vec_id, db.s, c.cid,
+             ROUND(SUM((db.val - c.cval) ^ 2), 6) AS d
+      FROM db JOIN c1 c ON db.s = c.s AND db.spos = c.spos
+      GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                  ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ), q AS (
+      SELECT vec_id AS q_id, s, spos, val FROM v
+      WHERE vec_id < {N_QUERY_VECS}
+    ), qt AS (
+      SELECT q.q_id, q.s, c.cid,
+             CAST(ROUND(SUM((q.val - c.cval) ^ 2) * 1e6) AS BIGINT) AS du
+      FROM q JOIN c1 c ON q.s = c.s AND q.spos = c.spos
+      GROUP BY 1, 2, 3
+    ), ad AS (
+      SELECT qt.q_id, codes.vec_id AS c_id,
+             CAST(SUM(qt.du) AS BIGINT) AS approx_du
+      FROM codes JOIN qt ON codes.s = qt.s AND codes.cid = qt.cid
+      GROUP BY 1, 2
+    )
+    SELECT q_id, CAST(rk AS BIGINT) AS rk, c_id, approx_du
+    FROM (SELECT q_id, c_id, approx_du,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY approx_du, c_id) AS rk
+          FROM ad)
+    WHERE rk <= {PQ_TOPK}
+    """,
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    db = vecs.filter(F.col("vec_id") >= N_QUERY_VECS).repartition(
+        n_parts, "vec_id"
+    )
+    dbsub = _pq_subvecs(db, "vec_id", "vec_id")
+    init_long = _pq_subvecs(
+        vecs.filter(
+            (F.col("vec_id") >= N_QUERY_VECS)
+            & (F.col("vec_id") < N_QUERY_VECS + PQ_K)
+        ),
+        "vec_id",
+        "vec_id",
+    ).select(
+        (F.col("vec_id") - N_QUERY_VECS).cast("int").alias("cid"),
+        "s",
+        F.posexplode("sub").alias("spos", "cval"),
+    )
+    a0 = _pq_assign(dbsub, _pq_cb_row(init_long), "vec_id")
+    c1_long = (
+        a0.select("s", "cid", F.posexplode("sub").alias("spos", "val"))
+        .groupBy("s", "cid", "spos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+    )
+    cb1 = _pq_cb_row(c1_long)
+    codes = _pq_assign(dbsub, cb1, "vec_id").select("vec_id", "s", "cid")
+    qsub = _pq_subvecs(
+        vecs.filter(F.col("vec_id") < N_QUERY_VECS), "vec_id", "q_id"
+    )
+    qtab = (
+        qsub.crossJoin(F.broadcast(cb1))
+        .select(
+            "q_id",
+            "s",
+            "sub",
+            F.explode(
+                F.filter(F.col("cb"), lambda x: x.getField("s") == F.col("s"))
+            ).alias("ent"),
+        )
+        .select(
+            "q_id",
+            "s",
+            F.col("ent.cid").alias("cid"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sub"),
+                        F.col("ent.c"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("du"),
+        )
+    )
+    ad = (
+        codes.join(F.broadcast(qtab), ["s", "cid"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("du").alias("approx_du"))
+    )
+    # Salted two-phase top-k (the source_cap_sample shape): no task ever
+    # orders one query's full candidate list.
+    stage1 = ad.withColumn(
+        "salt", F.col("vec_id") % PQ_RANK_SALT
+    ).withColumn(
+        "rn1",
+        F.row_number().over(
+            W.partitionBy("q_id", "salt").orderBy("approx_du", "vec_id")
+        ),
+    ).filter(F.col("rn1") <= PQ_TOPK)
+    return (
+        stage1.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy("approx_du", "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("vec_id").alias("c_id"),
+            "approx_du",
+        )
+    )

@@ -95,6 +95,7 @@ DRIVER_PRIORITY: list[str] = [
     "source_cap_sample",
     "scalar_iter_token_weights",
     "stream_chained_join_hourly",
+    "ann_pq_adc_topk",
 ]
 
 
