@@ -1675,3 +1675,307 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_du",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ (the standard billion-scale pairing, composed from the two legs
+# above): a coarse quantizer assigns every vector to one of
+# IVFPQ_COARSE_K full-dim cells; each vector stores only its cell id plus
+# the PQ codes of its RESIDUAL (x - cell centroid) — the residual
+# distribution is tighter than the raw one, which is why real systems
+# (FAISS IVFadc, SCaNN) quantize residuals; queries probe their
+# IVFPQ_NPROBE nearest cells and ADC-score ONLY those cells' members
+# (IVF's pruning) using M integer table lookups per candidate (PQ's
+# compression). Per (query, probed cell) there is one distance table —
+# the table is residual-relative, so it cannot be shared across cells,
+# exactly as in FAISS.
+#
+# Determinism: coarse centroids are raw init vectors (vec_ids
+# N_QUERY_VECS+PQ_K .. +PQ_K+IVFPQ_COARSE_K — disjoint from the PQ
+# codebook seeds), so the only trained state is the residual PQ codebook
+# (one Lloyd iteration, kmeans conventions); every distance rounds to
+# 6 dp / integer micro-units as in ann_pq_adc_topk.
+#
+# Scale posture: coarse centroids and the (Q x NPROBE x M x K) query
+# tables broadcast; the corpus-scale state is (ccid + M codes) per
+# vector; the scoring join touches only probed cells' members — at a
+# realistic K_coarse = sqrt(N), that is NPROBE/sqrt(N) of the corpus.
+# --------------------------------------------------------------------------
+IVFPQ_COARSE_K = 4
+IVFPQ_NPROBE = 2
+
+
+def _ivfpq_coarse_row(vecs: DataFrame) -> DataFrame:
+    """One broadcast row: array<struct<ccid, c>> of coarse centroids."""
+    base = N_QUERY_VECS + PQ_K
+    return (
+        vecs.filter(
+            (F.col("vec_id") >= base)
+            & (F.col("vec_id") < base + IVFPQ_COARSE_K)
+        )
+        .select(
+            (F.col("vec_id") - base).cast("int").alias("ccid"),
+            F.col("e").alias("c"),
+        )
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("ccid"), F.col("c")))
+            ).alias("coarse")
+        )
+    )
+
+
+def _ivfpq_cell_dists(e_col):
+    """array<struct<d, ccid, c>> of rounded L2 distances to every coarse
+    centroid (c carried so the argmin winner's centroid is in hand)."""
+    return F.transform(
+        F.col("coarse"),
+        lambda x: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(e_col, x.getField("c"), lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("d"),
+            x.getField("ccid").alias("ccid"),
+            x.getField("c").alias("c"),
+        ),
+    )
+
+
+@query(
+    "ann_ivfpq_topk",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), dbv AS (
+      SELECT * FROM v WHERE vec_id >= {N_QUERY_VECS}
+    ), coarse AS (
+      SELECT vec_id - {N_QUERY_VECS + PQ_K} AS ccid, pos, val AS cval
+      FROM v WHERE vec_id >= {N_QUERY_VECS + PQ_K}
+        AND vec_id < {N_QUERY_VECS + PQ_K + IVFPQ_COARSE_K}
+    ), dc AS (
+      SELECT dbv.vec_id, c.ccid, ROUND(SUM((dbv.val - c.cval) ^ 2), 6) AS d
+      FROM dbv JOIN coarse c USING (pos) GROUP BY 1, 2
+    ), ac AS (
+      SELECT vec_id, ccid FROM (
+        SELECT vec_id, ccid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, ccid) AS rn
+        FROM dc) WHERE rn = 1
+    ), res AS (
+      SELECT dbv.vec_id, ac.ccid,
+             (dbv.pos) // {PQ_SUBDIM} AS s,
+             (dbv.pos) % {PQ_SUBDIM} AS spos,
+             dbv.val - c.cval AS val
+      FROM dbv JOIN ac USING (vec_id)
+      JOIN coarse c ON c.ccid = ac.ccid AND c.pos = dbv.pos
+    ), c0 AS (
+      SELECT vec_id - {N_QUERY_VECS} AS cid, s, spos, val AS cval
+      FROM res WHERE vec_id >= {N_QUERY_VECS}
+        AND vec_id < {N_QUERY_VECS + PQ_K}
+    ), d0 AS (
+      SELECT r.vec_id, r.s, c.cid, ROUND(SUM((r.val - c.cval) ^ 2), 6) AS d
+      FROM res r JOIN c0 c ON r.s = c.s AND r.spos = c.spos GROUP BY 1, 2, 3
+    ), a0 AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        FROM d0) WHERE rn = 1
+    ), c1 AS (
+      SELECT a0.s, a0.cid, r.spos, ROUND(AVG(r.val), 6) AS cval
+      FROM a0 JOIN res r ON a0.vec_id = r.vec_id AND a0.s = r.s
+      GROUP BY 1, 2, 3
+    ), d1 AS (
+      SELECT r.vec_id, r.s, c.cid, ROUND(SUM((r.val - c.cval) ^ 2), 6) AS d
+      FROM res r JOIN c1 c ON r.s = c.s AND r.spos = c.spos GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id, s, cid FROM (
+        SELECT vec_id, s, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, s ORDER BY d, cid) AS rn
+        FROM d1) WHERE rn = 1
+    ), qv AS (
+      SELECT vec_id AS q_id, pos, val FROM v WHERE vec_id < {N_QUERY_VECS}
+    ), qc AS (
+      SELECT q_id, ccid FROM (
+        SELECT q_id, ccid,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY d, ccid) AS rn
+        FROM (SELECT qv.q_id, c.ccid,
+                     ROUND(SUM((qv.val - c.cval) ^ 2), 6) AS d
+              FROM qv JOIN coarse c USING (pos) GROUP BY 1, 2)
+      ) WHERE rn <= {IVFPQ_NPROBE}
+    ), qres AS (
+      SELECT p.q_id, p.ccid,
+             (qv.pos) // {PQ_SUBDIM} AS s,
+             (qv.pos) % {PQ_SUBDIM} AS spos,
+             qv.val - c.cval AS val
+      FROM qc p JOIN qv ON qv.q_id = p.q_id
+      JOIN coarse c ON c.ccid = p.ccid AND c.pos = qv.pos
+    ), qt AS (
+      SELECT q.q_id, q.ccid, q.s, c.cid,
+             CAST(ROUND(SUM((q.val - c.cval) ^ 2) * 1e6) AS BIGINT) AS du
+      FROM qres q JOIN c1 c ON q.s = c.s AND q.spos = c.spos
+      GROUP BY 1, 2, 3, 4
+    ), ad AS (
+      SELECT qt.q_id, codes.vec_id AS c_id,
+             CAST(SUM(qt.du) AS BIGINT) AS approx_du
+      FROM codes
+      JOIN ac ON ac.vec_id = codes.vec_id
+      JOIN qt ON qt.ccid = ac.ccid AND qt.s = codes.s AND qt.cid = codes.cid
+      GROUP BY 1, 2
+    )
+    SELECT q_id, CAST(rk AS BIGINT) AS rk, c_id, approx_du
+    FROM (SELECT q_id, c_id, approx_du,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY approx_du, c_id) AS rk
+          FROM ad)
+    WHERE rk <= {PQ_TOPK}
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    coarse_row = _ivfpq_coarse_row(vecs)
+    db = vecs.filter(F.col("vec_id") >= N_QUERY_VECS).repartition(
+        n_parts, "vec_id"
+    )
+    # Coarse assignment + residual in one projection: the argmin winner
+    # carries its centroid vector, so the residual never needs a join.
+    assigned = db.crossJoin(F.broadcast(coarse_row)).select(
+        "vec_id",
+        F.array_min(_ivfpq_cell_dists(F.col("e"))).alias("w"),
+        "e",
+    ).select(
+        "vec_id",
+        F.col("w.ccid").alias("ccid"),
+        F.zip_with("e", "w.c", lambda a, b: a - b).alias("e_res"),
+    )
+    dbsub = _pq_subvecs(
+        assigned.select("vec_id", F.col("e_res").alias("e")),
+        "vec_id",
+        "vec_id",
+    )
+    init_long = _pq_subvecs(
+        assigned.filter(
+            (F.col("vec_id") >= N_QUERY_VECS)
+            & (F.col("vec_id") < N_QUERY_VECS + PQ_K)
+        ).select("vec_id", F.col("e_res").alias("e")),
+        "vec_id",
+        "vec_id",
+    ).select(
+        (F.col("vec_id") - N_QUERY_VECS).cast("int").alias("cid"),
+        "s",
+        F.posexplode("sub").alias("spos", "cval"),
+    )
+    a0 = _pq_assign(dbsub, _pq_cb_row(init_long), "vec_id")
+    c1_long = (
+        a0.select("s", "cid", F.posexplode("sub").alias("spos", "val"))
+        .groupBy("s", "cid", "spos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+    )
+    cb1 = _pq_cb_row(c1_long)
+    codes = (
+        _pq_assign(dbsub, cb1, "vec_id")
+        .select("vec_id", "s", "cid")
+        .join(assigned.select("vec_id", "ccid"), "vec_id")
+    )
+    # Query side: NPROBE nearest cells, per-cell residual, per-cell table.
+    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), "e"
+    )
+    qcells = (
+        q.crossJoin(F.broadcast(coarse_row))
+        .select(
+            "q_id",
+            "e",
+            F.posexplode(
+                F.slice(
+                    F.array_sort(_ivfpq_cell_dists(F.col("e"))),
+                    1,
+                    IVFPQ_NPROBE,
+                )
+            ).alias("_p", "w"),
+        )
+        .select(
+            "q_id",
+            F.col("w.ccid").alias("ccid"),
+            F.zip_with("e", "w.c", lambda a, b: a - b).alias("e_res"),
+        )
+    )
+    qsub = qcells.select(
+        "q_id",
+        "ccid",
+        F.posexplode(
+            F.array(
+                *[
+                    F.slice(F.col("e_res"), s * PQ_SUBDIM + 1, PQ_SUBDIM)
+                    for s in range(PQ_M)
+                ]
+            )
+        ).alias("s", "sub"),
+    )
+    qtab = (
+        qsub.crossJoin(F.broadcast(cb1))
+        .select(
+            "q_id",
+            "ccid",
+            "s",
+            "sub",
+            F.explode(
+                F.filter(F.col("cb"), lambda x: x.getField("s") == F.col("s"))
+            ).alias("ent"),
+        )
+        .select(
+            "q_id",
+            "ccid",
+            "s",
+            F.col("ent.cid").alias("cid"),
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("sub"),
+                        F.col("ent.c"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("du"),
+        )
+    )
+    ad = (
+        codes.join(F.broadcast(qtab), ["ccid", "s", "cid"])
+        .groupBy("q_id", "vec_id")
+        .agg(F.sum("du").alias("approx_du"))
+    )
+    stage1 = ad.withColumn(
+        "salt", F.col("vec_id") % PQ_RANK_SALT
+    ).withColumn(
+        "rn1",
+        F.row_number().over(
+            W.partitionBy("q_id", "salt").orderBy("approx_du", "vec_id")
+        ),
+    ).filter(F.col("rn1") <= PQ_TOPK)
+    return (
+        stage1.withColumn(
+            "rk",
+            F.row_number().over(
+                W.partitionBy("q_id").orderBy("approx_du", "vec_id")
+            ),
+        )
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select(
+            "q_id",
+            F.col("rk").cast("long").alias("rk"),
+            F.col("vec_id").alias("c_id"),
+            "approx_du",
+        )
+    )

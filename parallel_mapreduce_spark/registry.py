@@ -96,6 +96,7 @@ DRIVER_PRIORITY: list[str] = [
     "scalar_iter_token_weights",
     "stream_chained_join_hourly",
     "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 ]
 
 
