@@ -1747,6 +1747,7 @@ def _ivfpq_cell_dists(e_col):
 
 @query(
     "ann_ivfpq_topk",
+    headline=True,  # the composed ANN ship plan: bench the full pass
     oracle=f"""
     WITH v AS (
       SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,

@@ -82,6 +82,11 @@ DISJOINT_QUERIES = (
     # ranking over a linearly growing input.
     "segment_dedup_reassemble",
     "source_cap_sample",
+    # PQ trains/encodes over the whole corpus (compression leg: expect
+    # ~linear wall, constant Q*K output); IVF-PQ adds cell pruning on
+    # top, so its scoring join touches only probed cells' members.
+    "ann_pq_adc_topk",
+    "ann_ivfpq_topk",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 

@@ -94,6 +94,13 @@ HEADLINE_EXCHANGE_CEILING = {
     "cosine_topk": 3,
     "ann_sq_topk": 3,
     "kmeans_lloyd_2iter": 17,
+    # round-7 session 2: segment dedup is digest-agg + reassembly +
+    # id-join; IVF-PQ's count is plan-TEXT occurrences across the
+    # composed train/encode/score branches (each _pq_assign pass
+    # re-prints the coarse-assignment and codebook broadcast subtrees —
+    # the kmeans/bigram precedent for iterative/composed plans).
+    "segment_dedup_reassemble": 6,
+    "ann_ivfpq_topk": 76,
     "boilerplate_shingle_coverage": 4,
     "chunk_documents": 1,
     "epoch_shuffle_order": 4,
