@@ -640,7 +640,10 @@ def _token_weight_batches(batches):
         return v
 
     for texts in batches:
-        yield texts.map(
+        # Totality guard (the map_higher_order_report convention): a NULL
+        # text scores 0 rather than crashing the worker — the oracle's
+        # LEFT JOIN + COALESCE mirrors it.
+        yield texts.fillna("").map(
             lambda t: sum(weight(w) for w in t.split(" ") if w)
         ).astype("int64")
 
@@ -665,12 +668,15 @@ def token_weight_iter_udf():
     oracle=f"""
     WITH toks AS (
       SELECT doc_id, unnest({_SQL_TOKS}) AS word FROM documents
+    ), scored AS (
+      SELECT doc_id,
+             CAST(SUM(('0x' || substr(md5(word), 1, 15))::BIGINT
+                      % {TOKEN_WEIGHT_MOD}) AS BIGINT) AS score
+      FROM toks
+      GROUP BY doc_id
     )
-    SELECT doc_id,
-           CAST(SUM(('0x' || substr(md5(word), 1, 15))::BIGINT
-                    % {TOKEN_WEIGHT_MOD}) AS BIGINT) AS score
-    FROM toks
-    GROUP BY doc_id
+    SELECT d.doc_id, COALESCE(s.score, CAST(0 AS BIGINT)) AS score
+    FROM documents d LEFT JOIN scored s USING (doc_id)
     """,
 )
 def scalar_iter_token_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
