@@ -2033,3 +2033,96 @@ def frequent_tokens_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word string, exact_cnt bigint, rnk bigint, never_under boolean, "
         "within_eps boolean, merge_equals_direct boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# approx_top_k frequent-tokens gate (round 7) — Spark 4.1's FOURTH sketch
+# family: the DataSketches Frequent-Items sketch behind approx_top_k /
+# approx_top_k_accumulate / _combine / _estimate. Complements CMS: CMS is
+# a point-frequency estimator you probe with known items; FI *discovers*
+# the heavy hitters and their counts in one fixed-memory pass, and its
+# intermediate sketch state is a first-class SQL value (accumulate ->
+# combine -> estimate), so per-shard sketches roll up exactly like the
+# HLL/CMS binaries — the 100 TB contract again: one small state blob per
+# partition crosses the wire, never the token stream.
+#
+# Oracle stance: the compared output is the EXACT top-K twin (count desc,
+# word asc — deterministic) plus oracle-pinned booleans. The sketch's own
+# item ORDER among equal counts is hash-arbitrary, so the booleans compare
+# the RANK-ALIGNED SORTED COUNT sequences (a multiset comparison — tie-
+# proof by construction) within the Misra-Gries error bound n/capacity:
+# zero while the sketch never purges (capacity >= distinct tokens, true at
+# every tested SF), and the documented estimation bound beyond.
+# --------------------------------------------------------------------------
+ATK_K = 10
+ATK_CAP = 10_000  # maxItemsTracked; no-purge (exact) while distinct < cap
+
+
+@query(
+    "approx_topk_tokens",
+    oracle=f"""
+    WITH g AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ), r AS (
+      SELECT word, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rnk
+      FROM g
+    )
+    SELECT word, cnt AS exact_cnt, CAST(rnk AS BIGINT) AS rnk,
+           TRUE AS direct_within_bound, TRUE AS merged_within_bound
+    FROM r WHERE rnk <= {ATK_K}
+    """,
+)
+def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-{ATK_K} tokens, each rank flagged with whether the direct
+    approx_top_k sketch and the per-source accumulate->combine->estimate
+    rollup land within the FI error bound at that rank (counts compared
+    rank-aligned after sorting, so ties cannot flip the flags)."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = _spread(spark, docs, "source", "text").select(
+        "source", F.explode(tokens("text")).alias("word")
+    )
+    # Three consumers of the token stream (direct sketch + total, the
+    # per-source sketch rollup, the exact top-K) — pay the tokenize once.
+    toks = toks.persist()
+    direct_row = toks.agg(
+        F.expr(f"approx_top_k(word, {ATK_K}, {ATK_CAP})").alias("t"),
+        F.count("*").alias("n"),
+    ).collect()[0]
+    direct, n_total = direct_row["t"], direct_row["n"]
+    merged = (
+        toks.groupBy("source")
+        .agg(F.expr(f"approx_top_k_accumulate(word, {ATK_CAP})").alias("sk"))
+        .agg(F.expr(f"approx_top_k_combine(sk, {ATK_CAP})").alias("m"))
+        .selectExpr(f"approx_top_k_estimate(m, {ATK_K}) AS t")
+        .collect()[0]["t"]
+    )
+    exact = (
+        toks.groupBy("word")
+        .count()
+        .orderBy(F.col("count").desc(), "word")
+        .limit(ATK_K)
+        .collect()
+    )
+    toks.unpersist()
+    if not exact or n_total == 0:
+        raise AssertionError(
+            "approx_topk_tokens: documents yielded zero tokens — the "
+            "frequent-items probe set is undefined on an empty corpus"
+        )
+    bound = n_total // ATK_CAP  # Misra-Gries purge bound; 0 in exact regime
+    d_counts = sorted((r["count"] for r in direct), reverse=True)
+    m_counts = sorted((r["count"] for r in merged), reverse=True)
+    rows = []
+    for rnk, r in enumerate(exact, start=1):
+        word, cnt = r["word"], r["count"]
+        d_ok = rnk <= len(d_counts) and abs(d_counts[rnk - 1] - cnt) <= bound
+        m_ok = rnk <= len(m_counts) and abs(m_counts[rnk - 1] - cnt) <= bound
+        rows.append((word, cnt, rnk, d_ok, m_ok))
+    return spark.createDataFrame(
+        rows,
+        "word string, exact_cnt bigint, rnk bigint, "
+        "direct_within_bound boolean, merged_within_bound boolean",
+    )

@@ -3398,3 +3398,140 @@ def join_strategy_hint_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     for strategy in ("merge", "shuffle_hash"):
         out = out.unionByName(hinted_join_branch(spark, strategy))
     return out
+
+
+# --------------------------------------------------------------------------
+# histogram_numeric (round 7) — Spark's streaming equi-height-ish histogram
+# (the Hive/Ben-Haim-Tom-Tov NumericHistogram): one fixed-memory pass that
+# maintains NB weighted centroids, merging the two closest on overflow.
+# Mergeable partial state -> partial-aggregable -> 100 TB-shaped, and the
+# single data-profiling pass every ingest pipeline wants before choosing
+# bucket boundaries. The bin PLACEMENT is engine-specific (DuckDB has no
+# replay), so the oracle pins the sketch's invariant PROPERTIES — exact
+# bin count, exact mass conservation (sum of bin weights == row count:
+# centroid merges add weights, losslessly, and counts stay exact doubles
+# below 2^53), strictly ascending centroids, centroids inside the exact
+# [min, max] — beside the exact scalars they are checked against. Same
+# stance as approx_distinct_parts: a degraded sketch fails the value hash,
+# not a rows-only count.
+# --------------------------------------------------------------------------
+HIST_NB = 8
+
+
+@query(
+    "histogram_numeric_profile",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST({HIST_NB} AS BIGINT) AS n_bins,
+           TRUE AS mass_conserved,
+           TRUE AS x_strictly_ascending,
+           TRUE AS x_within_minmax,
+           ROUND(MIN(l_extendedprice), 4) AS min_price,
+           ROUND(MAX(l_extendedprice), 4) AS max_price
+    FROM lineitem
+    """,
+)
+def histogram_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One aggregation pass computes the {HIST_NB}-bin histogram sketch
+    AND the exact count/min/max it is audited against; the flags are
+    JVM-side higher-order functions over the bin array."""
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = li.agg(
+        F.expr(f"histogram_numeric(l_extendedprice, {HIST_NB})").alias("h"),
+        F.count("*").alias("n_rows"),
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    pairs = (
+        "zip_with(slice(h, 1, size(h) - 1), slice(h, 2, size(h) - 1), "
+        "(a, b) -> a.x < b.x)"
+    )
+    return prof.select(
+        F.col("n_rows"),
+        F.size("h").cast("long").alias("n_bins"),
+        (
+            F.expr("aggregate(h, 0.0D, (acc, b) -> acc + b.y)")
+            == F.col("n_rows").cast("double")
+        ).alias("mass_conserved"),
+        F.expr(f"forall({pairs}, p -> p)").alias("x_strictly_ascending"),
+        F.expr("forall(h, b -> b.x >= mn AND b.x <= mx)").alias(
+            "x_within_minmax"
+        ),
+        F.round("mn", 4).alias("min_price"),
+        F.round("mx", 4).alias("max_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# df.stat.freqItems (round 7) — Spark's Karp-Schenker-Papadimitriou heavy-
+# hitter pass: one fixed-memory scan returning a SUPERSET of every value
+# whose frequency exceeds the support threshold (false positives allowed,
+# false negatives impossible). The classic sketch-proposes/exact-verifies
+# composition: the bounded candidate array (<= 1/support entries per
+# column, one row total) broadcasts into an exact-count filter, so the
+# final answer is EXACT while the corpus is scanned only twice — and the
+# whole plan stays lazy (the candidate row is a 1-row DataFrame joined in,
+# never collected). The support test is integer-exact on both sides
+# (cnt * 10 > n * {{support*10}}), so no float boundary exists.
+# --------------------------------------------------------------------------
+FI_SUPPORT_TENTHS = 3  # support = 0.3
+
+
+@query(
+    "freq_items_verified",
+    oracle=f"""
+    WITH u AS (
+      SELECT 'l_returnflag' AS column_name, l_returnflag AS value
+      FROM lineitem
+      UNION ALL
+      SELECT 'l_linestatus', l_linestatus FROM lineitem
+    ), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM lineitem)
+    SELECT column_name, value,
+           CAST(COUNT(*) AS BIGINT) AS exact_cnt,
+           ROUND(COUNT(*) * 1.0 / (SELECT n FROM n), 4) AS share
+    FROM u
+    WHERE value IS NOT NULL
+    GROUP BY column_name, value
+    HAVING COUNT(*) * 10 > (SELECT n FROM n) * {FI_SUPPORT_TENTHS}
+    """,
+)
+def freq_items_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    support = FI_SUPPORT_TENTHS / 10.0
+    cand_row = li.stat.freqItems(
+        ["l_returnflag", "l_linestatus"], support
+    )  # 1-row DataFrame of candidate arrays; stays lazy
+    cands = (
+        cand_row.select(
+            F.explode("l_returnflag_freqItems").alias("value")
+        ).withColumn("column_name", F.lit("l_returnflag"))
+        .unionByName(
+            cand_row.select(
+                F.explode("l_linestatus_freqItems").alias("value")
+            ).withColumn("column_name", F.lit("l_linestatus"))
+        )
+        .filter(F.col("value").isNotNull())
+        .distinct()
+    )
+    unpivoted = li.select(
+        F.expr(
+            "stack(2, 'l_returnflag', l_returnflag, "
+            "'l_linestatus', l_linestatus) AS (column_name, value)"
+        )
+    ).filter(F.col("value").isNotNull())
+    n_total = li.count()  # exact denominator; one bounded driver scalar
+    counts = unpivoted.groupBy("column_name", "value").agg(
+        F.count("*").alias("exact_cnt")
+    )
+    return (
+        counts.join(F.broadcast(cands), ["column_name", "value"])
+        .filter(F.col("exact_cnt") * 10 > F.lit(n_total) * FI_SUPPORT_TENTHS)
+        .select(
+            "column_name",
+            "value",
+            "exact_cnt",
+            F.round(F.col("exact_cnt") / F.lit(n_total), 4).alias("share"),
+        )
+    )

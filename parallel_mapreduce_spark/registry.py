@@ -97,6 +97,11 @@ DRIVER_PRIORITY: list[str] = [
     "stream_chained_join_hourly",
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    # round-7 session-3 additions
+    "pagerank_trade_graph",
+    "approx_topk_tokens",
+    "histogram_numeric_profile",
+    "freq_items_verified",
 ]
 
 
@@ -203,6 +208,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.mr  # noqa: F401
     import parallel_mapreduce_spark.operators.cbo  # noqa: F401
     import parallel_mapreduce_spark.operators.events  # noqa: F401
+    import parallel_mapreduce_spark.operators.graph  # noqa: F401
     import parallel_mapreduce_spark.operators.relational  # noqa: F401
     import parallel_mapreduce_spark.operators.skew  # noqa: F401
     import parallel_mapreduce_spark.operators.tpch_gaps  # noqa: F401

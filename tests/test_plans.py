@@ -832,3 +832,48 @@ def test_source_cap_windows_are_partitioned(spark, sf_dir):
     assert len(wins) >= 2, plan[:2000]
     assert all(w.strip() for w in wins), wins
     assert "Exchange SinglePartition" not in plan
+
+
+def test_pagerank_dimensions_broadcast_no_cartesian(spark, sf_dir):
+    """pagerank_trade_graph's 100 TB posture: the one corpus-scale pass
+    broadcasts both dimension sides (supplier, customer) around the
+    lineitem-orders shuffle; the iteration loop adds only bounded joins
+    (the dangling-mass cross join is a broadcast of a 1-row aggregate,
+    never a CartesianProduct)."""
+    from parallel_mapreduce_spark.operators.graph import pagerank_trade_graph
+
+    plan = _plan(pagerank_trade_graph(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2  # supplier + customer sides
+    # Integer rank arithmetic end to end: no float cast sneaks into the
+    # rank expression (the determinism contract the oracle relies on).
+    assert "pr_micro" in plan
+
+
+def test_freq_items_verify_join_is_broadcast(spark, sf_dir):
+    """The sketch-proposes/exact-verifies composition in the plan: the
+    bounded freqItems candidate row reaches the exact-count filter as a
+    broadcast, and the unpivoted count pass is a partial aggregate."""
+    from parallel_mapreduce_spark.operators.relational import (
+        freq_items_verified,
+    )
+
+    plan = _plan(freq_items_verified(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_histogram_profile_is_single_scan(spark, sf_dir):
+    """The histogram sketch and the exact audit scalars (count/min/max)
+    come out of ONE aggregation pass — the plan may not scan lineitem
+    twice to check the sketch against the truth."""
+    from parallel_mapreduce_spark.operators.relational import (
+        histogram_numeric_profile,
+    )
+
+    plan = _plan(histogram_numeric_profile(spark, sf_dir))
+    # formatted plans print each node twice (tree + detail); count the
+    # one-per-scan Location line instead of the node name.
+    assert plan.count("Location: InMemoryFileIndex") == 1, plan
+    # All four partials (histogram/count/min/max) share the single pass.
+    assert "partial_histogram_numeric" in plan and "partial_count" in plan

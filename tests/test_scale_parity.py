@@ -80,6 +80,13 @@ SCALE_SENSITIVE = [
     # round-7: inherits the LR fit's gradient-AVG fold AND the p > 0.5
     # keep boundary; a midpoint/boundary hit would flip keep counts here
     "pipeline_model_filtered_corpus",
+    # round-7 session 3: sketch-bound booleans whose exactness depends on
+    # the no-purge regime (capacity vs distinct tokens) — a bigger corpus
+    # is exactly where purging would start
+    "approx_topk_tokens",
+    # round-7 session 3: oracle-pinned sketch-invariant booleans (mass
+    # conservation, strict centroid ascent) over engine-measured behavior
+    "histogram_numeric_profile",
 ]
 
 
