@@ -1277,3 +1277,81 @@ def segment_dedup_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
         F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
     )
+
+
+# --------------------------------------------------------------------------
+# Cross-source contamination matrix (round 7) — the corpus-PROVENANCE
+# analytic every multi-source training mix needs before weighting sources:
+# how much 3-shingle content does each source pair share (CommonCrawl-vs-C4
+# style overlap measurement)? Output is the COMPLETE source-pair grid
+# (|S|*(|S|-1)/2 rows, zeros included via the broadcast pair universe), so
+# a no-overlap corpus still value-checks every pair.
+#
+# Scale posture: the (source, shingle) DISTINCT collapses each source's
+# repeated shingles before the inverted self-join, so a shingle shared by
+# k sources fans out to k*(k-1)/2 pair rows — bounded by |S|^2 per shingle
+# REGARDLESS of how many documents contain it (the same boilerplate hazard
+# neardup_jaccard_pairs needs a frequency CAP for is structurally absent
+# here: the join key set per shingle is sources, not documents). The pair
+# universe and per-source totals are |S|-sized broadcasts.
+# --------------------------------------------------------------------------
+@query(
+    "source_overlap_matrix",
+    oracle=f"""
+    WITH t AS (SELECT source, {_SQL_TOKS} AS toks FROM documents),
+    sh AS (SELECT DISTINCT source, unnest({_SQL_SHINGLES}) AS s
+           FROM t WHERE len(toks) >= 3),
+    per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY source),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT pa.source AS source_a, pb.source AS source_b,
+           COALESCE(sh2.n_shared, 0) AS n_shared,
+           pa.n AS n_a, pb.n AS n_b,
+           ROUND(COALESCE(sh2.n_shared, 0) * 1.0 / LEAST(pa.n, pb.n), 4)
+             AS containment
+    FROM per pa JOIN per pb ON pa.source < pb.source
+    LEFT JOIN shared sh2
+      ON sh2.source_a = pa.source AND sh2.source_b = pb.source
+    """,
+)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, n_shared, n_a, n_b, containment) for every
+    source pair; containment = shared distinct shingles over the smaller
+    side's distinct-shingle count."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "source", F.explode(shingles3(tokens("text"))).alias("s")
+        ).distinct()
+    )
+    per = sh.groupBy("source").agg(F.count("*").alias("n"))
+    a = sh.select(F.col("source").alias("source_a"), "s")
+    b = sh.select(F.col("source").alias("source_b"), "s")
+    shared = (
+        a.join(b, "s")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    universe = F.broadcast(pa).join(
+        F.broadcast(pb), F.col("source_a") < F.col("source_b")
+    )
+    return universe.join(shared, ["source_a", "source_b"], "left").select(
+        "source_a",
+        "source_b",
+        F.coalesce("n_shared", F.lit(0).cast("long")).alias("n_shared"),
+        "n_a",
+        "n_b",
+        F.round(
+            F.coalesce("n_shared", F.lit(0).cast("long"))
+            / F.least("n_a", "n_b"),
+            4,
+        ).alias("containment"),
+    )

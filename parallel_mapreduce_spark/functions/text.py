@@ -2126,3 +2126,141 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word string, exact_cnt bigint, rnk bigint, "
         "direct_within_bound boolean, merged_within_bound boolean",
     )
+
+
+# --------------------------------------------------------------------------
+# BPE training loop (round 7) — bpe_pair_merge_step above computes ONE
+# pair census and stops; this is the actual tokenizer-TRAINING iteration:
+# argmax pair -> APPLY the merge to every symbol sequence -> recount ->
+# next merge, three rounds, entirely as one declarative plan on both
+# engines (no driver-side argmax: each round's winning pair is a 1-row
+# frame cross-joined back in, so the whole recurrence replays in the
+# DuckDB oracle bit-for-bit — learned merges, their weighted counts, AND
+# the shrinking corpus symbol total are all value-checked).
+#
+# Merge-application semantics: candidate pairs exclude self-pairs
+# (a != b), which makes matches provably NON-OVERLAPPING — two adjacent
+# matches would force a = b — so "replace left-to-right" degenerates to a
+# purely LOCAL rule (merge at i where (s_i,s_{i+1}) = (a,b); drop i where
+# (s_{i-1},s_i) = (a,b)) with no sequential scan, the property that lets
+# the merge run as a JVM-side higher-order function instead of a Python
+# UDF. (Real BPE implementations handle self-pairs with a left-to-right
+# tiebreak; excluding them is a documented variant choice — sentencepiece
+# reaches the same early merges on natural text, as here: "e r", "o r",
+# "i n".)
+#
+# Scale: the corpus is touched ONCE (the word-count aggregate — BPE's
+# standard preprocessing); everything after runs on the persisted
+# vocabulary-bounded (word, cnt) frame, so 100 TB of text costs the same
+# iteration work as 100 MB with the same vocabulary. Indexed element_at
+# inside the transform lambda is the shingles3 O(n^2) carve-out: fine
+# here because n = word length (~10), not document length.
+# --------------------------------------------------------------------------
+BPE_ROUNDS = 3
+
+_BPE_MERGE_EXPR = """
+filter(
+  transform(sequence(1, size(s)), i ->
+    CASE
+      WHEN i < size(s) AND element_at(s, i) = a AND element_at(s, i + 1) = b
+        THEN concat(element_at(s, i), element_at(s, i + 1))
+      WHEN i > 1 AND element_at(s, i - 1) = a AND element_at(s, i) = b
+        THEN NULL
+      ELSE element_at(s, i)
+    END),
+  x -> x IS NOT NULL)
+"""
+
+
+def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
+    cte = [
+        f"""wc AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY word
+    ), s0 AS (
+      SELECT cnt, list_transform(range(1, length(word) + 1), i -> word[i]) AS s
+      FROM wc
+    )"""
+    ]
+    sel = []
+    for r in range(1, rounds + 1):
+        p = f"s{r - 1}"
+        cte.append(
+            f"""p{r} AS (
+      SELECT s[i] AS a, s[i + 1] AS b, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (SELECT cnt, s, unnest(range(1, len(s))) AS i FROM {p})
+      WHERE s[i] <> s[i + 1]
+      GROUP BY 1, 2
+    ), t{r} AS (
+      SELECT a, b, pair_count FROM p{r} ORDER BY pair_count DESC, a, b LIMIT 1
+    ), s{r} AS (
+      SELECT cnt, list_filter(
+        list_transform(range(1, len(s) + 1), i ->
+          CASE
+            WHEN i < len(s) AND s[i] = a AND s[i + 1] = b
+              THEN s[i] || s[i + 1]
+            WHEN i > 1 AND s[i - 1] = a AND s[i] = b
+              THEN NULL
+            ELSE s[i]
+          END),
+        x -> x IS NOT NULL) AS s
+      FROM {p} CROSS JOIN t{r}
+    )"""
+        )
+        sel.append(
+            f"""SELECT {r} AS round,
+      (SELECT a || ' ' || b FROM t{r}) AS pair,
+      (SELECT pair_count FROM t{r}) AS pair_count,
+      CAST((SELECT SUM(cnt * len(s)) FROM s{r}) AS BIGINT) AS symbols_after"""
+        )
+    return "WITH " + ",\n".join(cte) + "\n" + "\nUNION ALL\n".join(sel)
+
+
+@query("bpe_train_3merges", oracle=_bpe_oracle())
+def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per training round: (round, pair, pair_count,
+    symbols_after) — the learned merge, its frequency-weighted count, and
+    the corpus symbol total after applying it."""
+    register_views(spark, sf_dir)
+    wc = token_df(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
+    # Vocabulary-bounded; persisted so the corpus tokenize-and-count runs
+    # once, not once per round-consumer (3 pair censuses + 3 stat rows).
+    syms = wc.select(
+        "cnt",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+        ).alias("s"),
+    ).persist()
+    out = None
+    for r in range(1, BPE_ROUNDS + 1):
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.zip_with(
+                    F.slice("s", 1, F.size("s") - 1),
+                    F.slice("s", 2, F.size("s") - 1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("p"),
+        ).filter(F.col("p.a") != F.col("p.b"))
+        top = (
+            pairs.groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("cnt").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "a", "b")
+            .limit(1)
+        )
+        syms = syms.crossJoin(F.broadcast(top)).select(
+            "cnt", F.expr(_BPE_MERGE_EXPR).alias("s")
+        )
+        stat = syms.agg(
+            F.sum(F.col("cnt") * F.size("s")).cast("long").alias("symbols_after")
+        )
+        row = top.crossJoin(F.broadcast(stat)).select(
+            F.lit(r).alias("round"),
+            F.concat_ws(" ", "a", "b").alias("pair"),
+            "pair_count",
+            "symbols_after",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -3535,3 +3535,74 @@ def freq_items_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("exact_cnt") / F.lit(n_total), 4).alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# CACHE TABLE / InMemoryRelation (round 7) — the caching layer, previously
+# the one storage surface with no exhibit. CACHE TABLE materializes the
+# relation once into Spark's compressed COLUMNAR in-memory format; every
+# later consumer plans an InMemoryTableScan against it instead of re-running
+# the scan+filter (plan-pinned in tests/test_plans.py for BOTH consumers
+# here). The 100 TB role: a hot, reused intermediate (a filtered dimension,
+# an iteration-invariant frame) is paid for once per cluster, not once per
+# downstream query — the declarative sibling of the .persist() calls the
+# engine's iterative operators already use. Cached-batch min/max stats also
+# let later filters skip whole batches (partition pruning's in-memory twin).
+# The cached projection here is 3 columns of orders post-filter — bounded,
+# and the cache must stay alive when the fn returns because the driver
+# executes the returned plan afterwards (cache substitution happens at
+# planning time of each ACTION, not when the DataFrame object is built).
+# --------------------------------------------------------------------------
+CACHED_HOT_VIEW = "pmrs_cached_hot_orders"
+
+
+@query(
+    "cached_table_reuse",
+    oracle="""
+    WITH hot AS (
+      SELECT o_orderstatus, o_totalprice, o_custkey
+      FROM orders WHERE o_totalprice > 1000
+    ), a AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             ROUND(SUM(o_totalprice), 4) AS total_price
+      FROM hot GROUP BY o_orderstatus
+    ), b AS (
+      SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+             ROUND(AVG(o_totalprice), 4) AS avg_price
+      FROM hot
+    )
+    SELECT a.o_orderstatus, a.n_orders, a.total_price,
+           b.n_customers, b.avg_price
+    FROM a CROSS JOIN b
+    """,
+)
+def cached_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two independent aggregates (per-status rollup; global distinct
+    customers + mean) over ONE cached filtered projection — both consumers
+    must plan InMemoryTableScan, proving the scan+filter is paid once."""
+    register_views(spark, sf_dir)
+    hot_src = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 1000)
+        .select("o_orderstatus", "o_totalprice", "o_custkey")
+    )
+    hot_src.createOrReplaceTempView(CACHED_HOT_VIEW)
+    # Idempotent under re-registration (the driver calls each query fresh):
+    # CACHE TABLE on an already-cached plan is a no-op, but the view text
+    # may have been re-created, so drop any stale entry first.
+    try:
+        spark.catalog.uncacheTable(CACHED_HOT_VIEW)
+    except Exception:
+        pass
+    spark.sql(f"CACHE TABLE {CACHED_HOT_VIEW}")  # eager columnar build
+    hot = spark.table(CACHED_HOT_VIEW)
+    agg_a = hot.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+    )
+    agg_b = hot.agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    return agg_a.crossJoin(F.broadcast(agg_b))

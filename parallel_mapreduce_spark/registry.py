@@ -102,6 +102,9 @@ DRIVER_PRIORITY: list[str] = [
     "approx_topk_tokens",
     "histogram_numeric_profile",
     "freq_items_verified",
+    "source_overlap_matrix",
+    "cached_table_reuse",
+    "bpe_train_3merges",
 ]
 
 

@@ -877,3 +877,20 @@ def test_histogram_profile_is_single_scan(spark, sf_dir):
     assert plan.count("Location: InMemoryFileIndex") == 1, plan
     # All four partials (histogram/count/min/max) share the single pass.
     assert "partial_histogram_numeric" in plan and "partial_count" in plan
+
+
+def test_cached_table_both_consumers_scan_memory(spark, sf_dir):
+    """cached_table_reuse's contract in the plan: BOTH aggregate consumers
+    read the columnar cache (InMemoryTableScan), never the parquet scan —
+    the pay-once posture CACHE TABLE exists for."""
+    from parallel_mapreduce_spark.operators.relational import (
+        cached_table_reuse,
+    )
+
+    plan = _plan(cached_table_reuse(spark, sf_dir))
+    # Spark 4 formatted plans spell the cache read "Scan In-memory table".
+    assert plan.count("Scan In-memory table") >= 2, plan[:3000]
+    # The parquet scan appears only as the InMemoryRelation's BUILD
+    # provenance (executed once at CACHE time), never as a live consumer:
+    # every aggregate's direct child is the in-memory scan.
+    assert "InMemoryRelation" in plan
