@@ -87,6 +87,15 @@ DISJOINT_QUERIES = (
     # top, so its scoring join touches only probed cells' members.
     "ann_pq_adc_topk",
     "ann_ivfpq_topk",
+    # round 7 (session 3): the overlap matrix's fan-out is bounded by
+    # |sources|^2 per shingle and sources stay 20 under replication, so
+    # the (source, shingle) distinct grows linearly and the pair grid is
+    # 190 rows at every scale — expect b_time ~ 1, b_rows = 0. BPE's
+    # token rewrite grows the vocabulary linearly with replicas; the
+    # corpus is touched once and the 3 merge rounds run on the
+    # vocab-bounded frame, so expect ~1 with a constant 3-row output.
+    "source_overlap_matrix",
+    "bpe_train_3merges",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 
@@ -110,6 +119,11 @@ RELATIONAL_QUERIES = (
     # batch count fixed by the bucketing, so wall growth measures the
     # per-batch state/shuffle cost of join->window at 1x/3x/10x.
     "stream_chained_join_hourly",
+    # round 7 (session 3): integer PageRank — the corpus-scale pass is
+    # the lineitem-orders shuffle with both dims broadcast; nations stay
+    # 25 under key-offset replication, so iterations cost O(1) and the
+    # output is 25 rows at every scale. Expect b_time ~ 1, b_rows = 0.
+    "pagerank_trade_graph",
 )
 RELATIONAL_KEYS = {
     "customer": ("c_custkey",),
