@@ -505,3 +505,48 @@ def user_state_daily_seconds(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("dur_us").alias("state_micros"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar-interval semantics (round 7) — the month-arithmetic family
+# (add_months / last_day / day-of-month) was the one date surface with no
+# exhibit. Month addition is NOT a fixed-length shift: adding one month to
+# Jan 29-31 lands past February's end and both engines must CLAMP to the
+# last valid day (the SQL convention billing/retention logic silently
+# depends on). The report counts, per order month, exactly the orders
+# whose +1-month deadline was clamped and the orders placed ON their
+# month's last day — so a convention divergence between Spark's
+# add_months/last_day and DuckDB's interval arithmetic/last_day flips an
+# integer count, not a hidden date. All-JVM expressions over one scan with
+# partial aggregation; no shuffle beyond the month rollup.
+# --------------------------------------------------------------------------
+@query(
+    "calendar_arithmetic_report",
+    oracle="""
+    SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m') AS order_month,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (
+             day(CAST(o_orderdate AS DATE) + INTERVAL 1 MONTH)
+               <> day(CAST(o_orderdate AS DATE))) AS BIGINT) AS n_eom_clamped,
+           CAST(COUNT(*) FILTER (
+             CAST(o_orderdate AS DATE)
+               = last_day(CAST(o_orderdate AS DATE))) AS BIGINT)
+             AS n_on_last_day
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def calendar_arithmetic_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    d = F.to_date("o_orderdate")
+    clamped = F.dayofmonth(F.add_months(d, 1)) != F.dayofmonth(d)
+    on_last = d == F.last_day(d)
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.date_format(d, "yyyy-MM").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(clamped.cast("long")).alias("n_eom_clamped"),
+            F.sum(on_last.cast("long")).alias("n_on_last_day"),
+        )
+    )

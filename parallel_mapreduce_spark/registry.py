@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "source_overlap_matrix",
     "cached_table_reuse",
     "bpe_train_3merges",
+    "calendar_arithmetic_report",
 ]
 
 
