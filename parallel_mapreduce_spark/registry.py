@@ -106,6 +106,7 @@ DRIVER_PRIORITY: list[str] = [
     "cached_table_reuse",
     "bpe_train_3merges",
     "calendar_arithmetic_report",
+    "timestamp_ntz_roundtrip",
 ]
 
 

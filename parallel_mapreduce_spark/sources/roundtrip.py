@@ -1437,3 +1437,85 @@ def avro_roundtrip_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.round(F.sum("o_totalprice"), 4).alias("total_spend"),
     )
+
+
+# --------------------------------------------------------------------------
+# TIMESTAMP_NTZ round trip (round 7) — the Spark 3.4+/4 wall-clock
+# timestamp TYPE, previously the one type-system surface with no exhibit.
+# TIMESTAMP (LTZ) stores a UTC instant and RE-RENDERS under every session
+# timezone; TIMESTAMP_NTZ stores the wall-clock fields themselves (parquet
+# isAdjustedToUTC=false), so the same file read under any session timezone
+# yields identical hours — the right type for calendar-local data at
+# 100 TB (a tz-misconfigured executor silently shifting event hours is a
+# classic pipeline corruption). The exhibit writes BOTH types to one
+# parquet sink, re-reads it under a +08:45 session zone (Australia/Eucla —
+# the 45-minute offset moves EVERY hour boundary), and pins per-hour that
+# the NTZ histogram is invariant while the LTZ histogram re-rendered.
+# The shifted-zone reads must materialize inside the scoped conf (the
+# driver executes the returned plan later, under its own UTC session) —
+# bounded 24-row collects, the SQL-scripting precedent; the returned plan
+# keeps the base read-back aggregation lazy with the 24-row shifted side
+# broadcast in.
+# --------------------------------------------------------------------------
+@query(
+    "timestamp_ntz_roundtrip",
+    oracle="""
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS ntz_tz_invariant,
+           TRUE AS ltz_rerendered
+    FROM events
+    GROUP BY 1
+    """,
+)
+def timestamp_ntz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per UTC hour-of-day: event count, whether the NTZ column's hour
+    histogram survived a session-timezone change bit-identically, and
+    whether the LTZ twin re-rendered (it must). DuckDB's naive TIMESTAMP
+    is NTZ-semantics, so the oracle is the direct hour histogram."""
+    from parallel_mapreduce_spark.session import scoped_conf
+
+    register_views(spark, sf_dir)
+    # events.ts loads as TIMESTAMP_NTZ already (parquet
+    # isAdjustedToUTC=false — the reason the DuckDB oracles, whose naive
+    # TIMESTAMP has the same semantics, agree on every event-time query).
+    # The LTZ twin is constructed explicitly: under the UTC session the
+    # wall clock maps to the same instant, so the two columns agree at
+    # write time and diverge only under a shifted reader session.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_timestamp_ltz("ts").alias("ltz"), F.col("ts").alias("ntz")
+    )
+    out = sink_dir("ntz_sink") + "/events_ts"
+    ev.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+
+    def _hist(col: str) -> dict:
+        return {
+            r["h"]: r["n"]
+            for r in back.groupBy(F.hour(col).alias("h"))
+            .agg(F.count("*").alias("n"))
+            .collect()
+        }
+
+    base_ltz = _hist("ltz")  # session is UTC (apply_runtime_conf)
+    with scoped_conf(spark, "spark.sql.session.timeZone", "Australia/Eucla"):
+        shifted_ntz = _hist("ntz")
+        shifted_ltz = _hist("ltz")
+    ltz_changed = shifted_ltz != base_ltz
+    shifted = spark.createDataFrame(
+        [(int(h), int(n)) for h, n in sorted(shifted_ntz.items())],
+        "hour_of_day int, n_shifted bigint",
+    )
+    return (
+        back.groupBy(F.hour("ntz").alias("hour_of_day"))
+        .agg(F.count("*").alias("n_events"))
+        .join(F.broadcast(shifted), "hour_of_day", "left")
+        .select(
+            "hour_of_day",
+            "n_events",
+            (F.col("n_shifted") == F.col("n_events")).alias(
+                "ntz_tz_invariant"
+            ),
+            F.lit(bool(ltz_changed)).alias("ltz_rerendered"),
+        )
+    )
