@@ -3606,3 +3606,57 @@ def cached_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
     )
     return agg_a.crossJoin(F.broadcast(agg_b))
+
+
+# --------------------------------------------------------------------------
+# df.transpose (round 7) — Spark 4.0's new reshape API, the inverse-ish of
+# unpivot_pricing_metrics above: the INDEX column's VALUES become the
+# output's column names (metrics-as-rows, groups-as-columns — the report
+# orientation). Transpose must enumerate the distinct index values at PLAN
+# time to name the columns, i.e. it executes the child and collects the
+# index domain to the driver — inherently bounded work ONLY when the input
+# is already an aggregate (here: 3 returnflag rows); transposing a
+# corpus-scale frame would collect the corpus and is the anti-pattern this
+# docstring exists to flag. Values are rounded BEFORE the reshape so both
+# engines transpose identical cells.
+# --------------------------------------------------------------------------
+@query(
+    "transpose_pricing_report",
+    oracle="""
+    WITH g AS (
+      SELECT l_returnflag AS f,
+             ROUND(AVG(l_extendedprice), 4) AS avg_price,
+             ROUND(AVG(l_quantity), 4) AS avg_qty,
+             ROUND(SUM(l_discount), 4) AS sum_disc
+      FROM lineitem GROUP BY 1
+    )
+    SELECT 'avg_price' AS key,
+           (SELECT avg_price FROM g WHERE f = 'A') AS A,
+           (SELECT avg_price FROM g WHERE f = 'N') AS N,
+           (SELECT avg_price FROM g WHERE f = 'R') AS R
+    UNION ALL
+    SELECT 'avg_qty',
+           (SELECT avg_qty FROM g WHERE f = 'A'),
+           (SELECT avg_qty FROM g WHERE f = 'N'),
+           (SELECT avg_qty FROM g WHERE f = 'R')
+    UNION ALL
+    SELECT 'sum_disc',
+           (SELECT sum_disc FROM g WHERE f = 'A'),
+           (SELECT sum_disc FROM g WHERE f = 'N'),
+           (SELECT sum_disc FROM g WHERE f = 'R')
+    """,
+)
+def transpose_pricing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-returnflag pricing metrics transposed to metrics-as-rows:
+    (key, A, N, R). The transposed frame is 3x3 — group-count bounded."""
+    register_views(spark, sf_dir)
+    wide = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.sum("l_discount"), 4).alias("sum_disc"),
+        )
+    )
+    return wide.transpose("l_returnflag")

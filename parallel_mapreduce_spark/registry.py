@@ -107,6 +107,7 @@ DRIVER_PRIORITY: list[str] = [
     "bpe_train_3merges",
     "calendar_arithmetic_report",
     "timestamp_ntz_roundtrip",
+    "transpose_pricing_report",
 ]
 
 
