@@ -3660,3 +3660,95 @@ def transpose_pricing_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return wide.transpose("l_returnflag")
+
+
+# --------------------------------------------------------------------------
+# Bitmap distinct-count rollup (round 7) — the EXACT mergeable twin of
+# hll_sketch_mergeable_rollup: bitmap_bucket_number / bitmap_bit_position
+# shard an integer key domain into fixed-size (32k-bit) bucket bitmaps,
+# bitmap_construct_agg sets the bits, and coarser grains come from
+# bitmap_or_agg over the finer grain's bitmaps — COUNT(DISTINCT) becomes a
+# re-aggregatable SUM of bitmap popcounts with NO error bar (HLL trades
+# exactness for constant size; bitmaps stay exact at size proportional to
+# the key domain / density). The rollup-storage pattern for 100 TB: store
+# per-(day, group, bucket) bitmaps once, answer any coarser distinct-count
+# exactly by OR-merging — the fact stream never re-scans. The query
+# value-checks BOTH levels against nothing less than the exact distinct:
+# fine-grain (flag, status) counts summed from construct_agg bitmaps, and
+# flag-level counts from or_agg-merged bitmaps, each pinned equal to
+# COUNT(DISTINCT) in the oracle.
+# --------------------------------------------------------------------------
+@query(
+    "bitmap_distinct_rollup",
+    oracle="""
+    WITH fine AS (
+      SELECT l_returnflag, l_linestatus,
+             COUNT(DISTINCT l_partkey) AS nd
+      FROM lineitem GROUP BY 1, 2
+    )
+    SELECT f.l_returnflag,
+           CAST(SUM(f.nd) AS BIGINT) AS sum_fine_distinct,
+           CAST(g.nd AS BIGINT) AS n_distinct_parts,
+           TRUE AS fine_bitmap_exact,
+           TRUE AS merged_bitmap_exact
+    FROM fine f
+    JOIN (SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS nd
+          FROM lineitem GROUP BY 1) g USING (l_returnflag)
+    GROUP BY f.l_returnflag, g.nd
+    """,
+)
+def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per returnflag: the (flag, status)-grain distinct-part counts summed
+    (fine grain), the flag-grain distinct from OR-merged bitmaps, and two
+    booleans pinning both bitmap paths equal to the exact distinct."""
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_partkey"
+    )
+    bm = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.expr("bitmap_bucket_number(l_partkey)").alias("bkt"),
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))").alias(
+            "bm"
+        )
+    )
+    fine = bm.groupBy("l_returnflag", "l_linestatus").agg(
+        F.expr("sum(bitmap_count(bm))").alias("nd_bitmap")
+    )
+    merged = (
+        bm.groupBy("l_returnflag", "bkt")
+        .agg(F.expr("bitmap_or_agg(bm)").alias("bm"))
+        .groupBy("l_returnflag")
+        .agg(F.expr("sum(bitmap_count(bm))").alias("nd_merged"))
+    )
+    exact_fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.countDistinct("l_partkey").alias("nd_exact")
+    )
+    exact_flag = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("nd_exact_flag")
+    )
+    fine_ok = (
+        fine.join(exact_fine, ["l_returnflag", "l_linestatus"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("nd_bitmap").cast("long").alias("sum_fine_distinct"),
+            F.min(
+                (F.col("nd_bitmap") == F.col("nd_exact")).cast("int")
+            ).alias("_fine_ok"),
+        )
+    )
+    return (
+        fine_ok.join(merged, "l_returnflag")
+        .join(exact_flag, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "sum_fine_distinct",
+            F.col("nd_merged").cast("long").alias("n_distinct_parts"),
+            (F.col("_fine_ok") == 1).alias("fine_bitmap_exact"),
+            (F.col("nd_merged") == F.col("nd_exact_flag")).alias(
+                "merged_bitmap_exact"
+            ),
+        )
+    )

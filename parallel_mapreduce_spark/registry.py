@@ -108,6 +108,7 @@ DRIVER_PRIORITY: list[str] = [
     "calendar_arithmetic_report",
     "timestamp_ntz_roundtrip",
     "transpose_pricing_report",
+    "bitmap_distinct_rollup",
 ]
 
 
