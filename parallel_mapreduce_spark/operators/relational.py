@@ -3752,3 +3752,49 @@ def bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Column masking / data governance (round 7) — the SQL-standard mask()
+# function (Spark 3.5+): upper -> X, lower -> x, digit -> n, other chars
+# preserved. The governance pattern for sharing 100 TB outside the trust
+# boundary: masking is a pure JVM projection (no UDF, survives pushdown
+# around it), and UNLIKE redaction-by-regex-denylist (pii_redact, which
+# targets KNOWN patterns) it destroys ALL alphanumeric content uniformly.
+# The report value-checks that destruction: per market segment, the raw
+# names are all distinct while the masked names collapse to ONE shape
+# (every name matches 'Customer#' + 9 digits), so n_distinct_masked == 1 —
+# the k-anonymity consequence the oracle pins exactly, along with the
+# masked shape itself crossing the value hash. DuckDB replays mask() as
+# three character-class regexp passes (upper first: introduced 'X'/'x'
+# are never re-matched by a later class).
+# --------------------------------------------------------------------------
+@query(
+    "mask_customer_pii",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS n_distinct_raw,
+           CAST(COUNT(DISTINCT regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+             'g')) AS BIGINT) AS n_distinct_masked,
+           MIN(regexp_replace(regexp_replace(regexp_replace(
+             c_name, '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n',
+             'g')) AS masked_shape
+    FROM customer
+    GROUP BY c_mktsegment
+    """,
+)
+def mask_customer_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per market segment: customer count, distinct raw vs masked names
+    (mask collapses every name to one shape), and that shape itself."""
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_mktsegment", "c_name", F.expr("mask(c_name)").alias("masked")
+    )
+    return cust.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_customers"),
+        F.countDistinct("c_name").alias("n_distinct_raw"),
+        F.countDistinct("masked").alias("n_distinct_masked"),
+        F.min("masked").alias("masked_shape"),
+    )

@@ -109,6 +109,7 @@ DRIVER_PRIORITY: list[str] = [
     "timestamp_ntz_roundtrip",
     "transpose_pricing_report",
     "bitmap_distinct_rollup",
+    "mask_customer_pii",
 ]
 
 
