@@ -2217,7 +2217,7 @@ def _bpe_oracle(rounds: int = BPE_ROUNDS) -> str:
     return "WITH " + ",\n".join(cte) + "\n" + "\nUNION ALL\n".join(sel)
 
 
-@query("bpe_train_3merges", oracle=_bpe_oracle())
+@query("bpe_train_3merges", headline=True, oracle=_bpe_oracle())
 def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One row per training round: (round, pair, pair_count,
     symbols_after) — the learned merge, its frequency-weighted count, and

@@ -122,6 +122,16 @@ HEADLINE_EXCHANGE_CEILING = {
     # corpus-wide beyond the documented feature/assignment scans
     "quality_classifier_lr2": 18,
     "semdedup_cluster_report": 18,
+    # round-7 session 3: both are composed/iterative plans whose counts
+    # are plan-TEXT occurrences across re-printed subtrees (the
+    # ivfpq/pagerank_event_types precedent). Integer PageRank re-prints
+    # the edge-aggregation + out-weight subtrees per iteration x per
+    # consumer (contribs, dangling, final join); the BPE loop re-prints
+    # the vocab-bounded symbol frame per round x (pair census, merge,
+    # stats). Every exchange beyond the one corpus pass is singleton-row
+    # or vocab/|V|-bounded.
+    "pagerank_trade_graph": 264,
+    "bpe_train_3merges": 100,
 }
 
 
