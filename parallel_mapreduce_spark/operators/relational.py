@@ -3798,3 +3798,166 @@ def mask_customer_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("masked").alias("n_distinct_masked"),
         F.min("masked").alias("masked_shape"),
     )
+
+
+# --------------------------------------------------------------------------
+# Theta sketch set algebra (round 7) — the DataSketches Theta family:
+# unlike HLL (union-only), Theta sketches support INTERSECTION and
+# DIFFERENCE, answering "distinct customers in A but not B" from two small
+# sketch states without touching the fact table again — the audience-
+# overlap / retention-delta primitive at 100 TB. Error stance: every
+# estimate's error is relative to the SUPPORT the sketch sampled (the
+# union), so all five estimates are pinned |est - exact| <= 5% of the
+# exact union — the 3-sigma bound at the default nominal 4096 entries is
+# 4.7%, and the sampling seed is fixed, so the booleans are deterministic
+# per dataset (exact regime below 4096 distincts: sf0.01 and down).
+# The EXACT set algebra crosses the value hash; one conditional-aggregate
+# pass computes it (per-custkey membership flags -> five sums), and one
+# FILTER-clause aggregate pass builds both sketches.
+# --------------------------------------------------------------------------
+@query(
+    "theta_customer_set_algebra",
+    oracle="""
+    WITH per AS (
+      SELECT o_custkey,
+             bool_or(o_orderstatus = 'F') AS fa,
+             bool_or(o_orderstatus = 'O') AS fb
+      FROM orders WHERE o_orderstatus IN ('F', 'O')
+      GROUP BY o_custkey
+    )
+    SELECT CAST(COUNT(*) FILTER (fa) AS BIGINT) AS n_f,
+           CAST(COUNT(*) FILTER (fb) AS BIGINT) AS n_o,
+           CAST(COUNT(*) AS BIGINT) AS n_union,
+           CAST(COUNT(*) FILTER (fa AND fb) AS BIGINT) AS n_both,
+           CAST(COUNT(*) FILTER (fa AND NOT fb) AS BIGINT) AS n_f_only,
+           TRUE AS f_within_bound, TRUE AS o_within_bound,
+           TRUE AS union_within_bound, TRUE AS intersect_within_bound,
+           TRUE AS difference_within_bound
+    FROM per
+    """,
+)
+def theta_customer_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers with F-status orders, O-status orders, and their
+    union/intersection/difference — exact counts value-checked, with the
+    five Theta-sketch estimates pinned inside 5% of the exact union."""
+    register_views(spark, sf_dir)
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus").isin("F", "O")
+    )
+    per = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderstatus") == "F").cast("int")).alias("fa"),
+        F.max((F.col("o_orderstatus") == "O").cast("int")).alias("fb"),
+    )
+    exact = per.agg(
+        F.sum("fa").cast("long").alias("n_f"),
+        F.sum("fb").cast("long").alias("n_o"),
+        F.count("*").alias("n_union"),
+        F.sum(F.col("fa") * F.col("fb")).cast("long").alias("n_both"),
+        F.sum(F.col("fa") * (1 - F.col("fb"))).cast("long").alias("n_f_only"),
+    )
+    sk = o.agg(
+        F.expr(
+            "theta_sketch_agg(o_custkey) FILTER (WHERE o_orderstatus = 'F')"
+        ).alias("ska"),
+        F.expr(
+            "theta_sketch_agg(o_custkey) FILTER (WHERE o_orderstatus = 'O')"
+        ).alias("skb"),
+    ).selectExpr(
+        "theta_sketch_estimate(ska) AS ta",
+        "theta_sketch_estimate(skb) AS tb",
+        "theta_sketch_estimate(theta_union(ska, skb)) AS tu",
+        "theta_sketch_estimate(theta_intersection(ska, skb)) AS ti",
+        "theta_sketch_estimate(theta_difference(ska, skb)) AS td",
+    )
+    bound = 0.05 * F.col("n_union")
+    return exact.crossJoin(F.broadcast(sk)).select(
+        "n_f",
+        "n_o",
+        "n_union",
+        "n_both",
+        "n_f_only",
+        (F.abs(F.col("ta") - F.col("n_f")) <= bound).alias("f_within_bound"),
+        (F.abs(F.col("tb") - F.col("n_o")) <= bound).alias("o_within_bound"),
+        (F.abs(F.col("tu") - F.col("n_union")) <= bound).alias(
+            "union_within_bound"
+        ),
+        (F.abs(F.col("ti") - F.col("n_both")) <= bound).alias(
+            "intersect_within_bound"
+        ),
+        (F.abs(F.col("td") - F.col("n_f_only")) <= bound).alias(
+            "difference_within_bound"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# KLL quantile rollup (round 7) — the DataSketches KLL family: mergeable
+# quantile STATE as a first-class SQL value (kll_sketch_agg_double ->
+# kll_merge_agg_double -> get_quantile), completing the mergeable-sketch
+# matrix (HLL/Theta: distincts, CMS/FI: frequencies, KLL: quantiles,
+# bitmaps: exact distincts). Unlike approx_percentile (one-shot GK, state
+# internal), KLL's per-group sketches persist and roll up — store per-day
+# sketches once, answer any coarser-grain quantile later. KLL's guarantee
+# is on RANK, not value: the value returned for quantile q has TRUE rank
+# within q +/- eps (~1.65% at the default k=200, 99% confidence); the
+# query computes that true rank EXACTLY (one conditional count pass) and
+# pins |rank - q| <= 2% per probe — measured 0.02-0.5% at sf0.01-0.1.
+# --------------------------------------------------------------------------
+KLL_PROBES = (0.5, 0.9, 0.99)
+
+
+@query(
+    "kll_quantile_rollup",
+    oracle=" UNION ALL ".join(
+        f"""SELECT CAST({q} AS DOUBLE) AS q,
+            ROUND(quantile_cont(l_extendedprice, {q}), 4) AS exact_value,
+            TRUE AS rank_within_bound FROM lineitem"""
+        for q in KLL_PROBES
+    ),
+)
+def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per probe quantile: the exact value (value-checked) and whether the
+    value read from the MERGED per-returnflag KLL sketches has true rank
+    within 2% of the probe — the KLL guarantee, checked exactly."""
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    merged = (
+        li.groupBy("l_returnflag")
+        .agg(F.expr("kll_sketch_agg_double(l_extendedprice)").alias("sk"))
+        .agg(F.expr("kll_merge_agg_double(sk)").alias("msk"))
+    )
+    est_row = merged.selectExpr(
+        *[
+            f"kll_sketch_get_quantile_double(msk, {q}) AS q{i}"
+            for i, q in enumerate(KLL_PROBES)
+        ]
+    ).collect()[0]  # 3 scalars; the only driver-side hop
+    ests = {q: est_row[f"q{i}"] for i, q in enumerate(KLL_PROBES)}
+    agg_cols = [F.count("*").alias("n")]
+    for i, q in enumerate(KLL_PROBES):
+        agg_cols.append(
+            F.sum(
+                (F.col("l_extendedprice") <= F.lit(ests[q])).cast("long")
+            ).alias(f"le{i}")
+        )
+        agg_cols.append(
+            F.round(
+                F.percentile("l_extendedprice", F.lit(q)), 4
+            ).alias(f"ex{i}")
+        )
+    one = li.agg(*agg_cols)
+    rows = one.select(
+        F.expr(
+            "stack({}, {}) AS (q, exact_value, rank_within_bound)".format(
+                len(KLL_PROBES),
+                ", ".join(
+                    f"CAST({q} AS DOUBLE), ex{i}, "
+                    f"abs(le{i} / n - CAST({q} AS DOUBLE)) <= 0.02"
+                    for i, q in enumerate(KLL_PROBES)
+                ),
+            )
+        )
+    )
+    return rows

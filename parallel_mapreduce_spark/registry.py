@@ -110,6 +110,8 @@ DRIVER_PRIORITY: list[str] = [
     "transpose_pricing_report",
     "bitmap_distinct_rollup",
     "mask_customer_pii",
+    "theta_customer_set_algebra",
+    "kll_quantile_rollup",
 ]
 
 

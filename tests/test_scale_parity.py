@@ -91,6 +91,12 @@ SCALE_SENSITIVE = [
     # measured hour histograms — a pathological distribution could make
     # the +08:45 re-render coincide; re-prove at sf0.1
     "timestamp_ntz_roundtrip",
+    # round-7 session 3: sketch-bound booleans over sampled estimates —
+    # theta leaves the exact regime above 4096 distincts (sf0.1 is the
+    # first scale that samples), and KLL's rank bound is probabilistic
+    # with a fixed seed; both re-proven at sf0.1
+    "theta_customer_set_algebra",
+    "kll_quantile_rollup",
 ]
 
 
