@@ -82,3 +82,52 @@ def test_source_overlap_grid_is_complete(spark, sf_dir):
         assert r["source_a"] < r["source_b"]
         assert 0 <= r["n_shared"] <= min(r["n_a"], r["n_b"])
         assert 0.0 <= r["containment"] <= 1.0
+
+
+def test_theta_set_algebra_identities(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.relational import (
+        theta_customer_set_algebra,
+    )
+
+    r = theta_customer_set_algebra(spark, sf_dir).collect()[0]
+    # Inclusion-exclusion and partition identities on the exact counts.
+    assert r["n_union"] == r["n_f"] + r["n_o"] - r["n_both"]
+    assert r["n_f_only"] == r["n_f"] - r["n_both"]
+    # sf0.001/0.01 are inside the Theta exact regime (< 4096 distincts):
+    # the bound booleans must hold with room to spare there.
+    assert all(
+        r[c]
+        for c in (
+            "f_within_bound",
+            "o_within_bound",
+            "union_within_bound",
+            "intersect_within_bound",
+            "difference_within_bound",
+        )
+    )
+
+
+def test_kll_rank_bound_holds(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.relational import (
+        KLL_PROBES,
+        kll_quantile_rollup,
+    )
+
+    rows = {r["q"]: r for r in kll_quantile_rollup(spark, sf_dir).collect()}
+    assert sorted(rows) == sorted(KLL_PROBES)
+    assert all(rows[q]["rank_within_bound"] for q in rows)
+    # Quantile values are monotone in q.
+    vals = [rows[q]["exact_value"] for q in sorted(rows)]
+    assert vals == sorted(vals)
+
+
+def test_bitmap_rollup_matches_exact_everywhere(spark, sf_dir):
+    from parallel_mapreduce_spark.operators.relational import (
+        bitmap_distinct_rollup,
+    )
+
+    for r in bitmap_distinct_rollup(spark, sf_dir).collect():
+        assert r["fine_bitmap_exact"] and r["merged_bitmap_exact"]
+        # Summing finer-grain distincts can only overcount the coarser
+        # grain (a part may ship under both linestatuses).
+        assert r["sum_fine_distinct"] >= r["n_distinct_parts"]
