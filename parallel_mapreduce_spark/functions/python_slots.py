@@ -685,3 +685,72 @@ def scalar_iter_token_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id", token_weight_iter_udf()(F.col("text")).alias("score")
     )
+
+
+# --------------------------------------------------------------------------
+# Barrier execution (round 7) — the LAST Python execution mode with no
+# exhibit: ``mapInPandas(..., barrier=True)`` gang-schedules every task of
+# the stage simultaneously (all-or-nothing, no stragglers launched late)
+# and gives each task ``BarrierTaskContext`` — ``allGather`` here performs
+# the synchronous all-reduce every task of a distributed-training step
+# needs (each task ends up holding the GLOBAL aggregate). This is the
+# bridge from the data engine to gang-scheduled model training: the same
+# API carries parameter sync for an in-Spark training loop. The exhibit
+# computes a global (row count, char sum) redundantly in EVERY task via
+# allGather and value-checks that each task's copy equals the exact
+# corpus aggregate. Output is partition-count-INDEPENDENT by design
+# (per-task local counts are round-robin-dependent, so only the global
+# values and the task grid cross the value hash). BARRIER_TASKS is 2:
+# barrier stages deadlock if the cluster has fewer simultaneously-free
+# slots than tasks, so the exhibit stays runnable on any >= 2-core
+# driver session.
+# --------------------------------------------------------------------------
+BARRIER_TASKS = 2
+
+
+@query(
+    "barrier_allgather_stats",
+    oracle=f"""
+    SELECT p.part,
+           CAST(COUNT(*) AS BIGINT) AS global_rows,
+           CAST(SUM(n_chars) AS BIGINT) AS global_chars,
+           {BARRIER_TASKS} AS n_tasks
+    FROM documents
+    CROSS JOIN (VALUES {", ".join(f"({i})" for i in range(BARRIER_TASKS))})
+      AS p(part)
+    GROUP BY p.part
+    """,
+)
+def barrier_allgather_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per barrier task: the global (rows, chars) aggregate that
+    task reconstructed from allGather — identical in every task, equal to
+    the exact corpus aggregate."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def step(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import BarrierTaskContext
+
+        ctx = BarrierTaskContext.get()
+        local_rows = 0
+        local_chars = 0
+        for pdf in it:
+            local_rows += len(pdf)
+            local_chars += int(pdf["n_chars"].sum())
+        gathered = ctx.allGather(f"{local_chars}:{local_rows}")
+        g_chars = sum(int(x.split(":")[0]) for x in gathered)
+        g_rows = sum(int(x.split(":")[1]) for x in gathered)
+        yield pd.DataFrame(
+            {
+                "part": [ctx.partitionId()],
+                "global_rows": [g_rows],
+                "global_chars": [g_chars],
+                "n_tasks": [len(gathered)],
+            }
+        )
+
+    return docs.repartition(BARRIER_TASKS).mapInPandas(
+        step,
+        "part int, global_rows long, global_chars long, n_tasks int",
+        barrier=True,
+    )

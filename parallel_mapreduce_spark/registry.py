@@ -112,6 +112,7 @@ DRIVER_PRIORITY: list[str] = [
     "mask_customer_pii",
     "theta_customer_set_algebra",
     "kll_quantile_rollup",
+    "barrier_allgather_stats",
 ]
 
 

@@ -34,6 +34,9 @@ PYTHON_SURFACE = {
     "applyinarrow_lang_summary",
     "pandas_grouped_agg_iqr",
     "scalar_iter_token_weights",
+    # round-7 session 3: barrier-mode mapInPandas (gang-scheduled
+    # allGather all-reduce — the training-step bridge)
+    "barrier_allgather_stats",
 }
 
 # EVERY physical node that runs user Python — not just the scalar-UDF
