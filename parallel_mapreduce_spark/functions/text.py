@@ -2090,8 +2090,25 @@ def approx_topk_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     direct_row = toks.agg(
         F.expr(f"approx_top_k(word, {ATK_K}, {ATK_CAP})").alias("t"),
         F.count("*").alias("n"),
+        F.countDistinct("word").alias("nd"),
     ).collect()[0]
     direct, n_total = direct_row["t"], direct_row["n"]
+    # No-purge precondition, asserted (not assumed): the TRUE-pinned
+    # booleans below use the classic Misra-Gries bound n/capacity, but
+    # Spark's approx_top_k is backed by the DataSketches Frequent-Items
+    # sketch whose documented guarantee once it PURGES is looser
+    # (~3.5*n/maxMapSize). While distinct < capacity the sketch never
+    # purges and both bounds are zero/exact, so the pin is valid; a
+    # corpus outside that regime must fail loudly here rather than flip
+    # the oracle booleans spuriously.
+    if direct_row["nd"] >= ATK_CAP:
+        raise AssertionError(
+            f"approx_topk_tokens: {direct_row['nd']} distinct tokens >= "
+            f"maxItemsTracked {ATK_CAP} — the sketch purges in this "
+            "regime and the Misra-Gries n//cap bound understates the "
+            "DataSketches FI error (~3.5*n/maxMapSize); raise ATK_CAP "
+            "or re-derive the bound from the sketch guarantee"
+        )
     merged = (
         toks.groupBy("source")
         .agg(F.expr(f"approx_top_k_accumulate(word, {ATK_CAP})").alias("sk"))

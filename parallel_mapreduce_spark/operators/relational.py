@@ -3470,9 +3470,11 @@ def histogram_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # false negatives impossible). The classic sketch-proposes/exact-verifies
 # composition: the bounded candidate array (<= 1/support entries per
 # column, one row total) broadcasts into an exact-count filter, so the
-# final answer is EXACT while the corpus is scanned only twice — and the
-# whole plan stays lazy (the candidate row is a 1-row DataFrame joined in,
-# never collected). The support test is integer-exact on both sides
+# final answer is EXACT while the corpus is scanned only twice. Note the
+# candidate pass is EAGER — freqItems (like li.count below) runs a Spark
+# job on call and returns a bounded 1-row local relation, which is then
+# re-joined; only the verification aggregation defers to the final
+# action. The support test is integer-exact on both sides
 # (cnt * 10 > n * {{support*10}}), so no float boundary exists.
 # --------------------------------------------------------------------------
 FI_SUPPORT_TENTHS = 3  # support = 0.3
@@ -3500,9 +3502,10 @@ def freq_items_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     li = load_table(spark, sf_dir, "lineitem")
     support = FI_SUPPORT_TENTHS / 10.0
-    cand_row = li.stat.freqItems(
-        ["l_returnflag", "l_linestatus"], support
-    )  # 1-row DataFrame of candidate arrays; stays lazy
+    # freqItems runs its one-pass streaming job EAGERLY and hands back the
+    # candidate arrays as a bounded 1-row local relation (2 array cells);
+    # only the exact-count verification pass below stays lazy.
+    cand_row = li.stat.freqItems(["l_returnflag", "l_linestatus"], support)
     cands = (
         cand_row.select(
             F.explode("l_returnflag_freqItems").alias("value")
@@ -3596,6 +3599,13 @@ def cached_table_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     except Exception:
         pass
     spark.sql(f"CACHE TABLE {CACHED_HOT_VIEW}")  # eager columnar build
+    # The cache must survive this function's return (the driver executes
+    # the returned plan afterwards), so cleanup is DEFERRED: the next
+    # query's register_views() uncaches it via PENDING_UNCACHE, bounding
+    # residency to one registry slot rather than the whole run.
+    from parallel_mapreduce_spark.sources.tables import PENDING_UNCACHE
+
+    PENDING_UNCACHE.add(CACHED_HOT_VIEW)
     hot = spark.table(CACHED_HOT_VIEW)
     agg_a = hot.groupBy("o_orderstatus").agg(
         F.count("*").alias("n_orders"),

@@ -1450,7 +1450,9 @@ def avro_roundtrip_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # classic pipeline corruption). The exhibit writes BOTH types to one
 # parquet sink, re-reads it under a +08:45 session zone (Australia/Eucla —
 # the 45-minute offset moves EVERY hour boundary), and pins per-hour that
-# the NTZ histogram is invariant while the LTZ histogram re-rendered.
+# the NTZ histogram is invariant while the LTZ column re-rendered
+# (counted PER ROW against a write-time base_hour column, so the pin
+# cannot be defeated by a coincidentally shift-invariant histogram).
 # The shifted-zone reads must materialize inside the scoped conf (the
 # driver executes the returned plan later, under its own UTC session) —
 # bounded 24-row collects, the SQL-scripting precedent; the returned plan
@@ -1486,7 +1488,11 @@ def timestamp_ntz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.to_timestamp_ltz("ts").alias("ltz"), F.col("ts").alias("ntz")
     )
     out = sink_dir("ntz_sink") + "/events_ts"
-    ev.write.mode("overwrite").parquet(out)
+    # base_hour materializes at WRITE time, i.e. under the UTC session:
+    # the per-row reference the shifted-session re-read is compared to.
+    ev.withColumn("base_hour", F.hour("ltz")).write.mode(
+        "overwrite"
+    ).parquet(out)
     back = spark.read.parquet(out)
 
     def _hist(col: str) -> dict:
@@ -1497,11 +1503,18 @@ def timestamp_ntz_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             .collect()
         }
 
-    base_ltz = _hist("ltz")  # session is UTC (apply_runtime_conf)
     with scoped_conf(spark, "spark.sql.session.timeZone", "Australia/Eucla"):
         shifted_ntz = _hist("ntz")
-        shifted_ltz = _hist("ltz")
-    ltz_changed = shifted_ltz != base_ltz
+        # PER-ROW comparison, not whole-histogram inequality: a histogram
+        # that happens to be shift-invariant (e.g. near-uniform hours)
+        # would make the coarse comparison False on new data even though
+        # every row re-rendered. Counting rows whose LTZ hour moved is
+        # coincidence-proof — under +08:45 every hour boundary shifts, so
+        # any corpus pins > 0. Bounded scalar, inside the scoped conf.
+        n_moved = back.filter(
+            F.hour("ltz") != F.col("base_hour")
+        ).count()
+    ltz_changed = n_moved > 0
     shifted = spark.createDataFrame(
         [(int(h), int(n)) for h, n in sorted(shifted_ntz.items())],
         "hour_of_day int, n_shifted bigint",

@@ -64,6 +64,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+# Deferred cache cleanup: a query whose contract requires a SQL cache to
+# outlive its own function call (cached_table_reuse — the driver executes
+# the returned plan later, and cache substitution happens at action-plan
+# time) registers its cached view name here; the NEXT query's
+# register_views() drops it. That bounds columnar-cache residency to one
+# registry slot instead of the remainder of a 300-query run, without
+# needing a cleanup hook in the external driver. Dropping early is safe:
+# an uncached plan falls back to the ordinary scan, it never breaks.
+PENDING_UNCACHE: set[str] = set()
+
+
+def _drain_pending_uncache(spark: SparkSession) -> None:
+    for view in list(PENDING_UNCACHE):
+        try:
+            spark.catalog.uncacheTable(view)
+        except Exception:
+            pass  # already dropped, or the view no longer exists
+        PENDING_UNCACHE.discard(view)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view named by its file stem.
 
@@ -72,6 +92,7 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     that the oracle comparison depends on.
     """
     apply_runtime_conf(spark)
+    _drain_pending_uncache(spark)
     skey = session_key(spark)
     key = (*skey, sf_dir)
     if key in _REGISTERED:
