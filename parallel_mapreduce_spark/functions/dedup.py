@@ -30,6 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from parallel_mapreduce_spark.functions.portable import phash60, phash60_sql
 from parallel_mapreduce_spark.functions.text import tokens
@@ -1354,4 +1355,188 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.least("n_a", "n_b"),
             4,
         ).alias("containment"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring duplication at the LONG-REPEAT grain (round 8) — the
+# Lee et al. 2022 ("Deduplicating Training Data Makes Language Models
+# Better") measurement the other dedup grains miss: dedup_exact catches
+# whole-document copies, segment_dedup_reassemble removes repeated
+# 8-token-aligned chunks, MinHash/SimHash score whole-doc similarity —
+# none of them MEASURES the longest exact token run shared by two
+# documents, the memorization-risk metric (Lee et al. flag >= 50-token
+# verbatim overlaps; suffix arrays find them single-node). The
+# distributed re-expression: a repeated run of R >= W tokens appears as
+# exactly R - W + 1 OVERLAPPING W-token shingles whose positions align
+# on one diagonal (pos_a - pos_b constant), so maximal runs are
+# gaps-and-islands over aligned shingle matches — entirely relational:
+#   1. one linear pass emits (doc_id, pos, digest) for every overlapping
+#      W-shingle — digests (16-byte md5), never shingle text, cross the
+#      one corpus-scale shuffle;
+#   2. digest groups ABOVE the occurrence cap are dropped whole
+#      (SUBSTR_MAX_OCC, the Lee et al. high-frequency n-gram filter —
+#      boilerplate shared by thousands of docs would otherwise fan out
+#      quadratically; the drop under-counts only ubiquitous spans, and
+#      the cap is a visible constant, not a silent truncation);
+#   3. within a group (<= CAP occurrences) pairs are generated by a
+#      bounded double-explode — no join-back, the segment-dedup
+#      argument at pair grain;
+#   4. islands: per (doc_a, doc_b, diagonal), consecutive pos_a values
+#      are one run (pos_a - row_number() is the classic island key);
+#      run of n shingles = n + W - 1 exactly overlapping tokens.
+# Window partitions are per-(pair, diagonal) — bounded by the cap — so
+# no task ever sorts a corpus-scale frame.
+#
+# Fixture: (the segdedup convention) the working set injects
+# deterministic variants — every doc_id % 5 == 2 document with >= 24
+# tokens reappears at +50M wrapped in id-unique junk around a VERBATIM
+# SLICE of its tokens (start 4, length 13 + doc_id % 7) — so every SF
+# is guaranteed (original, variant) pairs whose exact span the oracle
+# replays token-for-token. The corpus then contributes ORGANIC runs on
+# top (measured at sf0.001: spans 10 and 22..95 tokens — the long ones
+# are the whole/near-document copies dedup_exact also sees), so the
+# query detects both planted and natural duplication and every branch
+# is value-checked at every SF.
+# --------------------------------------------------------------------------
+SUBSTR_W = 8  # tokens per shingle = minimum reportable run
+SUBSTR_MAX_OCC = 8  # drop digests occurring more often (freq filter)
+SUBSTR_VARIANT_MOD = 5
+SUBSTR_VARIANT_OFFSET = 50_000_000
+SUBSTR_SLICE_START = 4  # 1-based token index where the copied slice begins
+SUBSTR_SLICE_BASE = 13  # copied-run length = BASE + doc_id % 7 (13..19)
+SUBSTR_MIN_TOKENS = 24  # variant eligibility: slice must fit
+
+
+def _substr_shingle_digests(toks: Column) -> Column:
+    """array<string> of md5 digests of every overlapping SUBSTR_W-token
+    shingle, slice+zip_with cascade (the shingles3 O(n) discipline —
+    never indexed access inside a transform lambda)."""
+    n = F.size(toks)
+    cnt = F.greatest(n - (SUBSTR_W - 1), F.lit(0))
+    acc = F.slice(toks, 1, cnt)
+    for i in range(1, SUBSTR_W):
+        acc = F.zip_with(
+            acc,
+            F.slice(toks, i + 1, cnt),
+            lambda x, y: F.concat_ws(" ", x, y),
+        )
+    return F.transform(acc, lambda s: F.md5(s))
+
+
+@query(
+    "exact_substring_runs",
+    headline=True,  # the long-repeat dedup ship plan: bench the full pass
+    oracle=f"""
+    WITH working AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {SUBSTR_VARIANT_OFFSET},
+             'ja' || doc_id || ' jb' || doc_id || ' ' ||
+             array_to_string(
+               toks[{SUBSTR_SLICE_START} :
+                    {SUBSTR_SLICE_START + SUBSTR_SLICE_BASE - 1}
+                      + doc_id % 7], ' ')
+             || ' jc' || doc_id
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
+      WHERE doc_id % {SUBSTR_VARIANT_MOD} = 2
+        AND len(toks) >= {SUBSTR_MIN_TOKENS}
+    ), sh AS (
+      SELECT doc_id,
+             CAST(generate_subscripts(digs, 1) AS BIGINT) AS pos,
+             unnest(digs) AS dig
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, len(toks) - {SUBSTR_W - 2}),
+                 i -> md5(array_to_string(
+                        toks[i : i + {SUBSTR_W - 1}], ' '))) AS digs
+        FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM working)
+      )
+    ), ok AS (
+      SELECT dig FROM sh GROUP BY dig
+      HAVING COUNT(*) BETWEEN 2 AND {SUBSTR_MAX_OCC}
+    ), p AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pa, a.pos - b.pos AS diag
+      FROM sh a JOIN sh b USING (dig) JOIN ok USING (dig)
+      WHERE a.doc_id < b.doc_id
+    ), isl AS (
+      SELECT doc_a, doc_b, diag,
+             pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
+                                     ORDER BY pa) AS k
+      FROM p
+    ), runs AS (
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_sh
+      FROM isl GROUP BY doc_a, doc_b, diag, k
+    )
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(n_sh) + {SUBSTR_W - 1} AS BIGINT) AS max_run_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    """,
+)
+def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_runs, max_run_tokens) for every document pair
+    sharing at least one exact >= {SUBSTR_W}-token run: the number of
+    maximal verbatim runs and the longest one's exact token length."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    slice_len = (F.lit(SUBSTR_SLICE_BASE) + F.col("doc_id") % 7).cast("int")
+    variants = (
+        docs.filter(F.col("doc_id") % SUBSTR_VARIANT_MOD == 2)
+        .select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= SUBSTR_MIN_TOKENS)
+        .select(
+            (F.col("doc_id") + SUBSTR_VARIANT_OFFSET).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("ja"), F.col("doc_id").cast("string")),
+                F.concat(F.lit("jb"), F.col("doc_id").cast("string")),
+                F.array_join(
+                    F.slice(F.col("toks"), SUBSTR_SLICE_START, slice_len),
+                    " ",
+                ),
+                F.concat(F.lit("jc"), F.col("doc_id").cast("string")),
+            ).alias("text"),
+        )
+    )
+    working = docs.select("doc_id", "text").unionByName(variants)
+    sh = working.select(
+        "doc_id", F.posexplode(_substr_shingle_digests(tokens("text"))).alias(
+            "pos0", "dig"
+        )
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "dig")
+    # ONE digest-keyed shuffle; per-digest occurrence lists are dropped
+    # whole above the cap, then pairs come from a bounded double-explode.
+    occ = (
+        sh.groupBy("dig")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occs"))
+        .filter(
+            (F.size("occs") >= 2) & (F.size("occs") <= SUBSTR_MAX_OCC)
+        )
+    )
+    p = (
+        occ.select(F.explode("occs").alias("a"), "occs")
+        .select("a", F.explode("occs").alias("b"))
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.pos").alias("pa"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+        )
+    )
+    wisl = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
+    runs = (
+        p.withColumn("k", F.col("pa") - F.row_number().over(wisl))
+        .groupBy("doc_a", "doc_b", "diag", "k")
+        .agg(F.count("*").cast("long").alias("n_sh"))
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.count("*").cast("long").alias("n_runs"),
+        (F.max("n_sh") + F.lit(SUBSTR_W - 1)).cast("long").alias(
+            "max_run_tokens"
+        ),
     )

@@ -1303,18 +1303,30 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # but the lowest vec_id of each duplicate pair (keep-first, the text
 # near-dup convention). Result: per-cluster dedup report.
 #
-# Scale posture — the reason SemDeDup ships at 100 TB: candidate
-# generation is a cid-keyed EQUI-join (co-partitioned self-join after
-# one shuffle on cid), so pair count is sum_c n_c^2 instead of N^2 —
-# operators tune K so clusters fit task memory and the per-cluster
-# quadratic stays bounded (raise K, pairs shrink). Assignment reuses the
-# kmeans broadcast-argmin (one row of K*dim doubles, no shuffle); the
-# only corpus-scale shuffle is the cid repartition. Distances and
-# cosines round to 6 dp before compare (the documented kmeans midpoint
-# class); the oracle replays assignment via the same unnest-SUM CTE
-# pattern as kmeans_lloyd_2iter.
+# Scale posture: candidate generation is a cid-keyed EQUI-join (co-
+# partitioned self-join after one shuffle on cid), so pair count is
+# sum_c n_c^2 instead of N^2 — and K now SCALES WITH THE CORPUS:
+# K = max(8, ceil(N / SEMDEDUP_TARGET_CLUSTER)) from one bounded
+# count(), so expected cluster size stays ~TARGET and the within-
+# cluster pair work is ~N*TARGET — LINEAR in the corpus (round 7
+# shipped a fixed K=8, which its own probe measured at wall exponent
+# 1.56; with the derived K the re-probed exponent is ~linear — see
+# probes/results/scale_probe.json). The oracle replays the same K from
+# COUNT(*) via integer ceiling division, so the hash matches at every
+# SF. Remaining asymptote, stated honestly: seed ASSIGNMENT is the
+# kmeans broadcast-argmin — N*K distance evaluations and a K*dim-double
+# broadcast row — which at extreme K becomes the dominant term
+# (~N^2/TARGET flops); billion-scale deployments replace flat argmin
+# with a hierarchical / IVF-pruned coarse quantizer (the ann_ivfpq_topk
+# leg: probe NPROBE of sqrt(K) cells) while keeping this exact same
+# cid-keyed pair plan. At the probed scales assignment is a small
+# fraction of wall; the measured exponent below is the shipped claim.
+# Distances and cosines round to 6 dp before compare (the documented
+# kmeans midpoint class); the oracle replays assignment via the same
+# unnest-SUM CTE pattern as kmeans_lloyd_2iter.
 # --------------------------------------------------------------------------
-SEMDEDUP_K = 8
+SEMDEDUP_MIN_K = 8  # floor: never fewer seeds than round 7's fixed K
+SEMDEDUP_TARGET_CLUSTER = 128  # expected members per cluster (~bounds task)
 SEMDEDUP_THRESHOLD = EMB_DEDUP_THRESHOLD  # same calibrated corpus threshold
 
 
@@ -1329,10 +1341,16 @@ SEMDEDUP_THRESHOLD = EMB_DEDUP_THRESHOLD  # same calibrated corpus threshold
     ), ve AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
+    ), nv AS (
+      SELECT GREATEST({SEMDEDUP_MIN_K},
+                      (COUNT(*) + {SEMDEDUP_TARGET_CLUSTER} - 1)
+                        // {SEMDEDUP_TARGET_CLUSTER}) AS k
+      FROM embeddings
     ), c0 AS (
-      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
-      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id
-            LIMIT {SEMDEDUP_K})
+      SELECT cid, vec_id FROM (
+        SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+        FROM embeddings)
+      WHERE cid < (SELECT k FROM nv)
     ), cv AS (
       SELECT c0.cid, v.pos, v.val AS cval FROM c0 JOIN v USING (vec_id)
     ), d AS (
@@ -1369,12 +1387,21 @@ def semdedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # Corpus-derived cluster count (ONE bounded driver scalar): expected
+    # cluster size ~TARGET_CLUSTER, so within-cluster pair work stays
+    # linear in N. Integer ceiling division matches the oracle's nv CTE
+    # exactly at any count.
+    n_vecs = emb.count()
+    k = max(
+        SEMDEDUP_MIN_K,
+        (n_vecs + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER,
+    )
     vecs = emb.repartition(n_parts, "vec_id").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
     seeds = (
         emb.orderBy("vec_id")
-        .limit(SEMDEDUP_K)
+        .limit(k)
         .select("vec_id", as_double(F.col("embedding")).alias("c"))
         .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
     )
@@ -1520,9 +1547,12 @@ def _pq_cb_row(long: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "ann_pq_adc_topk",
-    oracle=f"""
+def _pq_adc_oracle(topk: int) -> str:
+    """DuckDB replay of the full PQ-ADC pipeline (codebook train ->
+    encode -> ADC score) with the final ranking cut at rk <= topk —
+    parameterized so the shortlist-recall curve can replay the same
+    ranking at larger cuts than the registered top-k query."""
+    return f"""
     WITH v AS (
       SELECT vec_id,
              (generate_subscripts(embedding, 1) - 1) // {PQ_SUBDIM} AS s,
@@ -1580,10 +1610,11 @@ def _pq_cb_row(long: DataFrame) -> DataFrame:
                  ROW_NUMBER() OVER (PARTITION BY q_id
                                     ORDER BY approx_du, c_id) AS rk
           FROM ad)
-    WHERE rk <= {PQ_TOPK}
-    """,
-)
-def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    WHERE rk <= {topk}
+    """
+
+
+def _pq_adc_ranked(spark: SparkSession, sf_dir: str, topk: int) -> DataFrame:
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
@@ -1659,7 +1690,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(
             W.partitionBy("q_id", "salt").orderBy("approx_du", "vec_id")
         ),
-    ).filter(F.col("rn1") <= PQ_TOPK)
+    ).filter(F.col("rn1") <= topk)
     return (
         stage1.withColumn(
             "rk",
@@ -1667,7 +1698,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 W.partitionBy("q_id").orderBy("approx_du", "vec_id")
             ),
         )
-        .filter(F.col("rk") <= PQ_TOPK)
+        .filter(F.col("rk") <= topk)
         .select(
             "q_id",
             F.col("rk").cast("long").alias("rk"),
@@ -1675,6 +1706,11 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "approx_du",
         )
     )
+
+
+@query("ann_pq_adc_topk", oracle=_pq_adc_oracle(PQ_TOPK))
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pq_adc_ranked(spark, sf_dir, PQ_TOPK)
 
 
 # --------------------------------------------------------------------------
@@ -1979,4 +2015,326 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("c_id"),
             "approx_du",
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Recall@k for the COMPRESSED/PRUNED index trio (round 8) — the quality
+# half of the compression trade-off. ann_recall_at_k (above) pins the LSH
+# index's retrieval quality against exact cosine top-k; the three indexes
+# added since (SQ-int8, PQ-ADC, IVF-PQ) shipped with replay-correctness
+# oracles only, so a user choosing PQ_M/PQ_K/NPROBE had no committed
+# recall number to reason from. These queries close that: each one joins
+# the index's top-k against the exact top-k IN THE METRIC THAT INDEX
+# TARGETS and reports per-query recall — the "does the approximation
+# answer the query" half of the reference's keyed lookup (main.c:56-61),
+# lifted to vectors.
+#
+# Ground-truth metric per index, deliberately not one-size-fits-all:
+#   - SQ-int8 reranks its overfetched candidates by EXACT COSINE, so its
+#     ground truth is cosine_topk (identical candidate universe: every
+#     vector but self) — composed 1:1 like ann_recall_at_k.
+#   - PQ-ADC and IVF-PQ rank by approximate L2 over the db corpus
+#     (vec_id >= N_QUERY_VECS), so their ground truth is the exact
+#     L2 top-k over that same corpus (_exact_l2 below). Scoring them
+#     against cosine would conflate metric mismatch with quantization
+#     loss — the number users need is the latter.
+#
+# The eval frame is Q x K rows — trivially small at any corpus size; the
+# expensive legs inherit the scale posture of the underlying registered
+# plans (broadcast query side, banded/bucketed candidate generation).
+# The oracle replays BOTH legs (the composed CTE pattern), so the recall
+# values cross the driver's value hash — a committed quality number, not
+# an assertion.
+#
+# READ THE NUMBERS HONESTLY: the synthetic embeddings are ISOTROPIC —
+# measured mean pairwise cosine ~ -0.000x both within and across labels,
+# i.e. no cluster structure for a codebook to exploit. That is the
+# adversarial regime for vector quantization, and the committed matrix
+# shows exactly what it costs: SQ-int8 (72 B/vec + exact rerank) holds
+# recall 1.0 while raw PQ-ADC at 4 B/vec collapses to ~0.02-0.06 and
+# IVF-PQ additionally pays the NPROBE/K_coarse pruning cap. This is the
+# measurement a user must run on THEIR corpus before trusting a
+# compressed index — structured real-world embeddings sit far from this
+# floor, and the production levers are (a) train the codebook on the
+# actual distribution, (b) overfetch + exact rerank (the SQ leg's
+# pattern; see ann_pq_shortlist_recall_curve for the measured
+# overfetch-vs-recall trade-off on this corpus).
+# --------------------------------------------------------------------------
+_SQL_EXACT_L2_TOPK = f"""
+    WITH v AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), d AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             ROUND(SUM((q.val - c.val) ^ 2), 6) AS d6
+      FROM (SELECT * FROM v WHERE vec_id < {N_QUERY_VECS}) q
+      JOIN (SELECT * FROM v WHERE vec_id >= {N_QUERY_VECS}) c
+        USING (pos)
+      GROUP BY 1, 2
+    )
+    SELECT q_id, c_id
+    FROM (SELECT q_id, c_id,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY d6, c_id) AS rk
+          FROM d)
+    WHERE rk <= {PQ_TOPK}
+"""
+
+
+def _exact_l2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-{PQ_TOPK} per query over the PQ-family corpus
+    (vec_id >= N_QUERY_VECS): squared distance rounded to 6 dp before
+    ranking (ties toward the lower c_id), mirroring _SQL_EXACT_L2_TOPK
+    term for term. Broadcast query side, one candidate-scan leg."""
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), as_double("embedding").alias("qv")
+    )
+    c = (
+        emb.filter(F.col("vec_id") >= N_QUERY_VECS)
+        .repartition(n_parts)
+        .select(F.col("vec_id").alias("c_id"), as_double("embedding").alias("cv"))
+    )
+    d6 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q)).select("q_id", "c_id", d6.alias("d6"))
+    )
+    w = W.partitionBy("q_id").orderBy("d6", "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select("q_id", "c_id")
+    )
+
+
+def _recall_oracle(exact_sql: str, approx_sql: str) -> str:
+    return f"""
+    WITH exact AS (SELECT q_id, c_id FROM ({exact_sql})),
+    approx AS (SELECT q_id, c_id FROM ({approx_sql}))
+    SELECT e.q_id AS q_id,
+           CAST(COUNT(*) AS BIGINT) AS k_exact,
+           CAST(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           ROUND(SUM(CASE WHEN a.c_id IS NOT NULL THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 4) AS recall
+    FROM exact e
+    LEFT JOIN approx a ON e.q_id = a.q_id AND e.c_id = a.c_id
+    GROUP BY e.q_id
+    """
+
+
+def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
+    """Per-query recall of approx against exact; both are (q_id, c_id)."""
+    j = exact.join(approx.withColumn("hit", F.lit(1)), ["q_id", "c_id"], "left")
+    return j.groupBy("q_id").agg(
+        F.count("*").cast("long").alias("k_exact"),
+        F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_hit"),
+        F.round(
+            F.sum(F.when(F.col("hit").isNotNull(), 1).otherwise(0))
+            / F.count("*"),
+            4,
+        ).alias("recall"),
+    )
+
+
+@query(
+    "ann_sq_recall_at_k",
+    oracle=_recall_oracle(
+        _QUERIES["cosine_topk"].oracle, _QUERIES["ann_sq_topk"].oracle
+    ),
+)
+def ann_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = ann_sq_topk(spark, sf_dir).select("q_id", "c_id")
+    return _recall_frame(exact, approx)
+
+
+@query(
+    "ann_pq_recall_at_k",
+    oracle=_recall_oracle(
+        _SQL_EXACT_L2_TOPK, _QUERIES["ann_pq_adc_topk"].oracle
+    ),
+)
+def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _exact_l2_topk(spark, sf_dir)
+    approx = ann_pq_adc_topk(spark, sf_dir).select("q_id", "c_id")
+    return _recall_frame(exact, approx)
+
+
+@query(
+    "ann_ivfpq_recall_at_k",
+    oracle=_recall_oracle(
+        _SQL_EXACT_L2_TOPK, _QUERIES["ann_ivfpq_topk"].oracle
+    ),
+)
+def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = _exact_l2_topk(spark, sf_dir)
+    approx = ann_ivfpq_topk(spark, sf_dir).select("q_id", "c_id")
+    return _recall_frame(exact, approx)
+
+
+# The committed quality/compression trade-off table: one row per index,
+# mean recall over the query set — the number a user reading BENCH/
+# CORRECTNESS artifacts compares against each index's cost exhibit.
+# Composed from the three per-query frames above (and LSH's), so the
+# oracle replays every index end-to-end; bytes/vector is the documented
+# storage cost of each index's corpus-scale state (64 float32 dims = 256
+# raw; int8 SQ = 64 + scale; PQ = M codes; IVF-PQ = cell id + M codes).
+@query(
+    "ann_recall_matrix",
+    oracle=f"""
+    WITH lsh AS ({_recall_oracle(_QUERIES["cosine_topk"].oracle,
+                                 _QUERIES["ann_lsh_topk"].oracle)}),
+    sq AS ({_recall_oracle(_QUERIES["cosine_topk"].oracle,
+                           _QUERIES["ann_sq_topk"].oracle)}),
+    pq AS ({_recall_oracle(_SQL_EXACT_L2_TOPK,
+                           _QUERIES["ann_pq_adc_topk"].oracle)}),
+    ivfpq AS ({_recall_oracle(_SQL_EXACT_L2_TOPK,
+                              _QUERIES["ann_ivfpq_topk"].oracle)}),
+    u AS (
+      SELECT 'lsh' AS index_name, 256 AS bytes_per_vec, recall FROM lsh
+      UNION ALL
+      SELECT 'sq_int8', 72, recall FROM sq
+      UNION ALL
+      SELECT 'pq_adc', {PQ_M}, recall FROM pq
+      UNION ALL
+      SELECT 'ivf_pq', {PQ_M + 4}, recall FROM ivfpq
+    )
+    SELECT index_name, CAST(bytes_per_vec AS BIGINT) AS bytes_per_vec,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(recall), 4) AS mean_recall
+    FROM u GROUP BY 1, 2
+    """,
+)
+def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(index_name, bytes_per_vec, n_queries, mean_recall) for all four
+    ANN indexes — the quality axis of the compression trade-off, value-
+    hashed so the committed number is driver-verified, not asserted."""
+    exact_cos = cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    exact_l2 = _exact_l2_topk(spark, sf_dir)
+    legs = [
+        ("lsh", 256, _recall_frame(
+            exact_cos, ann_lsh_topk(spark, sf_dir).select("q_id", "c_id"))),
+        ("sq_int8", 72, _recall_frame(
+            exact_cos, ann_sq_topk(spark, sf_dir).select("q_id", "c_id"))),
+        ("pq_adc", PQ_M, _recall_frame(
+            exact_l2, ann_pq_adc_topk(spark, sf_dir).select("q_id", "c_id"))),
+        ("ivf_pq", PQ_M + 4, _recall_frame(
+            exact_l2, ann_ivfpq_topk(spark, sf_dir).select("q_id", "c_id"))),
+    ]
+    out = None
+    for name, bpv, frame in legs:
+        leg = frame.select(
+            F.lit(name).alias("index_name"),
+            F.lit(bpv).cast("long").alias("bytes_per_vec"),
+            "recall",
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out.groupBy("index_name", "bytes_per_vec").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("recall"), 4).alias("mean_recall"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Shortlist recall curve (round 8) — the measured overfetch lever. Raw
+# PQ-ADC top-5 recall on this isotropic corpus is ~0.02-0.06 (see
+# ann_recall_matrix); the standard production response is to use ADC as a
+# SHORTLIST generator — overfetch L candidates by compressed score, then
+# rerank the L with exact distances (the SQ-int8 leg's pattern, and what
+# FAISS calls refine). Shortlist recall@L = |exact top-k ∩ ADC top-L| / k
+# is exactly the recall an exact reranker could recover at that L, so
+# this ONE query commits the whole overfetch-vs-quality curve: the ADC
+# ranking is computed ONCE at the deepest cut and every level is a
+# filter over it (no per-level replay). Measured on this corpus:
+# 0.02/0.08/0.20/0.54 at L=5/20/80/320 over N=1990 (sf0.1) — ~3x above
+# the L/N chance line (0.16 at L=320), so the 4-byte codes do carry
+# signal even on isotropic data, but only deep overfetch recovers it;
+# on clustered corpora the curve saturates at small L instead.
+# --------------------------------------------------------------------------
+PQ_CURVE_LEVELS = (5, 20, 80, 320)
+
+
+@query(
+    "ann_pq_shortlist_recall_curve",
+    oracle=f"""
+    WITH exact AS (SELECT q_id, c_id FROM ({_SQL_EXACT_L2_TOPK})),
+    ranked AS (
+      SELECT q_id, c_id, rk FROM ({_pq_adc_oracle(max(PQ_CURVE_LEVELS))})
+    ),
+    lv AS (
+      SELECT unnest([{", ".join(str(l) for l in PQ_CURVE_LEVELS)}])
+               AS overfetch
+    ),
+    h AS (
+      SELECT e.q_id, lv.overfetch,
+             CASE WHEN r.rk IS NOT NULL AND r.rk <= lv.overfetch
+                  THEN 1 ELSE 0 END AS hit
+      FROM exact e
+      CROSS JOIN lv
+      LEFT JOIN ranked r ON r.q_id = e.q_id AND r.c_id = e.c_id
+    ),
+    per AS (
+      SELECT overfetch, q_id,
+             SUM(hit) * 1.0 / {PQ_TOPK} AS rec
+      FROM h GROUP BY 1, 2
+    )
+    SELECT CAST(overfetch AS BIGINT) AS overfetch,
+           CAST(COUNT(*) AS BIGINT) AS n_queries,
+           ROUND(AVG(rec), 4) AS mean_shortlist_recall
+    FROM per GROUP BY 1
+    """,
+)
+def ann_pq_shortlist_recall_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(overfetch, n_queries, mean_shortlist_recall) at each curve level:
+    the fraction of the exact L2 top-{PQ_TOPK} present in the PQ-ADC
+    top-L shortlist, averaged over queries — the recall an exact
+    reranker recovers at overfetch L."""
+    exact = _exact_l2_topk(spark, sf_dir)
+    ranked = _pq_adc_ranked(spark, sf_dir, max(PQ_CURVE_LEVELS)).select(
+        "q_id", "c_id", "rk"
+    )
+    levels = F.explode(
+        F.array(*[F.lit(l) for l in PQ_CURVE_LEVELS])
+    ).alias("overfetch")
+    h = (
+        exact.select("q_id", "c_id", levels)
+        .join(ranked, ["q_id", "c_id"], "left")
+        .select(
+            "q_id",
+            "overfetch",
+            F.when(
+                F.col("rk").isNotNull()
+                & (F.col("rk") <= F.col("overfetch")),
+                1,
+            )
+            .otherwise(0)
+            .alias("hit"),
+        )
+    )
+    per = h.groupBy("overfetch", "q_id").agg(
+        (F.sum("hit") / F.lit(PQ_TOPK)).alias("rec")
+    )
+    return per.groupBy("overfetch").agg(
+        F.count("*").cast("long").alias("n_queries"),
+        F.round(F.avg("rec"), 4).alias("mean_shortlist_recall"),
+    ).select(
+        F.col("overfetch").cast("long").alias("overfetch"),
+        "n_queries",
+        "mean_shortlist_recall",
     )

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.sources.tables import load_table, register_views
@@ -142,30 +143,38 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         with_out = ranks.join(out_w, ranks.nk == out_w.src, "left").select(
             "nk", "r", "out_w"
         )
-        # Dangling mass: rank held by nodes with no out-edges, teleported
-        # uniformly. One row; exact integer sum.
-        dangling = with_out.filter(F.col("out_w").isNull()).agg(
-            F.coalesce(F.sum("r"), F.lit(0)).alias("d")
+        # Dangling mass (rank held by nodes with no out-edges, teleported
+        # uniformly) FOLDED into the rank frame as an unpartitioned
+        # window SUM instead of a separate one-row aggregate: the
+        # round-7 form crossJoin(broadcast(agg)) forced one extra
+        # materialization job per iteration just to build each broadcast.
+        # The window moves the |V|-row frame to one task — fine here
+        # because |V| is the AGGREGATED graph's node count (25), already
+        # bounded before the iteration starts; a billion-vertex graph
+        # would use the agg+broadcast form instead (see the module
+        # docstring's scale paragraph). Exact integer sum either way.
+        base = with_out.withColumn(
+            "d",
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("out_w").isNull(), F.col("r"))
+                ).over(W.partitionBy()),
+                F.lit(0),
+            ),
         )
         contribs = (
-            with_out.join(edges, with_out.nk == edges.src)
+            base.join(edges, base.nk == edges.src)
             .groupBy("dst")
             .agg(F.sum(F.expr("r * w div out_w")).alias("inc"))
         )
-        ranks = (
-            ranks.join(contribs, ranks.nk == contribs.dst, "left")
-            .crossJoin(F.broadcast(dangling))
-            .select(
-                "nk",
-                (
-                    F.lit(PR_TELEPORT)
-                    + F.expr(
-                        f"85 * (coalesce(inc, 0) + d div {n_nodes}) div 100"
-                    )
-                )
-                .cast("long")
-                .alias("r"),
+        ranks = base.join(contribs, base.nk == contribs.dst, "left").select(
+            "nk",
+            (
+                F.lit(PR_TELEPORT)
+                + F.expr(f"85 * (coalesce(inc, 0) + d div {n_nodes}) div 100")
             )
+            .cast("long")
+            .alias("r"),
         )
     return ranks.join(
         F.broadcast(nation), ranks.nk == nation.n_nationkey

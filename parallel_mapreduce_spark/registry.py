@@ -113,6 +113,18 @@ DRIVER_PRIORITY: list[str] = [
     "theta_customer_set_algebra",
     "kll_quantile_rollup",
     "barrier_allgather_stats",
+    # round-8 additions: recall for the compressed ANN trio + the
+    # committed quality/compression matrix and overfetch curve.
+    # (semdedup_cluster_report's K-derivation fix is NOT re-listed: its
+    # latest driver row is green so _ordered_names would drop it anyway;
+    # the stalest-green rotation re-rows it in a later round, and local
+    # parity at all three SFs plus the re-run scale probe cover it now.)
+    "ann_sq_recall_at_k",
+    "ann_pq_recall_at_k",
+    "ann_ivfpq_recall_at_k",
+    "ann_recall_matrix",
+    "ann_pq_shortlist_recall_curve",
+    "exact_substring_runs",
 ]
 
 

@@ -66,12 +66,12 @@ DISJOINT_QUERIES = (
     "cosine_topk",
     "ann_sq_topk",
     # round 7: the LR classifier is per-doc features + O(1)-size gradient
-    # rows — expect ~1. SemDeDup is probed at FIXED K while N grows, so
-    # per-cluster membership rises linearly and within-cluster pairs
-    # quadratically: the measured super-linear exponent quantifies the
-    # documented fixed-K hazard (production raises K with N to hold
-    # cluster size constant), the same role the exact all-pairs baseline
-    # plays for the text near-dup family.
+    # rows — expect ~1. SemDeDup (round-8 fix): K is now DERIVED from the
+    # corpus count (max(8, ceil(N/TARGET_CLUSTER))), so cluster size
+    # holds ~constant under replication and within-cluster pair work is
+    # ~N*TARGET — expect ~linear wall (the round-7 fixed-K variant
+    # measured 1.56 here; that number is preserved in git history as the
+    # documented hazard this fix closes). Output rows now grow with K.
     "quality_classifier_lr2",
     "semdedup_cluster_report",
     # round 7 (session 2): segment-level dedup — token rewrite makes
@@ -96,6 +96,11 @@ DISJOINT_QUERIES = (
     # vocab-bounded frame, so expect ~1 with a constant 3-row output.
     "source_overlap_matrix",
     "bpe_train_3merges",
+    # round 8: exact-substring runs — token rewrite makes replica
+    # shingles disjoint, so each replica carries its own copy of the
+    # (original, variant) pair structure: pair rows grow linearly and
+    # the digest-keyed shuffle dominates wall — expect ~1.
+    "exact_substring_runs",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 

@@ -233,3 +233,64 @@ def test_segment_dedup_footer_variants_lose_everything_but_one_footer(
     assert (variants.n_kept == 1).sum() == 1  # exactly one footer keeper
     keeper = variants[variants.n_kept == 1].iloc[0]
     assert keeper.doc_id == variants.doc_id.min()
+
+
+def test_exact_substring_runs_injected_pairs_exact_span(spark, sf_dir):
+    """Every eligible (original, variant) pair must be detected with
+    max_run_tokens EXACTLY the injected slice length (13 + doc_id % 7)
+    and a single maximal run — the planted ground truth the gaps-and-
+    islands detection must reproduce token-for-token. Organic pairs
+    (whole/near-doc copies in the corpus) may exist on top but never
+    among the (o, o+OFFSET) pairs."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        SUBSTR_MIN_TOKENS,
+        SUBSTR_VARIANT_MOD,
+        SUBSTR_VARIANT_OFFSET,
+        exact_substring_runs,
+    )
+    from parallel_mapreduce_spark.functions.text import tokens
+    from parallel_mapreduce_spark.sources import load_table
+
+    out = exact_substring_runs(spark, sf_dir).toPandas()
+    n_eligible = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % SUBSTR_VARIANT_MOD == 2)
+        .filter(F.size(tokens("text")) >= SUBSTR_MIN_TOKENS)
+        .count()
+    )
+    inj = out[
+        (out.doc_b >= SUBSTR_VARIANT_OFFSET)
+        & (out.doc_a == out.doc_b - SUBSTR_VARIANT_OFFSET)
+    ]
+    assert len(inj) == n_eligible  # no planted pair missed
+    assert (inj.max_run_tokens == 13 + inj.doc_a % 7).all()
+    assert (inj.n_runs == 1).all()
+
+
+def test_exact_substring_runs_frequency_cap_only_drops(spark, sf_dir):
+    """Raising the occurrence cap can only ADD pairs/runs, never change
+    a surviving pair's measured span — the cap drops digest groups
+    whole (the Lee et al. common-n-gram filter), it does not truncate
+    runs mid-island. (A cut-through-the-middle would split one island
+    into shorter ones and shrink max_run_tokens.)"""
+    import parallel_mapreduce_spark.functions.dedup as D
+
+    base = D.exact_substring_runs(spark, sf_dir).toPandas()
+    old = D.SUBSTR_MAX_OCC
+    try:
+        D.SUBSTR_MAX_OCC = old * 4
+        wide = D.exact_substring_runs(spark, sf_dir).toPandas()
+    finally:
+        D.SUBSTR_MAX_OCC = old
+    b = {(r.doc_a, r.doc_b): (r.n_runs, r.max_run_tokens)
+         for r in base.itertuples()}
+    w = {(r.doc_a, r.doc_b): (r.n_runs, r.max_run_tokens)
+         for r in wide.itertuples()}
+    assert set(b) <= set(w)  # pairs only added
+    for k, (_n_runs, span) in b.items():
+        _wn, ws = w[k]
+        # max span is monotone in the cap (digests only get added, so
+        # islands only gain members or merge). n_runs is deliberately
+        # NOT asserted: merging two previously cap-split islands makes
+        # the span longer but the run count smaller.
+        assert ws >= span
