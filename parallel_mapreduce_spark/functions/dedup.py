@@ -1540,3 +1540,125 @@ def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_run_tokens"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# SimHash angle fidelity (round 8) — the measured-quality exhibit for the
+# SimHash family, closing the symmetry with the ANN recall matrix and
+# minhash_jaccard_estimate: simhash_neardup_pairs SHIPS the banded index,
+# but nothing measured how faithfully 60-bit signatures track the true
+# vector angle on this corpus. Goemans-Williamson: P[bit differs] =
+# theta/pi, so expected Hamming distance is linear in the angle between
+# the documents' (word -> tf) vectors. This query commits the empirical
+# curve: per Hamming-distance bucket, the mean EXACT tf-cosine of the
+# pairs landing there (dot and squared norms are integer sums — the only
+# float ops are one IEEE sqrt, a divide, and the 6dp/4dp rounding ladder
+# used by every cosine in the engine, so both engines agree bit-for-bit
+# at the hash).
+#
+# Evaluation universe: ALL pairs of the doc_id < SIMF_MAX_ID slice —
+# deliberately quadratic-bounded (the emb_neardup_pairs / knn convention
+# for quality-measurement queries: the eval set is fixed-size however big
+# the corpus grows; the SHIP plan for finding near-dups stays the banded
+# index). Disjoint-vocabulary pairs appear with cosine 0 via the
+# left-joined dot, so every bucket's mean is over its full population.
+# --------------------------------------------------------------------------
+SIMF_MAX_ID = 150  # bounded eval slice
+SIMF_BUCKET = 6  # Hamming bucket width: 10 buckets over 0..60 bits
+
+
+@query(
+    "simhash_angle_fidelity",
+    oracle=f"""
+    WITH {_SQL_SIMHASH_SIG},
+    bs AS (SELECT doc_id, simhash FROM sig WHERE doc_id < {SIMF_MAX_ID}),
+    btf AS (SELECT doc_id, word, tf FROM tf WHERE doc_id < {SIMF_MAX_ID}),
+    n2 AS (SELECT doc_id, SUM(tf * tf) AS n2 FROM btf GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             SUM(a.tf * b.tf) AS dot
+      FROM btf a JOIN btf b ON a.word = b.word AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    pairs AS (
+      SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             bit_count(xor(x.simhash, y.simhash))::BIGINT AS hamming
+      FROM bs x JOIN bs y ON x.doc_id < y.doc_id
+    ),
+    scored AS (
+      SELECT p.hamming // {SIMF_BUCKET} AS hamming_bucket,
+             ROUND(COALESCE(d.dot, 0) / SQRT(na.n2 * nb.n2), 6) AS cos6
+      FROM pairs p
+      JOIN n2 na ON na.doc_id = p.doc_a
+      JOIN n2 nb ON nb.doc_id = p.doc_b
+      LEFT JOIN dots d ON d.doc_a = p.doc_a AND d.doc_b = p.doc_b
+    )
+    SELECT CAST(hamming_bucket AS BIGINT) AS hamming_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(cos6), 4) AS mean_exact_cos
+    FROM scored GROUP BY 1
+    """,
+)
+def simhash_angle_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(hamming_bucket, n_pairs, mean_exact_cos) over every pair of the
+    bounded eval slice: the committed signature-vs-true-angle curve."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") < SIMF_MAX_ID
+    )
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    n2 = tf.groupBy("doc_id").agg(
+        F.sum(F.col("tf") * F.col("tf")).alias("n2")
+    )
+    a = tf.select(
+        F.col("doc_id").alias("doc_a"), "word", F.col("tf").alias("ta")
+    )
+    b = tf.select(
+        F.col("doc_id").alias("doc_b"), "word", F.col("tf").alias("tb")
+    )
+    dots = (
+        a.join(b, "word")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("ta") * F.col("tb")).alias("dot"))
+    )
+    sigs = _simhash_of(docs.select("doc_id", "text"))
+    x = sigs.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa")
+    )
+    y = sigs.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb")
+    )
+    pairs = (
+        x.join(F.broadcast(y), F.col("doc_a") < F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+            .cast("long")
+            .alias("hamming"),
+        )
+    )
+    na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
+    nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    scored = (
+        pairs.join(F.broadcast(na), "doc_a")
+        .join(F.broadcast(nb), "doc_b")
+        .join(dots, ["doc_a", "doc_b"], "left")
+        .select(
+            F.expr(f"hamming div {SIMF_BUCKET}").alias("hamming_bucket"),
+            F.round(
+                F.coalesce(F.col("dot"), F.lit(0))
+                / F.sqrt(F.col("na2") * F.col("nb2")),
+                6,
+            ).alias("cos6"),
+        )
+    )
+    return scored.groupBy("hamming_bucket").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("cos6"), 4).alias("mean_exact_cos"),
+    )

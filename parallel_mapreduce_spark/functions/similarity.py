@@ -2163,6 +2163,21 @@ def ann_sq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ann_ivf_recall_at_k",
+    oracle=_recall_oracle(
+        _QUERIES["cosine_topk"].oracle, _QUERIES["ann_ivf_topk"].oracle
+    ),
+)
+def ann_ivf_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the PRUNE-ONLY index (exact cosine within NPROBE probed
+    cells) against exact cosine top-k — isolates the pruning loss the
+    compressed IVF-PQ then adds quantization loss on top of."""
+    exact = cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = ann_ivf_topk(spark, sf_dir).select("q_id", "c_id")
+    return _recall_frame(exact, approx)
+
+
+@query(
     "ann_pq_recall_at_k",
     oracle=_recall_oracle(
         _SQL_EXACT_L2_TOPK, _QUERIES["ann_pq_adc_topk"].oracle
@@ -2200,6 +2215,8 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  _QUERIES["ann_lsh_topk"].oracle)}),
     sq AS ({_recall_oracle(_QUERIES["cosine_topk"].oracle,
                            _QUERIES["ann_sq_topk"].oracle)}),
+    ivf AS ({_recall_oracle(_QUERIES["cosine_topk"].oracle,
+                            _QUERIES["ann_ivf_topk"].oracle)}),
     pq AS ({_recall_oracle(_SQL_EXACT_L2_TOPK,
                            _QUERIES["ann_pq_adc_topk"].oracle)}),
     ivfpq AS ({_recall_oracle(_SQL_EXACT_L2_TOPK,
@@ -2208,6 +2225,8 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'lsh' AS index_name, 256 AS bytes_per_vec, recall FROM lsh
       UNION ALL
       SELECT 'sq_int8', 72, recall FROM sq
+      UNION ALL
+      SELECT 'ivf', 260, recall FROM ivf
       UNION ALL
       SELECT 'pq_adc', {PQ_M}, recall FROM pq
       UNION ALL
@@ -2220,8 +2239,8 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(index_name, bytes_per_vec, n_queries, mean_recall) for all four
-    ANN indexes — the quality axis of the compression trade-off, value-
+    """(index_name, bytes_per_vec, n_queries, mean_recall) for all five
+    ANN indexes (plus the prune-only IVF) — the quality axis of the compression trade-off, value-
     hashed so the committed number is driver-verified, not asserted."""
     exact_cos = cosine_topk(spark, sf_dir).select("q_id", "c_id")
     exact_l2 = _exact_l2_topk(spark, sf_dir)
@@ -2230,6 +2249,8 @@ def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_cos, ann_lsh_topk(spark, sf_dir).select("q_id", "c_id"))),
         ("sq_int8", 72, _recall_frame(
             exact_cos, ann_sq_topk(spark, sf_dir).select("q_id", "c_id"))),
+        ("ivf", 260, _recall_frame(
+            exact_cos, ann_ivf_topk(spark, sf_dir).select("q_id", "c_id"))),
         ("pq_adc", PQ_M, _recall_frame(
             exact_l2, ann_pq_adc_topk(spark, sf_dir).select("q_id", "c_id"))),
         ("ivf_pq", PQ_M + 4, _recall_frame(

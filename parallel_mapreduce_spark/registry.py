@@ -125,6 +125,8 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_matrix",
     "ann_pq_shortlist_recall_curve",
     "exact_substring_runs",
+    "ann_ivf_recall_at_k",
+    "simhash_angle_fidelity",
 ]
 
 

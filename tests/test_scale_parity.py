@@ -97,6 +97,22 @@ SCALE_SENSITIVE = [
     # with a fixed seed; both re-proven at sf0.1
     "theta_customer_set_algebra",
     "kll_quantile_rollup",
+    # round-8: K derives from COUNT(*) — sf0.1 is the first scale where
+    # the ceil crosses the MIN_K floor (K=16 vs 8), so the oracle's nv
+    # CTE replay is only actually exercised here
+    # (semdedup_cluster_report already listed above).
+    # round-8: recall joins replay BOTH legs at 2000 vecs — the 6-dp
+    # distance/cosine rounding boundaries and the PQ integer ADC sums
+    # get 4x the corpus to probe midpoints
+    "ann_recall_matrix",
+    "ann_pq_shortlist_recall_curve",
+    # round-8: island detection over organic long runs — sf0.1's larger
+    # working set (1218 pairs incl. 10..95-token organic spans) is where
+    # a diagonal/island edge case would first appear
+    "exact_substring_runs",
+    # round-8: mean-cosine buckets fold engine-order double AVGs to 4 dp
+    # over ~11k pairs — the boundary-probing population is here
+    "simhash_angle_fidelity",
 ]
 
 
