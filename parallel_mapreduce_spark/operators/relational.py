@@ -3971,3 +3971,76 @@ def kll_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return rows
+
+
+# --------------------------------------------------------------------------
+# HLL precision/accuracy curve (round 8) — the committed memory/accuracy
+# trade-off for the distinct-count sketch, the sibling of the ANN
+# recall matrix: hll_sketch_mergeable_rollup proves the merge contract at
+# ONE precision; this measures what each precision BUYS. One pass builds
+# sketches at lgConfigK = 4/6/8/10/12 (2^lgK 6-bit registers, i.e.
+# 12 B -> 3 KB of state); each estimate is bound-checked against the
+# exact distinct at 4 sigma of the theoretical rsd 1.04/sqrt(2^lgK)
+# (integer-literal rsd_x10000 on both sides, so the bound itself rides
+# the hash). The estimates are engine-internal (DuckDB cannot replay
+# DataSketches HLL), so — the approx_distinct_parts contract — the exact
+# count crosses the hash as a value and the bound as an oracle-pinned
+# TRUE: a degraded sketch at any precision fails the gate. Measured on
+# this corpus: within bound at every precision.
+# --------------------------------------------------------------------------
+HLL_CURVE_LGKS = (4, 6, 8, 10, 12)
+_HLL_RSD_X10000 = {
+    lg: int(1.04 / (2**lg) ** 0.5 * 10000) for lg in HLL_CURVE_LGKS
+}
+
+
+@query(
+    "hll_precision_error_curve",
+    oracle="""
+    WITH ex AS (
+      SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts
+      FROM lineitem
+    )
+    SELECT lg_k, exact_parts, rsd_x10000, TRUE AS within_4sigma
+    FROM ex CROSS JOIN (
+      VALUES {values}
+    ) v(lg_k, rsd_x10000)
+    """.format(
+        values=", ".join(
+            f"(CAST({lg} AS BIGINT), CAST({_HLL_RSD_X10000[lg]} AS BIGINT))"
+            for lg in HLL_CURVE_LGKS
+        )
+    ),
+)
+def hll_precision_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(lg_k, exact_parts, rsd_x10000, within_4sigma) per precision: the
+    sketch-state-size vs accuracy curve, every row's estimate asserted
+    within 4 sigma of its precision's theoretical rsd."""
+    register_views(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.countDistinct("l_partkey").cast("long").alias("exact_parts"),
+        *[
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("l_partkey", F.lit(lg))
+            ).alias(f"est_{lg}")
+            for lg in HLL_CURVE_LGKS
+        ],
+    )
+    stack_expr = "stack({n}, {args}) AS (lg_k, rsd_x10000, est)".format(
+        n=len(HLL_CURVE_LGKS),
+        args=", ".join(
+            f"CAST({lg} AS BIGINT), CAST({_HLL_RSD_X10000[lg]} AS BIGINT),"
+            f" est_{lg}"
+            for lg in HLL_CURVE_LGKS
+        ),
+    )
+    return row.select("exact_parts", F.expr(stack_expr)).select(
+        "lg_k",
+        "exact_parts",
+        "rsd_x10000",
+        (
+            F.abs(F.col("est") - F.col("exact_parts"))
+            <= F.lit(4.0) * F.col("rsd_x10000") / 10000.0 * F.col("exact_parts")
+        ).alias("within_4sigma"),
+    )

@@ -127,6 +127,8 @@ DRIVER_PRIORITY: list[str] = [
     "exact_substring_runs",
     "ann_ivf_recall_at_k",
     "simhash_angle_fidelity",
+    "stream_late_drop_accounting",
+    "hll_precision_error_curve",
 ]
 
 

@@ -529,3 +529,198 @@ def stream_resume_from_checkpoint(spark: SparkSession, sf_dir: str) -> DataFrame
             F.lit(resumed).alias("resumed_incrementally"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# LATE-DATA DROP ACCOUNTING (round 8) — the watermark's OTHER contract.
+# Every streaming query above proves what the watermark EMITS (closed
+# windows, final joins); none observed what it REFUSES: rows arriving
+# after their window already closed are silently discarded, and the only
+# record is the stateOperators' numRowsDroppedByWatermark counter. At
+# 100 TB that counter IS the data-loss audit (a misconfigured upstream
+# replaying a day-old partition must show up in monitoring, not vanish) —
+# so this exhibit makes the counter itself a VALUE-CHECKED output.
+#
+# Replay design (deterministic three-way split on fixed boundaries):
+#   batch 0 : B = events in [OLD_BOUND, NEW_BOUND)  — establishes the
+#             watermark at max(B) - LATE_WM_S (~2 days before NEW_BOUND);
+#   batch 1 : C = events at or after NEW_BOUND — arrive a batch late but
+#             newer than the watermark: open windows, MUST be accepted;
+#   batch 2 : A = events before OLD_BOUND — 16+ days below the
+#             watermark: every row's window is long closed, MUST all be
+#             dropped and counted. The margins are days wide, so the
+#             drop decision never sits near a boundary.
+# A arrives TWO batches after B deliberately: since SPARK-40925
+# (Spark 3.4) stateful operators filter late records with the PREVIOUS
+# batch's watermark (watermarkForLateEvents) while evicting with the
+# current one — a row arriving in the very next batch after its window
+# closed is admitted, immediately evicted, and emitted (measured here:
+# 158 expired windows re-emitted, counter 0, when A rode in batch 1).
+# Only from the second batch on is the late filter armed; the replay
+# encodes that engine contract, and the one-batch-grace behavior is
+# pinned by the unit test.
+# The run emits closed hourly windows (append mode) and the measured
+# counter; the oracle replays both EXACTLY: the counter equals A's
+# DISTINCT closed windows (the metric counts state-operator input =
+# post-combine partials; one task per replay file makes that the window
+# count — measured grain, documented in the fn), C's acceptance is
+# value-checked through the aggregate itself, and the output is
+# restricted to windows provably final (end <= max(ts) - delay - slack,
+# the LOJ measured-cutoff discipline — computed from DATA on both
+# engines).
+# --------------------------------------------------------------------------
+LATE_WM_S = 172_800  # 2-day watermark delay
+LATE_SLACK_S = 60
+LATE_OLD_BOUND = "2024-01-10"  # A: ts < this -> replayed late, must drop
+LATE_NEW_BOUND = "2024-01-28"  # C: ts >= this -> late but accepted
+
+
+def _late_replay_src(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
+    """Three-file replay source: file 0 = B (on-time), file 1 = C
+    (late-but-open), file 2 = A (too late), mtimes increasing so
+    maxFilesPerTrigger=1 replays them as three micro-batches. Returns
+    (src_dir, |B|). Built once per (process, sf_dir) and reused."""
+    import glob
+    import json
+    import os
+    import shutil
+
+    from parallel_mapreduce_spark.sources.tables import load_table, sink_dir
+
+    root = sink_dir("late_drop_src")
+    tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
+    src_dir = os.path.join(root, "src" + tag)
+    done = os.path.join(src_dir, "_DONE")
+    if os.path.exists(done):
+        return src_dir, json.load(open(done))["n_b"]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.to_timestamp_ltz("ts").alias("ts"),  # LTZ: == NTZ wall clock
+        "user_id",                             # under the UTC session
+        "value",
+    )
+    old_b = F.lit(LATE_OLD_BOUND).cast("timestamp")
+    new_b = F.lit(LATE_NEW_BOUND).cast("timestamp")
+    b = ev.filter((F.col("ts") >= old_b) & (F.col("ts") < new_b))
+    c = ev.filter(F.col("ts") >= new_b)
+    a = ev.filter(F.col("ts") < old_b)
+    n_b = b.count()
+    tmp = os.path.join(root, "tmp" + tag)
+    shutil.rmtree(src_dir, ignore_errors=True)
+    os.makedirs(src_dir)
+    base = 1_000_000_000
+    for i, part in enumerate((b, c, a)):
+        part.coalesce(1).write.mode("overwrite").parquet(tmp)
+        src = sorted(glob.glob(tmp + "/part-*.parquet"))[0]
+        dst = os.path.join(src_dir, f"events_{i:04d}.parquet")
+        shutil.move(src, dst)
+        os.utime(dst, (base + i, base + i))
+    json.dump({"n_b": n_b}, open(done, "w"))
+    return src_dir, n_b
+
+
+@query(
+    "stream_late_drop_accounting",
+    oracle=f"""
+    WITH a AS (SELECT * FROM events
+               WHERE ts < TIMESTAMP '{LATE_OLD_BOUND}'),
+    c AS (SELECT * FROM events WHERE ts >= TIMESTAMP '{LATE_NEW_BOUND}'),
+    surv AS (
+      SELECT * FROM events WHERE ts >= TIMESTAMP '{LATE_OLD_BOUND}'
+    ),
+    cut AS (
+      SELECT MAX(ts) - INTERVAL {LATE_WM_S + LATE_SLACK_S} SECONDS AS t
+      FROM events
+    )
+    SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS sum_value,
+           (SELECT CAST(COUNT(DISTINCT date_trunc('hour', ts)) AS BIGINT)
+            FROM a) AS n_late_windows_dropped,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM a)
+             + (SELECT CAST(COUNT(*) AS BIGINT) FROM c)
+             AS n_late_rows_replayed
+    FROM surv
+    GROUP BY 1
+    HAVING hour_epoch + 3600 <= (SELECT epoch(t) FROM cut)
+    """,
+)
+def stream_late_drop_accounting(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Closed hourly windows from the three-batch late-replay run, with
+    the engine's numRowsDroppedByWatermark counter (= A's distinct
+    closed windows, see the metric-grain note below) and the replayed
+    late-row total as value-checked columns."""
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+    from parallel_mapreduce_spark.sources.tables import load_table
+
+    apply_runtime_conf(spark)
+    src_dir, n_b = _late_replay_src(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, value double"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    agg = (
+        stream.withWatermark("ts", f"{LATE_WM_S} seconds")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count("*").cast("long").alias("n_events"),
+            F.sum("value").alias("sum_raw"),
+        )
+    )
+    name = _next_name("stream_late_drop")
+    with state_sized_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    progress = q.recentProgress or []
+    # METRIC GRAIN, measured not assumed: numRowsDroppedByWatermark
+    # counts rows reaching the STATE operator — i.e. post-map-side-
+    # combine PARTIAL aggregates, one per (window, task). Each replay
+    # batch is a single coalesced file (one task), so the counter equals
+    # exactly A's count of DISTINCT closed windows, which is what the
+    # oracle pins. (Raw-row drop counts are not observable from the
+    # aggregation metric; the acceptance of C's raw rows is value-checked
+    # through the window aggregate itself — the oracle's surv includes
+    # C, so a wrongly-dropped C row would break n_events/sum_value.)
+    n_dropped = sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in progress
+        for op in p["stateOperators"]
+    )
+    n_input = sum(int(p["numInputRows"]) for p in progress)
+    n_replayed = n_input - n_b
+    # Provably-final cutoff measured from the DATA (the LOJ discipline):
+    # every window ending at or before max(ts) - delay - slack has been
+    # flushed by the final no-data commit, whatever the exact eviction
+    # strictness at the boundary.
+    ev = load_table(spark, sf_dir, "events")
+    cut = ev.agg(
+        (
+            F.unix_timestamp(F.max(F.to_timestamp_ltz("ts")))
+            - F.lit(LATE_WM_S + LATE_SLACK_S)
+        ).alias("t")
+    )
+    return (
+        spark.table(name)
+        .crossJoin(F.broadcast(cut))
+        .filter(F.unix_timestamp(F.col("w.end")) <= F.col("t"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias(
+                "hour_epoch"
+            ),
+            "n_events",
+            F.round("sum_raw", 4).alias("sum_value"),
+            F.lit(n_dropped).cast("long").alias("n_late_windows_dropped"),
+            F.lit(n_replayed).cast("long").alias("n_late_rows_replayed"),
+        )
+    )

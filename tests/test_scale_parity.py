@@ -113,6 +113,10 @@ SCALE_SENSITIVE = [
     # round-8: mean-cosine buckets fold engine-order double AVGs to 4 dp
     # over ~11k pairs — the boundary-probing population is here
     "simhash_angle_fidelity",
+    # round-8: sketch-bound booleans (4-sigma per precision) over a 10x
+    # larger distinct population — the regime where a degraded sketch
+    # would first breach its bound
+    "hll_precision_error_curve",
 ]
 
 

@@ -442,3 +442,84 @@ def test_chained_join_window_runs_two_stateful_operators(spark, sf_dir):
     # the last batch id must be past the first few buckets.
     assert progress["batchId"] >= 3
     assert spark.table(name).count() >= 0
+
+
+def _run_late_replay(spark, tmp_path, files):
+    """Replay the given per-batch row lists (event_id, ts-string, value)
+    as one file each (mtime-ordered) through the hourly watermarked
+    aggregation; returns (emitted window-start strings, total
+    numRowsDroppedByWatermark)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from parallel_mapreduce_spark.session import state_sized_shuffle
+    from parallel_mapreduce_spark.streaming.events_stream import _next_name
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    for i, rows in enumerate(files):
+        df = spark.createDataFrame(
+            [(e, t, v) for e, t, v in rows], "event_id bigint, ts string, value double"
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+        stage = str(tmp_path / f"stage{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        import glob
+        import shutil
+
+        part = sorted(glob.glob(stage + "/part-*.parquet"))[0]
+        dst = os.path.join(src, f"f{i:04d}.parquet")
+        shutil.move(part, dst)
+        os.utime(dst, (1_000_000_000 + i, 1_000_000_000 + i))
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, value double"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+    )
+    name = _next_name("late_grace")
+    with state_sized_shuffle(spark):
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    dropped = sum(
+        int(op.get("numRowsDroppedByWatermark", 0))
+        for p in (q.recentProgress or [])
+        for op in p["stateOperators"]
+    )
+    emitted = {
+        r["w"]["start"].strftime("%Y-%m-%d %H")
+        for r in spark.table(name).collect()
+    }
+    return emitted, dropped
+
+
+def test_watermark_late_filter_arms_one_batch_later(spark, tmp_path):
+    """Pins the SPARK-40925 contract stream_late_drop_accounting's replay
+    design depends on: stateful operators filter late records with the
+    PREVIOUS batch's watermark. A row arriving in the very next batch
+    after the watermark passed its window is ADMITTED (then immediately
+    evicted and emitted, counter untouched); the same row arriving one
+    batch later is DROPPED and counted."""
+    b = [(1, "2024-01-20 05:00:30", 1.0)]  # establishes wm ~ Jan 20 04:00
+    a = [(2, "2024-01-01 00:00:30", 1.0)]  # 19 days below that watermark
+    adv = [(3, "2024-01-20 05:10:00", 1.0)]  # advancer: keeps wm in place
+
+    # A rides the batch right after B: one-batch grace — admitted,
+    # emitted as an (expired) window, nothing counted as dropped.
+    emitted, dropped = _run_late_replay(spark, tmp_path / "g", [b, a])
+    assert dropped == 0
+    assert "2024-01-01 00" in emitted
+
+    # A arrives two batches after B: the late filter is armed with B's
+    # watermark — dropped and counted, window never emitted.
+    emitted2, dropped2 = _run_late_replay(spark, tmp_path / "d", [b, adv, a])
+    assert dropped2 == 1
+    assert "2024-01-01 00" not in emitted2
