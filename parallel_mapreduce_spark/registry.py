@@ -129,6 +129,7 @@ DRIVER_PRIORITY: list[str] = [
     "simhash_angle_fidelity",
     "stream_late_drop_accounting",
     "hll_precision_error_curve",
+    "declarative_pipeline_medallion",
 ]
 
 
@@ -236,6 +237,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.operators.cbo  # noqa: F401
     import parallel_mapreduce_spark.operators.events  # noqa: F401
     import parallel_mapreduce_spark.operators.graph  # noqa: F401
+    import parallel_mapreduce_spark.operators.pipelines_sdp  # noqa: F401
     import parallel_mapreduce_spark.operators.relational  # noqa: F401
     import parallel_mapreduce_spark.operators.skew  # noqa: F401
     import parallel_mapreduce_spark.operators.tpch_gaps  # noqa: F401
