@@ -1378,10 +1378,12 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #      (SUBSTR_MAX_OCC, the Lee et al. high-frequency n-gram filter —
 #      boilerplate shared by thousands of docs would otherwise fan out
 #      quadratically; the drop under-counts only ubiquitous spans, and
-#      the cap is a visible constant, not a silent truncation);
-#   3. within a group (<= CAP occurrences) pairs are generated by a
-#      bounded double-explode — no join-back, the segment-dedup
-#      argument at pair grain;
+#      the cap is a visible constant, not a silent truncation). The cap
+#      is enforced by a partial-aggregable COUNT + semi filter BEFORE
+#      any per-digest list exists, so a mega-frequency shingle costs one
+#      combiner counter, never a materialized occurrence array;
+#   3. within a surviving group (<= CAP occurrences, guaranteed by the
+#      filter upstream) pairs are generated by a bounded double-explode;
 #   4. islands: per (doc_a, doc_b, diagonal), consecutive pos_a values
 #      are one run (pos_a - row_number() is the classic island key);
 #      run of n shingles = n + W - 1 exactly overlapping tokens.
@@ -1390,10 +1392,17 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Fixture: (the segdedup convention) the working set injects
 # deterministic variants — every doc_id % 5 == 2 document with >= 24
-# tokens reappears at +50M wrapped in id-unique junk around a VERBATIM
+# tokens reappears at +55,000,001 (NOT a multiple of the scale probe's
+# 10M replica id stride, so probe-replica ids can never collide with
+# variant ids) wrapped in id-unique junk around a VERBATIM
 # SLICE of its tokens (start 4, length 13 + doc_id % 7) — so every SF
-# is guaranteed (original, variant) pairs whose exact span the oracle
-# replays token-for-token. The corpus then contributes ORGANIC runs on
+# carries (original, variant) pairs whose exact span the oracle
+# replays token-for-token. (The exact-span pin additionally needs no
+# 8-gram inside a planted slice to exceed the occurrence cap corpus-
+# wide and the slice to match its source on a single diagonal — true of
+# every shipped corpus, asserted by the unit test as the canary, and a
+# fixture-tuning knob rather than a code bug if a future corpus ever
+# violates it.) The corpus then contributes ORGANIC runs on
 # top (measured at sf0.001: spans 10 and 22..95 tokens — the long ones
 # are the whole/near-document copies dedup_exact also sees), so the
 # query detects both planted and natural duplication and every branch
@@ -1402,7 +1411,7 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 SUBSTR_W = 8  # tokens per shingle = minimum reportable run
 SUBSTR_MAX_OCC = 8  # drop digests occurring more often (freq filter)
 SUBSTR_VARIANT_MOD = 5
-SUBSTR_VARIANT_OFFSET = 50_000_000
+SUBSTR_VARIANT_OFFSET = 55_000_001  # coprime-ish to the probe ID_STRIDE
 SUBSTR_SLICE_START = 4  # 1-based token index where the copied slice begins
 SUBSTR_SLICE_BASE = 13  # copied-run length = BASE + doc_id % 7 (13..19)
 SUBSTR_MIN_TOKENS = 24  # variant eligibility: slice must fit
@@ -1508,14 +1517,24 @@ def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "pos0", "dig"
         )
     ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "dig")
-    # ONE digest-keyed shuffle; per-digest occurrence lists are dropped
-    # whole above the cap, then pairs come from a bounded double-explode.
-    occ = (
+    # The frequency cap is applied as a partial-aggregable COUNT + semi
+    # filter BEFORE any occurrence list is built: a collect_list-then-
+    # filter would materialize a ubiquitous shingle's millions of
+    # occurrences on one task before the size test ever ran (exactly the
+    # boilerplate case the cap exists for). The count frame that crosses
+    # the broadcast/join boundary holds only digests with 2..CAP
+    # occurrences, so the join-back ships capped groups alone and the
+    # per-digest list below is bounded by CAP rows by construction.
+    ok = (
         sh.groupBy("dig")
+        .agg(F.count("*").alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= SUBSTR_MAX_OCC))
+        .select("dig")
+    )
+    occ = (
+        sh.join(ok, "dig")
+        .groupBy("dig")
         .agg(F.collect_list(F.struct("doc_id", "pos")).alias("occs"))
-        .filter(
-            (F.size("occs") >= 2) & (F.size("occs") <= SUBSTR_MAX_OCC)
-        )
     )
     p = (
         occ.select(F.explode("occs").alias("a"), "occs")

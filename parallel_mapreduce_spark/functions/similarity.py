@@ -1298,8 +1298,9 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # baseline (bounded id range, quadratic by design), emb_neardup_lsh_pairs
 # bounds candidates by hyperplane buckets, and this one bounds them by a
 # k-means partition: assign every vector to its nearest seed centroid
-# (the SEMDEDUP_K lowest-vec_id embeddings, the kmeans_lloyd_2iter init
-# convention), then compare pairs ONLY within a cluster and prune all
+# (the K lowest-vec_id embeddings, K corpus-derived below — the
+# kmeans_lloyd_2iter init convention), then compare pairs ONLY within
+# a cluster and prune all
 # but the lowest vec_id of each duplicate pair (keep-first, the text
 # near-dup convention). Result: per-cluster dedup report.
 #
@@ -2240,8 +2241,9 @@ def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(index_name, bytes_per_vec, n_queries, mean_recall) for all five
-    ANN indexes (plus the prune-only IVF) — the quality axis of the compression trade-off, value-
-    hashed so the committed number is driver-verified, not asserted."""
+    ANN indexes — lsh, sq_int8, the prune-only ivf, pq_adc, ivf_pq —
+    the quality axis of the compression trade-off, value-hashed so the
+    committed number is driver-verified, not asserted."""
     exact_cos = cosine_topk(spark, sf_dir).select("q_id", "c_id")
     exact_l2 = _exact_l2_topk(spark, sf_dir)
     legs = [

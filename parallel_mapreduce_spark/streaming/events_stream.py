@@ -655,8 +655,23 @@ def stream_late_drop_accounting(
     from parallel_mapreduce_spark.session import state_sized_shuffle
     from parallel_mapreduce_spark.sources.tables import load_table
 
+    import glob
+    import os
+
+    from parallel_mapreduce_spark.session import scoped_conf
+
     apply_runtime_conf(spark)
     src_dir, n_b = _late_replay_src(spark, sf_dir)
+    # The oracle pin (counter == A's distinct closed windows) requires
+    # each replay file to scan as EXACTLY ONE split: the counter counts
+    # per-(window, task) partials, so a file split N ways would count
+    # each dropped window up to N times. Enforce the precondition
+    # instead of assuming it — raise maxPartitionBytes above twice the
+    # largest replay file for the duration of the run.
+    max_bytes = max(
+        os.path.getsize(f) for f in glob.glob(src_dir + "/*.parquet")
+    )
+    one_split_bytes = str(max(134_217_728, 2 * max_bytes))
     stream = (
         spark.readStream.schema(
             "event_id bigint, ts timestamp, user_id bigint, value double"
@@ -673,7 +688,9 @@ def stream_late_drop_accounting(
         )
     )
     name = _next_name("stream_late_drop")
-    with state_sized_shuffle(spark):
+    with state_sized_shuffle(spark), scoped_conf(
+        spark, "spark.sql.files.maxPartitionBytes", one_split_bytes
+    ):
         q = (
             agg.writeStream.format("memory")
             .queryName(name)
@@ -686,9 +703,10 @@ def stream_late_drop_accounting(
     # METRIC GRAIN, measured not assumed: numRowsDroppedByWatermark
     # counts rows reaching the STATE operator — i.e. post-map-side-
     # combine PARTIAL aggregates, one per (window, task). Each replay
-    # batch is a single coalesced file (one task), so the counter equals
-    # exactly A's count of DISTINCT closed windows, which is what the
-    # oracle pins. (Raw-row drop counts are not observable from the
+    # batch is a single coalesced file read as ONE split (enforced by
+    # the scoped maxPartitionBytes above), so the counter equals exactly
+    # A's count of DISTINCT closed windows, which is what the oracle
+    # pins. (Raw-row drop counts are not observable from the
     # aggregation metric; the acceptance of C's raw rows is value-checked
     # through the window aggregate itself — the oracle's surv includes
     # C, so a wrongly-dropped C row would break n_events/sum_value.)

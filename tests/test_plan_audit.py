@@ -142,9 +142,11 @@ HEADLINE_EXCHANGE_CEILING = {
     # per iteration), not cache-state printing drift.
     "pagerank_trade_graph": 400,
     "bpe_train_3merges": 160,
-    # round 8: digest shuffle + pair/island/report aggs + the variant
-    # union's tokenize branch — measured 6; slack for AQE print drift.
-    "exact_substring_runs": 9,
+    # round 8: digest shuffle + the cap's count/semi-join pass (added in
+    # the review fix so no occurrence list materializes pre-filter) +
+    # pair/island/report aggs + the variant union's tokenize branch —
+    # measured 10; slack for AQE print drift.
+    "exact_substring_runs": 14,
 }
 
 
