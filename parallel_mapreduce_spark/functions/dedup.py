@@ -1433,11 +1433,12 @@ def _substr_shingle_digests(toks: Column) -> Column:
     return F.transform(acc, lambda s: F.md5(s))
 
 
-@query(
-    "exact_substring_runs",
-    headline=True,  # the long-repeat dedup ship plan: bench the full pass
-    oracle=f"""
-    WITH working AS (
+# Shared CTE chain (working set -> shingle digests -> capped groups ->
+# aligned pairs -> islands -> run-level rows) used by BOTH substring
+# oracles below, so the pair report and the per-doc summary replay
+# identical detection semantics.
+_SQL_SUBSTR_RUNS_CTES = f"""\
+working AS (
       SELECT doc_id, text FROM documents
       UNION ALL
       SELECT doc_id + {SUBSTR_VARIANT_OFFSET},
@@ -1479,18 +1480,11 @@ def _substr_shingle_digests(toks: Column) -> Column:
       SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_sh
       FROM isl GROUP BY doc_a, doc_b, diag, k
     )
-    SELECT doc_a, doc_b,
-           CAST(COUNT(*) AS BIGINT) AS n_runs,
-           CAST(MAX(n_sh) + {SUBSTR_W - 1} AS BIGINT) AS max_run_tokens
-    FROM runs GROUP BY doc_a, doc_b
-    """,
-)
-def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_a, doc_b, n_runs, max_run_tokens) for every document pair
-    sharing at least one exact >= {SUBSTR_W}-token run: the number of
-    maximal verbatim runs and the longest one's exact token length."""
-    register_views(spark, sf_dir)
-    docs = load_table(spark, sf_dir, "documents")
+"""
+
+
+def _substr_working(docs: DataFrame) -> DataFrame:
+    """documents plus the sliced-copy variants (the planted fixture)."""
     toks = tokens("text")
     slice_len = (F.lit(SUBSTR_SLICE_BASE) + F.col("doc_id") % 7).cast("int")
     variants = (
@@ -1511,7 +1505,12 @@ def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("text"),
         )
     )
-    working = docs.select("doc_id", "text").unionByName(variants)
+    return docs.select("doc_id", "text").unionByName(variants)
+
+
+def _substr_run_rows(working: DataFrame) -> DataFrame:
+    """(doc_a, doc_b, n_sh) — one row per maximal aligned run (the
+    run-level grain both reports aggregate from)."""
     sh = working.select(
         "doc_id", F.posexplode(_substr_shingle_digests(tokens("text"))).alias(
             "pos0", "dig"
@@ -1548,16 +1547,85 @@ def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     wisl = W.partitionBy("doc_a", "doc_b", "diag").orderBy("pa")
-    runs = (
+    return (
         p.withColumn("k", F.col("pa") - F.row_number().over(wisl))
         .groupBy("doc_a", "doc_b", "diag", "k")
         .agg(F.count("*").cast("long").alias("n_sh"))
+        .select("doc_a", "doc_b", "n_sh")
     )
+
+
+@query(
+    "exact_substring_runs",
+    headline=True,  # the long-repeat dedup ship plan: bench the full pass
+    oracle=f"""
+    WITH {_SQL_SUBSTR_RUNS_CTES}
+    SELECT doc_a, doc_b,
+           CAST(COUNT(*) AS BIGINT) AS n_runs,
+           CAST(MAX(n_sh) + {SUBSTR_W - 1} AS BIGINT) AS max_run_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    """,
+)
+def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, n_runs, max_run_tokens) for every document pair
+    sharing at least one exact >= {SUBSTR_W}-token run: the number of
+    maximal verbatim runs and the longest one's exact token length."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    runs = _substr_run_rows(_substr_working(docs))
     return runs.groupBy("doc_a", "doc_b").agg(
         F.count("*").cast("long").alias("n_runs"),
         (F.max("n_sh") + F.lit(SUBSTR_W - 1)).cast("long").alias(
             "max_run_tokens"
         ),
+    )
+
+
+# Per-document summary — the grain Lee et al. actually report: for every
+# document in the working set, the longest token run it shares VERBATIM
+# with any other document (0 when none survives the frequency cap) and
+# whether it carries one at all. Same run-level frame as the pair report
+# (identical CTE replay in the oracle); the per-doc fold is a union of
+# the two pair sides plus a left join against the id universe so
+# zero-overlap documents surface instead of vanishing — the
+# memorization-risk histogram input at corpus scale.
+@query(
+    "longest_dup_span_per_doc",
+    oracle=f"""
+    WITH {{ctes}}, per AS (
+      SELECT doc_id, MAX(n_sh) AS m FROM (
+        SELECT doc_a AS doc_id, n_sh FROM runs
+        UNION ALL
+        SELECT doc_b AS doc_id, n_sh FROM runs
+      ) GROUP BY doc_id
+    )
+    SELECT w.doc_id,
+           CAST(COALESCE(per.m + {SUBSTR_W - 1}, 0) AS BIGINT)
+             AS longest_shared_tokens,
+           per.m IS NOT NULL AS has_shared_run
+    FROM (SELECT doc_id FROM working) w
+    LEFT JOIN per USING (doc_id)
+    """.format(ctes=_SQL_SUBSTR_RUNS_CTES),
+)
+def longest_dup_span_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, longest_shared_tokens, has_shared_run) for EVERY working-
+    set document: the per-doc longest verbatim cross-document run."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    working = _substr_working(docs)
+    runs = _substr_run_rows(working)
+    per = (
+        runs.select(F.col("doc_a").alias("doc_id"), "n_sh")
+        .unionByName(runs.select(F.col("doc_b").alias("doc_id"), "n_sh"))
+        .groupBy("doc_id")
+        .agg(F.max("n_sh").alias("m"))
+    )
+    return working.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("m") + F.lit(SUBSTR_W - 1), F.lit(0))
+        .cast("long")
+        .alias("longest_shared_tokens"),
+        F.col("m").isNotNull().alias("has_shared_run"),
     )
 
 

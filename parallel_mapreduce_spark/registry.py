@@ -130,6 +130,7 @@ DRIVER_PRIORITY: list[str] = [
     "stream_late_drop_accounting",
     "hll_precision_error_curve",
     "declarative_pipeline_medallion",
+    "longest_dup_span_per_doc",
 ]
 
 

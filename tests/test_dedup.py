@@ -294,3 +294,25 @@ def test_exact_substring_runs_frequency_cap_only_drops(spark, sf_dir):
         # NOT asserted: merging two previously cap-split islands makes
         # the span longer but the run count smaller.
         assert ws >= span
+
+
+def test_longest_dup_span_consistent_with_pair_report(spark, sf_dir):
+    """The per-doc summary must agree with the pair report it folds:
+    every doc's longest_shared_tokens equals the max max_run_tokens over
+    the pairs it appears in (0 / has_shared_run=False when absent)."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        exact_substring_runs,
+        longest_dup_span_per_doc,
+    )
+
+    pairs = exact_substring_runs(spark, sf_dir).toPandas()
+    per = longest_dup_span_per_doc(spark, sf_dir).toPandas()
+    expect: dict[int, int] = {}
+    for r in pairs.itertuples():
+        for d in (r.doc_a, r.doc_b):
+            expect[d] = max(expect.get(d, 0), r.max_run_tokens)
+    for r in per.itertuples():
+        assert r.longest_shared_tokens == expect.get(r.doc_id, 0)
+        assert r.has_shared_run == (r.doc_id in expect)
+    # pair-side docs are a subset of the per-doc universe
+    assert set(expect) <= set(per.doc_id)

@@ -117,6 +117,9 @@ SCALE_SENSITIVE = [
     # larger distinct population — the regime where a degraded sketch
     # would first breach its bound
     "hll_precision_error_curve",
+    # round-8: per-doc fold of the run frame incl. the zero-overlap
+    # left-join branch — sf0.1's organic long runs exercise both sides
+    "longest_dup_span_per_doc",
 ]
 
 
