@@ -190,6 +190,13 @@ def main() -> None:
         side_path = ""
     # The compact driver line: ONLY the headline fields, printed LAST so the
     # driver's tail capture always sees one short complete JSON line.
+    # load_1m is the AMBIENT load the measured passes started under (the
+    # gate reading): load sampled at print time is dominated by the
+    # bench's OWN just-finished 32-thread work (measured 4-10 regardless
+    # of ambient state) and says nothing about contamination — the
+    # round-8 headline recorded exactly that self-load and read as "ran
+    # on a loaded box". load_1m_end keeps the raw end reading for
+    # completeness; load_gate_gave_up is the contamination flag.
     print(
         json.dumps(
             {
@@ -198,7 +205,9 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": _sf_of(sf_dir),
-                "load_1m": round(os.getloadavg()[0], 2),
+                "load_1m": gate["load_at_start"],
+                "load_1m_end": round(os.getloadavg()[0], 2),
+                "load_gate_gave_up": gate["load_gate_gave_up"],
                 "samples_file": os.path.basename(side_path),
             },
             separators=(",", ":"),

@@ -436,10 +436,10 @@ _SQL_BAND_CONCAT = " || ':' || ".join(
 )
 
 
-@query(
-    "minhash_lsh_candidates",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+# The full banded-index replay (tokens -> shingles -> affine minhash ->
+# banded buckets), shared by minhash_lsh_candidates and the MLlib parity
+# exhibit below so both oracles replay the IDENTICAL portable pipeline.
+_SQL_MINHASH_BAND_CTES = f"""t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
     sh AS (SELECT doc_id, unnest({_SQL_SHINGLES}) AS s FROM t WHERE len(toks) >= 3),
     ph AS (SELECT doc_id, {phash60_sql("s")} % {MINHASH_PRIME} AS ph FROM sh),
     mh AS (
@@ -454,7 +454,13 @@ _SQL_BAND_CONCAT = " || ':' || ".join(
       SELECT doc_id, band_idx,
              {phash60_sql(_SQL_BAND_CONCAT)} AS band_hash
       FROM sig CROSS JOIN range({N_BANDS}) b(band_idx)
-    )
+    )"""
+
+
+@query(
+    "minhash_lsh_candidates",
+    oracle=f"""
+    WITH {_SQL_MINHASH_BAND_CTES}
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
     FROM bands a
     JOIN bands b
@@ -494,6 +500,168 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         members, eligible, F.lit(N_BANDS).cast("long").alias("n_bands")
     )
     return cross.unionByName(within)
+
+
+# --------------------------------------------------------------------------
+# pyspark.ml MinHashLSH parity exhibit (round 9) — cross-validates the
+# hand-rolled banded index above against Spark MLlib's INDEPENDENT
+# implementation (org.apache.spark.ml.feature.MinHashLSH), the index a
+# real Spark user reaches for first. Both indexes run over the same
+# 3-shingle sets; the output is every doc pair with exact shingle-Jaccard
+# >= PARITY_JACCARD, flagged with whether each index surfaced it:
+#
+#   - in_banded is HONESTLY replayed by the oracle (the banded pipeline
+#     is fully SQL-portable via _SQL_MINHASH_BAND_CTES), so the column is
+#     value-checked, not assumed.
+#   - in_mllib cannot be replayed in DuckDB (MLlib's seeded coefficients
+#     live in the JVM), so the oracle pins it TRUE: MLlib with
+#     PARITY_TABLES OR-ed hash tables misses a J >= 0.9 pair with
+#     probability (1 - J)^tables <= 1e-8 — and the outcome is FROZEN by
+#     the literal seed, verified green at all three SFs before shipping.
+#     A regression in either index (or in the shared shingle layer) makes
+#     a boolean flip or a row vanish — a loud driver hash/row mismatch.
+#
+# HashingTF (2^20 binary features) maps shingles to vector indices; a
+# bucket collision can only MERGE set elements, which never lowers binary
+# Jaccard, so the approxSimilarityJoin threshold (distance <= 1 -
+# PARITY_MLLIB_J) admits every true J >= 0.9 pair. Scale posture: both
+# indexes run on exact-text representatives (collapse-first), MLlib's
+# join explodes hashes exactly like the hand-rolled band join (same
+# shuffle shape), and the exact-Jaccard verify touches only the planted
+# near-dup pairs.
+# --------------------------------------------------------------------------
+PARITY_JACCARD = 0.9  # exact-Jaccard floor for the parity universe
+PARITY_TABLES = 8  # MLlib numHashTables: miss prob (1-J)^8 <= 1e-8
+PARITY_MLLIB_J = 0.8  # candidate-join Jaccard floor (margin under 0.9)
+PARITY_SEED = 20260815
+PARITY_TF_FEATURES = 1 << 20
+
+
+@query(
+    "mllib_minhash_parity_pairs",
+    oracle=f"""
+    WITH {_SQL_MINHASH_BAND_CTES},
+    bp AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a
+      JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT doc_a, doc_b,
+             ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 4) AS jaccard
+      FROM pairs
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 4)
+              >= {PARITY_JACCARD}
+    )
+    SELECT j.doc_a, j.doc_b, j.jaccard,
+           bp.doc_a IS NOT NULL AS in_banded,
+           TRUE AS in_mllib
+    FROM j
+    LEFT JOIN bp ON j.doc_a = bp.doc_a AND j.doc_b = bp.doc_b
+    """,
+)
+def mllib_minhash_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_a, doc_b, jaccard, in_banded, in_mllib) for every doc pair
+    with exact 3-shingle Jaccard >= PARITY_JACCARD: the cross-validation
+    of the portable banded index against pyspark.ml's MinHashLSH."""
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    members = exact_dup_members(docs)
+    reps = _rep_texts(docs, n)
+    shingled = reps.select(
+        "doc_id", shingles3(tokens("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    eligible = shingled.select(F.col("doc_id").alias("rep"))
+    # Exact-Jaccard parity universe at rep level (ROUNDED >= floor, same
+    # expression the oracle filters on).
+    rep_j = jaccard_pairs(shingled).filter(
+        F.col("jaccard") >= PARITY_JACCARD
+    )
+    # Leg 1: the hand-rolled banded index (distinct candidate pairs).
+    bands = _lsh_bands(_minhash_of(reps))
+    ba, bb = bands.alias("a"), bands.alias("b")
+    banded = (
+        ba.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("in_banded", F.lit(True))
+    )
+    # Leg 2: MLlib MinHashLSH over HashingTF(binary) shingle vectors.
+    feat = HashingTF(
+        inputCol="sh",
+        outputCol="features",
+        numFeatures=PARITY_TF_FEATURES,
+        binary=True,
+    ).transform(shingled)
+    model = MinHashLSH(
+        inputCol="features",
+        outputCol="hashes",
+        numHashTables=PARITY_TABLES,
+        seed=PARITY_SEED,
+    ).fit(feat)
+    mllib = (
+        model.approxSimilarityJoin(
+            feat, feat, 1.0 - PARITY_MLLIB_J, distCol="_d"
+        )
+        .select(
+            F.col("datasetA.doc_id").alias("doc_a"),
+            F.col("datasetB.doc_id").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .distinct()
+        .withColumn("in_mllib", F.lit(True))
+    )
+    rep_out = (
+        rep_j.join(banded, ["doc_a", "doc_b"], "left")
+        .join(mllib, ["doc_a", "doc_b"], "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.struct(
+                F.col("jaccard"),
+                F.coalesce("in_banded", F.lit(False)).alias("in_banded"),
+                F.coalesce("in_mllib", F.lit(False)).alias("in_mllib"),
+            ).alias("p"),
+        )
+    )
+    cross = expand_rep_pairs(rep_out, members, "p")
+    within = within_group_pairs(
+        members,
+        eligible,
+        F.struct(
+            F.lit(1.0).alias("jaccard"),
+            F.lit(True).alias("in_banded"),
+            F.lit(True).alias("in_mllib"),
+        ).alias("p"),
+    )
+    return cross.unionByName(within).select(
+        "doc_a",
+        "doc_b",
+        F.col("p.jaccard").alias("jaccard"),
+        F.col("p.in_banded").alias("in_banded"),
+        F.col("p.in_mllib").alias("in_mllib"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -1472,12 +1640,14 @@ working AS (
       FROM sh a JOIN sh b USING (dig) JOIN ok USING (dig)
       WHERE a.doc_id < b.doc_id
     ), isl AS (
-      SELECT doc_a, doc_b, diag,
+      SELECT doc_a, doc_b, diag, pa,
              pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
                                      ORDER BY pa) AS k
       FROM p
     ), runs AS (
-      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_sh
+      SELECT doc_a, doc_b, diag,
+             CAST(MIN(pa) AS BIGINT) AS pa0,
+             CAST(COUNT(*) AS BIGINT) AS n_sh
       FROM isl GROUP BY doc_a, doc_b, diag, k
     )
 """
@@ -1509,8 +1679,10 @@ def _substr_working(docs: DataFrame) -> DataFrame:
 
 
 def _substr_run_rows(working: DataFrame) -> DataFrame:
-    """(doc_a, doc_b, n_sh) — one row per maximal aligned run (the
-    run-level grain both reports aggregate from)."""
+    """(doc_a, doc_b, diag, pa0, n_sh) — one row per maximal aligned run
+    (the run-level grain all three substring reports derive from): pa0 is
+    the run's first shingle position in doc_a, diag = pa - pb, so the
+    run covers doc_b tokens [pa0 - diag, pa0 - diag + n_sh + W - 2]."""
     sh = working.select(
         "doc_id", F.posexplode(_substr_shingle_digests(tokens("text"))).alias(
             "pos0", "dig"
@@ -1550,8 +1722,11 @@ def _substr_run_rows(working: DataFrame) -> DataFrame:
     return (
         p.withColumn("k", F.col("pa") - F.row_number().over(wisl))
         .groupBy("doc_a", "doc_b", "diag", "k")
-        .agg(F.count("*").cast("long").alias("n_sh"))
-        .select("doc_a", "doc_b", "n_sh")
+        .agg(
+            F.min("pa").cast("long").alias("pa0"),
+            F.count("*").cast("long").alias("n_sh"),
+        )
+        .select("doc_a", "doc_b", "diag", "pa0", "n_sh")
     )
 
 
@@ -1630,6 +1805,122 @@ def longest_dup_span_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Substring-run REMOVAL (round 9) — the missing composition the round-8
+# verdict named: exact_substring_runs DETECTS >= SUBSTR_W-token verbatim
+# runs and longest_dup_span_per_doc REPORTS them, but Lee et al. 2022's
+# pipeline REMOVES the duplicated spans (keep the first occurrence) and
+# rebuilds the corpus. Policy, identical on both engines: for every
+# detected maximal run between doc_a < doc_b, doc_a (the first occurrence
+# in id order) keeps its copy and the covered token interval
+# [pa0 - diag, pa0 - diag + n_sh + W - 2] is cut from doc_b; a document's
+# removed set is the UNION of its incident intervals (evaluated as a
+# token-level membership test, so overlapping intervals need no interval
+# algebra), and the survivors reassemble in original order — the
+# segment_dedup_reassemble contract at variable-length run grain.
+#
+# Scale posture: detection is the shipped exact_substring_runs plan (one
+# digest-keyed shuffle, cap-before-collect); the cut adds ONE token-grain
+# pass — tokens join removal intervals on doc_id (a doc's interval count
+# is bounded by its incident runs, cap-bounded per digest), and the
+# per-doc reassembly collect is bounded by document length, exactly like
+# segment reassembly. Raw text still never crosses a corpus shuffle: the
+# rebuilt text exists only inside its own doc's aggregate and leaves the
+# query as an md5.
+#
+# Branch coverage at every SF (value-checked, same fixture as detection):
+# planted +55M variants lose exactly their copied slice (PARTIAL cut,
+# junk prefix/suffix survive); exact-duplicate corpus docs (>= W tokens,
+# <= SUBSTR_MAX_OCC copies) are covered end-to-end by their run with the
+# min-id copy and cut to EMPTY (n_kept = 0, md5('') via the left-join
+# path); the untouched majority rebuilds verbatim (ZERO cut).
+# --------------------------------------------------------------------------
+@query(
+    "substring_run_removal",
+    headline=True,  # the corpus-rewriting long-repeat stage: bench it
+    oracle=f"""
+    WITH {_SQL_SUBSTR_RUNS_CTES},
+    iv AS (
+      SELECT doc_b AS doc_id, pa0 - diag AS s,
+             pa0 - diag + n_sh + {SUBSTR_W - 2} AS e
+      FROM runs
+    ),
+    tk AS (
+      SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS q,
+             unnest(toks) AS tok
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM working)
+    ),
+    keepq AS (
+      SELECT t.doc_id, t.q, t.tok
+      FROM tk t
+      WHERE NOT EXISTS (
+        SELECT 1 FROM iv
+        WHERE iv.doc_id = t.doc_id AND t.q BETWEEN iv.s AND iv.e
+      )
+    ),
+    reb AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+             md5(string_agg(tok, ' ' ORDER BY q)) AS clean_md5
+      FROM keepq GROUP BY doc_id
+    ),
+    base AS (
+      SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens
+      FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM working)
+    )
+    SELECT b.doc_id, b.n_tokens,
+           COALESCE(r.n_kept, CAST(0 AS BIGINT)) AS n_kept,
+           COALESCE(r.clean_md5, md5('')) AS clean_md5
+    FROM base b LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def substring_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, n_kept, clean_md5) for every working-set doc
+    after cutting all detected >= SUBSTR_W-token duplicated runs (first
+    occurrence kept) and reassembling the survivors in order."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    working = _substr_working(docs)
+    spans = _substr_run_rows(working)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("pa0") - F.col("diag")).alias("s"),
+        (
+            F.col("pa0") - F.col("diag") + F.col("n_sh") + F.lit(SUBSTR_W - 2)
+        ).alias("e"),
+    )
+    tk = working.select(
+        "doc_id", F.posexplode(tokens("text")).alias("q0", "tok")
+    ).select("doc_id", (F.col("q0") + 1).cast("long").alias("q"), "tok")
+    kept = tk.join(
+        iv,
+        (tk["doc_id"] == iv["doc_id"])
+        & (tk["q"] >= iv["s"])
+        & (tk["q"] <= iv["e"]),
+        "left_anti",
+    )
+    reb = kept.groupBy("doc_id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.md5(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("q", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+            )
+        ).alias("clean_md5"),
+    )
+    base = working.select(
+        "doc_id", F.size(tokens("text")).cast("long").alias("n_tokens")
+    )
+    return base.join(reb, "doc_id", "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce("n_kept", F.lit(0).cast("long")).alias("n_kept"),
+        F.coalesce("clean_md5", F.md5(F.lit(""))).alias("clean_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
 # SimHash angle fidelity (round 8) — the measured-quality exhibit for the
 # SimHash family, closing the symmetry with the ANN recall matrix and
 # minhash_jaccard_estimate: simhash_neardup_pairs SHIPS the banded index,
@@ -1674,7 +1965,9 @@ SIMF_BUCKET = 6  # Hamming bucket width: 10 buckets over 0..60 bits
     ),
     scored AS (
       SELECT p.hamming // {SIMF_BUCKET} AS hamming_bucket,
-             ROUND(COALESCE(d.dot, 0) / SQRT(na.n2 * nb.n2), 6) AS cos6
+             CAST(ROUND(
+               ROUND(COALESCE(d.dot, 0) / SQRT(na.n2 * nb.n2), 6) * 1e6
+             ) AS BIGINT) AS cos6u
       FROM pairs p
       JOIN n2 na ON na.doc_id = p.doc_a
       JOIN n2 nb ON nb.doc_id = p.doc_b
@@ -1682,7 +1975,8 @@ SIMF_BUCKET = 6  # Hamming bucket width: 10 buckets over 0..60 bits
     )
     SELECT CAST(hamming_bucket AS BIGINT) AS hamming_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           ROUND(AVG(cos6), 4) AS mean_exact_cos
+           ROUND(SUM(cos6u) * 1.0 / (COUNT(*) * 1000000), 4)
+             AS mean_exact_cos
     FROM scored GROUP BY 1
     """,
 )
@@ -1732,6 +2026,11 @@ def simhash_angle_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na = n2.select(F.col("doc_id").alias("doc_a"), F.col("n2").alias("na2"))
     nb = n2.select(F.col("doc_id").alias("doc_b"), F.col("n2").alias("nb2"))
+    # Integer-sum discipline (every cosine in the engine): each pair's
+    # 6dp cosine crosses the aggregate as exact integer micro-units, so
+    # the bucket SUM is accumulation-order independent and the ONLY float
+    # op either engine performs on the aggregate is one final divide —
+    # a 4dp-midpoint bucket mean can no longer flip between engines.
     scored = (
         pairs.join(F.broadcast(na), "doc_a")
         .join(F.broadcast(nb), "doc_b")
@@ -1739,13 +2038,20 @@ def simhash_angle_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.expr(f"hamming div {SIMF_BUCKET}").alias("hamming_bucket"),
             F.round(
-                F.coalesce(F.col("dot"), F.lit(0))
-                / F.sqrt(F.col("na2") * F.col("nb2")),
-                6,
-            ).alias("cos6"),
+                F.round(
+                    F.coalesce(F.col("dot"), F.lit(0))
+                    / F.sqrt(F.col("na2") * F.col("nb2")),
+                    6,
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("cos6u"),
         )
     )
     return scored.groupBy("hamming_bucket").agg(
         F.count("*").cast("long").alias("n_pairs"),
-        F.round(F.avg("cos6"), 4).alias("mean_exact_cos"),
+        F.round(
+            F.sum("cos6u") / (F.count("*") * F.lit(1000000)), 4
+        ).alias("mean_exact_cos"),
     )

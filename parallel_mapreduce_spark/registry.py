@@ -131,6 +131,12 @@ DRIVER_PRIORITY: list[str] = [
     "hll_precision_error_curve",
     "declarative_pipeline_medallion",
     "longest_dup_span_per_doc",
+    # round-9 additions: the clustered-fixture PQ quality gate, the
+    # pyspark.ml cross-validation exhibit, and the Lee et al. run-removal
+    # composition.
+    "ann_recall_matrix_clustered",
+    "mllib_minhash_parity_pairs",
+    "substring_run_removal",
 ]
 
 

@@ -579,7 +579,8 @@ def _late_replay_src(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     """Three-file replay source: file 0 = B (on-time), file 1 = C
     (late-but-open), file 2 = A (too late), mtimes increasing so
     maxFilesPerTrigger=1 replays them as three micro-batches. Returns
-    (src_dir, |B|). Built once per (process, sf_dir) and reused."""
+    (src_dir, |B|). Built once per (process, sf_dir, source-content
+    fingerprint) and reused; a regenerated dataset rebuilds."""
     import glob
     import json
     import os
@@ -591,8 +592,24 @@ def _late_replay_src(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     tag = sf_dir.rstrip("/").replace("/", "_").replace(".", "_")
     src_dir = os.path.join(root, "src" + tag)
     done = os.path.join(src_dir, "_DONE")
+    # The reuse marker is keyed on a CONTENT fingerprint of the source
+    # events files (paths + sizes + mtimes), not just the sf_dir path: a
+    # regenerated dataset at the same path must rebuild the replay files,
+    # or the stream replays stale data against a fresh oracle and the
+    # mismatch surfaces as a baffling hash error instead of a rebuild.
+    ev_glob = os.path.join(sf_dir, "events*.parquet")
+    fp = sorted(
+        (os.path.basename(f), os.path.getsize(f), int(os.path.getmtime(f)))
+        for f in glob.glob(ev_glob)
+    ) or sorted(
+        (os.path.basename(f), os.path.getsize(f), int(os.path.getmtime(f)))
+        for f in glob.glob(os.path.join(sf_dir, "events.parquet", "*"))
+    )
+    fp_key = json.dumps(fp)
     if os.path.exists(done):
-        return src_dir, json.load(open(done))["n_b"]
+        state = json.load(open(done))
+        if state.get("fp") == fp_key:
+            return src_dir, state["n_b"]
     ev = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.to_timestamp_ltz("ts").alias("ts"),  # LTZ: == NTZ wall clock
@@ -615,7 +632,8 @@ def _late_replay_src(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
         dst = os.path.join(src_dir, f"events_{i:04d}.parquet")
         shutil.move(src, dst)
         os.utime(dst, (base + i, base + i))
-    json.dump({"n_b": n_b}, open(done, "w"))
+    shutil.rmtree(tmp, ignore_errors=True)
+    json.dump({"n_b": n_b, "fp": fp_key}, open(done, "w"))
     return src_dir, n_b
 
 
@@ -665,9 +683,16 @@ def stream_late_drop_accounting(
     # The oracle pin (counter == A's distinct closed windows) requires
     # each replay file to scan as EXACTLY ONE split: the counter counts
     # per-(window, task) partials, so a file split N ways would count
-    # each dropped window up to N times. Enforce the precondition
-    # instead of assuming it — raise maxPartitionBytes above twice the
-    # largest replay file for the duration of the run.
+    # each dropped window up to N times. Spark's actual split size is
+    #   maxSplitBytes = min(maxPartitionBytes, max(openCostInBytes,
+    #                                              totalBytes/minPartitionNum))
+    # so raising maxPartitionBytes ALONE never lifts the split above
+    # max(~4 MB default openCost, bytesPerCore) — a replay file past that
+    # would still byte-range split (it survives today only because a
+    # coalesce(1) file under parquet.block.size has one row group).
+    # Enforce the precondition for real: scope BOTH maxPartitionBytes and
+    # openCostInBytes above twice the largest replay file, which pins
+    # maxSplitBytes = one_split_bytes >= 2x any file.
     max_bytes = max(
         os.path.getsize(f) for f in glob.glob(src_dir + "/*.parquet")
     )
@@ -690,6 +715,8 @@ def stream_late_drop_accounting(
     name = _next_name("stream_late_drop")
     with state_sized_shuffle(spark), scoped_conf(
         spark, "spark.sql.files.maxPartitionBytes", one_split_bytes
+    ), scoped_conf(
+        spark, "spark.sql.files.openCostInBytes", one_split_bytes
     ):
         q = (
             agg.writeStream.format("memory")
@@ -704,7 +731,8 @@ def stream_late_drop_accounting(
     # counts rows reaching the STATE operator — i.e. post-map-side-
     # combine PARTIAL aggregates, one per (window, task). Each replay
     # batch is a single coalesced file read as ONE split (enforced by
-    # the scoped maxPartitionBytes above), so the counter equals exactly
+    # the scoped maxPartitionBytes + openCostInBytes pair above, which
+    # pins maxSplitBytes itself), so the counter equals exactly
     # A's count of DISTINCT closed windows, which is what the oracle
     # pins. (Raw-row drop counts are not observable from the
     # aggregation metric; the acceptance of C's raw rows is value-checked

@@ -101,6 +101,11 @@ DISJOINT_QUERIES = (
     # (original, variant) pair structure: pair rows grow linearly and
     # the digest-keyed shuffle dominates wall — expect ~1.
     "exact_substring_runs",
+    # round 9: the removal composition — detection (above) plus one
+    # token-grain anti-join + per-doc reassembly; output is one row per
+    # working doc, so rows grow exactly linearly and wall should track
+    # the detection plan plus a linear token pass — expect ~1.
+    "substring_run_removal",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 

@@ -316,3 +316,54 @@ def test_longest_dup_span_consistent_with_pair_report(spark, sf_dir):
         assert r.has_shared_run == (r.doc_id in expect)
     # pair-side docs are a subset of the per-doc universe
     assert set(expect) <= set(per.doc_id)
+
+
+def test_substring_run_removal_branches_and_detection_consistency(
+    spark, sf_dir
+):
+    """The removal stage must (a) fire all three branches on every
+    shipped corpus — full cut (exact dups >= W tokens collapse to
+    empty), partial cut (the planted +55M variants lose exactly their
+    copied slice), zero cut (the untouched majority) — and (b) cut a
+    document iff it appears as the doc_b (later-id) side of a detected
+    run: keep-first means doc_a copies always survive intact unless
+    they are doc_b of some other run."""
+    import hashlib
+
+    from parallel_mapreduce_spark.functions.dedup import (
+        _substr_run_rows,
+        _substr_working,
+        substring_run_removal,
+    )
+    from parallel_mapreduce_spark.sources import load_table
+
+    out = substring_run_removal(spark, sf_dir).toPandas()
+    full = out[out.n_kept == 0]
+    partial = out[(out.n_kept > 0) & (out.n_kept < out.n_tokens)]
+    zero = out[out.n_kept == out.n_tokens]
+    assert len(full) and len(partial) and len(zero)
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    assert (full.clean_md5 == empty_md5).all()
+    docs = load_table(spark, sf_dir, "documents")
+    spans = _substr_run_rows(_substr_working(docs)).toPandas()
+    cut_docs = set(out[out.n_kept < out.n_tokens].doc_id)
+    assert cut_docs == set(spans.doc_b)
+
+
+def test_mllib_minhash_parity_agrees_on_planted_pairs(spark, sf_dir):
+    """The cross-validation pin: pyspark.ml's MinHashLSH (independent
+    implementation, frozen seed) must surface EVERY exact-Jaccard >= 0.9
+    pair the corpus carries — agreement between the portable banded
+    index and MLlib on the planted near-dups. in_banded is allowed
+    honest misses ((1-J^4)^4 per pair) but must still catch >= 90% and
+    every J = 1.0 pair (identical signatures share all bands)."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        mllib_minhash_parity_pairs,
+    )
+
+    out = mllib_minhash_parity_pairs(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.jaccard >= 0.9).all()
+    assert out.in_mllib.all(), out[~out.in_mllib]
+    assert (out[out.jaccard >= 1.0].in_banded).all()
+    assert out.in_banded.mean() >= 0.9

@@ -65,6 +65,90 @@ def _plan(df) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# --- Unpartitioned-window audit (round-9 verdict item) -------------------
+# A Window with an EMPTY partition spec moves ALL its input to one task —
+# fatal at corpus scale, and invisible in the bench tail because the
+# documented bounded-frame sites already emit the same WARN. This audit
+# turns the convention into a failing test: the whitelist below is EXACT —
+# a query gains a global window -> fails until whitelisted with a bounded-
+# frame justification; a whitelisted query loses its last global window ->
+# fails until the stale entry is removed.
+#
+# Every entry's global window rides a STRUCTURALLY BOUNDED frame:
+#   - hierarchical prefix-sum SHARD BASES (operators/rank.py
+#     global_prefix_sum: the outer ORDER BY _pid window sees one partial
+#     row per shard — 8/16 rows however big the corpus): zipf_slope,
+#     vocab_min_count, tokens_to_ids, detokenize_ids_roundtrip,
+#     epoch_shuffle_order, stratified_split_assign,
+#     price_weighted_median_by_flag (plus its per-flag totals frame).
+#   - K-seed / centroid frames (row_number over the K-row seed pick):
+#     kmeans_lloyd_2iter, semdedup_cluster_report.
+#   - |V|=25 aggregated trade graph (dangling-mass fold):
+#     pagerank_trade_graph.
+#   - grain bounded by a low-cardinality domain: monthly_revenue_growth
+#     (months), events_type_share (event types), bpe_pair_merge_step
+#     (alphabet^2 pair census).
+# WindowGroupLimit nodes are deliberately not audited: an empty-partition
+# group-limit IS the distributed top-k pushdown (bounded by the limit).
+GLOBAL_WINDOW_WHITELIST = {
+    "bpe_pair_merge_step",
+    "detokenize_ids_roundtrip",
+    "epoch_shuffle_order",
+    "events_type_share",
+    "kmeans_lloyd_2iter",
+    "monthly_revenue_growth",
+    "pagerank_trade_graph",
+    "price_weighted_median_by_flag",
+    "semdedup_cluster_report",
+    "stratified_split_assign",
+    "tokens_to_ids",
+    "vocab_min_count",
+    "zipf_slope",
+}
+
+
+def _top_groups(arg: str) -> list[str]:
+    """Top-level [...] groups of a plan node's argument string."""
+    groups: list[str] = []
+    depth, cur = 0, ""
+    for ch in arg:
+        if ch == "[":
+            depth += 1
+            if depth == 1:
+                cur = ""
+                continue
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                groups.append(cur)
+                continue
+        if depth >= 1:
+            cur += ch
+    return groups
+
+
+def _global_windows(plan: str) -> list[str]:
+    """Window/WindowInPandas plan lines with an EMPTY partition spec.
+
+    WindowExec prints `Window [funcs], [partSpec], [orderSpec]` with empty
+    Seqs omitted, so the four shapes are: 3 groups = partitioned+ordered;
+    2 groups whose second carries a sort spec (NULLS FIRST/LAST) = GLOBAL
+    ordered; 2 groups otherwise = partitioned, no order; 1 group = GLOBAL,
+    no order (both no-order shapes verified empirically on Spark 4.1)."""
+    hits = []
+    for line in plan.splitlines():
+        s = line.strip().lstrip("+-: *")
+        for node in ("Window ", "WindowInPandas "):
+            if s.startswith(node):
+                g = _top_groups(s[len(node):])
+                if len(g) == 1 or (
+                    len(g) == 2
+                    and ("NULLS FIRST" in g[1] or "NULLS LAST" in g[1])
+                ):
+                    hits.append(s[:160])
+    return hits
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_no_scale_red_flags(spark, sf_dir, name):
     df = QUERIES[name].fn(spark, sf_dir)
@@ -75,6 +159,17 @@ def test_no_scale_red_flags(spark, sf_dir, name):
         if name not in EAGER:
             hits = [m for m in PYTHON_STAGE_MARKERS if m in plan]
             assert not hits, f"{name}: undocumented Python stage(s) {hits}"
+    glb = _global_windows(plan)
+    if name in GLOBAL_WINDOW_WHITELIST:
+        assert glb, (
+            f"{name}: whitelisted for a global window but its plan no "
+            "longer has one — remove the stale whitelist entry"
+        )
+    else:
+        assert not glb, (
+            f"{name}: NEW unpartitioned Window (all rows to one task at "
+            f"100 TB) — bound the frame or justify + whitelist: {glb}"
+        )
 
 
 # Shuffle-census regression pins: each headline query's physical plan may
@@ -147,6 +242,11 @@ HEADLINE_EXCHANGE_CEILING = {
     # pair/island/report aggs + the variant union's tokenize branch —
     # measured 10; slack for AQE print drift.
     "exact_substring_runs": 14,
+    # round 9: detection (above, but the pair report's final agg is
+    # replaced by the interval projection) + the token-grain anti-join
+    # + per-doc reassembly agg + the base join — measured 7; slack for
+    # AQE print drift.
+    "substring_run_removal": 10,
 }
 
 

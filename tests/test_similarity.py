@@ -174,3 +174,60 @@ def test_sq_rerank_recall_vs_brute(spark, sf_dir):
         assert abs(brute[pair] - sq[pair]) < 1e-9
     recall = len(common) / len(brute)
     assert recall >= 0.9, f"SQ rerank recall {recall:.2f}"
+
+
+def test_clustered_recall_matrix_gates_quantization_quality(spark, sf_dir):
+    """On the product-clustered fixture a CORRECT PQ implementation must
+    recover recall far above chance (a wrong ADC table or codebook
+    scrambles cluster ordering and collapses toward k/N ~ 0.003-0.01):
+    the floors are the committed quality gate, at every SF."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        CLUST_IVFPQ_FLOOR,
+        CLUST_PQ_FLOOR,
+        ann_recall_matrix_clustered,
+    )
+
+    out = ann_recall_matrix_clustered(spark, sf_dir).toPandas()
+    rows = {r.index_name: r for r in out.itertuples()}
+    assert set(rows) == {"pq_adc", "ivf_pq"}
+    assert rows["pq_adc"].mean_recall >= CLUST_PQ_FLOOR
+    assert rows["ivf_pq"].mean_recall >= CLUST_IVFPQ_FLOOR
+    assert out.beats_floor.all()
+    # and the isotropic matrix stays the documented honest floor: the
+    # clustered fixture must be the thing that separates the two.
+    assert rows["pq_adc"].mean_recall >= 10 * (5.0 / 490)
+
+
+def test_clustered_fixture_is_product_structured(spark, sf_dir):
+    """Fixture sanity: every vector sits within noise of its cluster's
+    per-subspace centers, and the PQ seed vectors cover all PQ_K center
+    values in every subspace (what makes one Lloyd step recover the
+    codebook)."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        CLUST_P,
+        EMB_DIM,
+        PQ_K,
+        PQ_SUBDIM,
+        N_QUERY_VECS,
+        _clustered_vecs,
+    )
+
+    rows = _clustered_vecs(spark, sf_dir).limit(600).collect()
+    pset = set(CLUST_P)
+    seed_digits = {}
+    for r in rows:
+        assert len(r.e) == EMB_DIM
+        digs = []
+        for s in range(EMB_DIM // PQ_SUBDIM):
+            sub = r.e[s * PQ_SUBDIM : (s + 1) * PQ_SUBDIM]
+            # every element within the +/-0.1 noise bound of one center
+            cands = {p for p in pset if all(abs(x - p) <= 0.1001 for x in sub)}
+            assert len(cands) == 1, (r.vec_id, s, sub[:3])
+            digs.append(CLUST_P.index(next(iter(cands))))
+        if N_QUERY_VECS <= r.vec_id < N_QUERY_VECS + PQ_K:
+            seed_digits[r.vec_id] = digs
+    assert sorted(seed_digits) == [
+        N_QUERY_VECS + j for j in range(PQ_K)
+    ]
+    for j in range(PQ_K):
+        assert seed_digits[N_QUERY_VECS + j] == [j] * (EMB_DIM // PQ_SUBDIM)
