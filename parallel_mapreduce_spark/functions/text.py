@@ -2281,3 +2281,103 @@ def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------------------------------------------------
+# pyspark.ml feature-transformer parity (round 9) — the third leg of the
+# MLlib cross-validation family (MinHashLSH: functions/dedup.py; BRP-LSH:
+# functions/similarity.py): the transformers a real Spark user feeds an
+# ML pipeline with must agree EXACTLY with the engine's portable text
+# layer, or every downstream parity claim is built on sand.
+#
+#   - RegexTokenizer(pattern=" ", gaps, toLowercase=False,
+#     minTokenLength=1) == tokens() (split on single spaces, drop empty
+#     tokens) — exact array equality per document.
+#   - NGram(n=3) over those tokens == the 3-shingle SEQUENCE; its
+#     distinct set == shingles3() — exact set equality per document.
+#
+# Both claims are deterministic (no seeds), measured equal on every
+# document at every SF. The per-source report carries the equality
+# counts AND the token/shingle totals computed FROM THE MLLIB COLUMNS,
+# so the oracle's portable-definition totals only hash-match if the
+# transformers really produced identical arrays.
+#
+# Deliberately absent: HashingTF. Its term hash is murmur3-of-UTF8 with
+# MLlib's own byte path, measured DISJOINT from Spark SQL's hash() on
+# every document — not replayable in SQL on either engine, which is
+# exactly why the portable phash60 discipline exists.
+# --------------------------------------------------------------------------
+@query(
+    "mllib_feature_parity_report",
+    oracle=f"""
+    WITH t AS (
+      SELECT source, doc_id, {_SQL_TOKS} AS toks FROM documents
+    ),
+    sh AS (
+      SELECT source, doc_id,
+             CASE WHEN len(toks) >= 3
+                  THEN list_distinct(list_transform(
+                         range(1, len(toks) - 1),
+                         i -> toks[i] || ' ' || toks[i + 1] || ' ' ||
+                              toks[i + 2]))
+                  ELSE [] END AS shg
+      FROM t
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_tokenizer_equal,
+           CAST(COUNT(*) AS BIGINT) AS n_ngram_equal,
+           CAST(SUM(len(t.toks)) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(sh.shg)) AS BIGINT) AS n_shingles
+    FROM t JOIN sh ON t.doc_id = sh.doc_id
+    GROUP BY 1
+    """,
+)
+def mllib_feature_parity_report(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(source, n_docs, n_tokenizer_equal, n_ngram_equal, n_tokens,
+    n_shingles) — per-source proof that pyspark.ml's RegexTokenizer and
+    NGram reproduce the portable tokens()/shingles3() layer exactly
+    (the totals come from the MLlib columns; the oracle recomputes them
+    from the portable definitions)."""
+    from pyspark.ml.feature import NGram, RegexTokenizer
+
+    from parallel_mapreduce_spark.functions.dedup import shingles3
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "text"
+    )
+    tokd = RegexTokenizer(
+        inputCol="text",
+        outputCol="ml_toks",
+        pattern=" ",
+        gaps=True,
+        toLowercase=False,
+        minTokenLength=1,
+    ).transform(docs)
+    ngrd = NGram(n=3, inputCol="ml_toks", outputCol="ml_ngrams").transform(
+        tokd
+    )
+    per_doc = ngrd.select(
+        "source",
+        (F.col("ml_toks") == tokens("text")).alias("tok_eq"),
+        (
+            F.array_sort(F.array_distinct("ml_ngrams"))
+            == F.array_sort(shingles3(tokens("text")))
+        ).alias("ng_eq"),
+        F.size("ml_toks").cast("long").alias("n_tok"),
+        F.size(F.array_distinct("ml_ngrams")).cast("long").alias("n_shg"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("tok_eq").cast("long")).cast("long").alias(
+            "n_tokenizer_equal"
+        ),
+        F.sum(F.col("ng_eq").cast("long")).cast("long").alias(
+            "n_ngram_equal"
+        ),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("n_shg").cast("long").alias("n_shingles"),
+    )

@@ -137,6 +137,14 @@ DRIVER_PRIORITY: list[str] = [
     "ann_recall_matrix_clustered",
     "mllib_minhash_parity_pairs",
     "substring_run_removal",
+    "mllib_brp_lsh_parity_pairs",
+    "mllib_feature_parity_report",
+    # (semdedup_cluster_report's round-9 hierarchical-assignment rewrite
+    # is NOT listed: its latest driver row is green so _ordered_names
+    # would drop it anyway — the round-8 precedent for the K-derivation
+    # fix. The stalest-green rotation re-rows it in a later round; local
+    # oracle parity at all three SFs plus the re-run 1x/3x/10x/30x probe
+    # cover the change now.)
 ]
 
 

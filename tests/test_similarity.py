@@ -231,3 +231,21 @@ def test_clustered_fixture_is_product_structured(spark, sf_dir):
     ]
     for j in range(PQ_K):
         assert seed_digits[N_QUERY_VECS + j] == [j] * (EMB_DIM // PQ_SUBDIM)
+
+
+def test_brp_parity_mllib_finds_all_close_pairs(spark, sf_dir):
+    """MLlib's BucketedRandomProjectionLSH (frozen seed, 12 OR-ed tables
+    at bucketLength 10 >> the 1.6 max close-pair distance) must surface
+    every same-cluster pair of the bounded slice; the portable
+    hyperplane LSH is allowed honest sign-flip misses but must stay a
+    near-complete index on this geometry."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        BRP_D2,
+        mllib_brp_lsh_parity_pairs,
+    )
+
+    out = mllib_brp_lsh_parity_pairs(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out.d2 <= BRP_D2).all()
+    assert out.in_mllib.all(), out[~out.in_mllib]
+    assert out.in_cosine_lsh.mean() >= 0.9
