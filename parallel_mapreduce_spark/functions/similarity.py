@@ -52,17 +52,18 @@ def cosine(a: Column, b: Column) -> Column:
 # --------------------------------------------------------------------------
 # Brute-force cosine top-k (oracle-checked baseline).
 # --------------------------------------------------------------------------
-@query(
-    "cosine_topk",
-    oracle=f"""
+def _cosine_topk_oracle(src: str = "embeddings") -> str:
+    """DuckDB brute-force cosine top-k over the (vec_id, embedding)
+    relation ``src`` — parameterized for the clustered-fixture legs."""
+    return f"""
     WITH q AS (
       SELECT vec_id AS q_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
-      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+      FROM {src} WHERE vec_id < {N_QUERY_VECS}
     ), c AS (
       SELECT vec_id AS c_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-      FROM embeddings
+      FROM {src}
     ), s AS (
       SELECT q_id, c_id,
              ROUND(list_cosine_similarity(qv, cv), 6) AS sim6
@@ -74,27 +75,36 @@ def cosine(a: Column, b: Column) -> Column:
                                     ORDER BY sim6 DESC, c_id) AS rk
           FROM s)
     WHERE rk <= {TOP_K}
-    """,
-    headline=True,
-)
+    """
+
+
+@query("cosine_topk", oracle=_cosine_topk_oracle(), headline=True)
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    return _cosine_topk_frame(spark, sf_dir)
+
+
+def _cosine_topk_frame(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
     # Norms are computed ONCE per vector (narrow pass), not per pair — at N
     # candidates x Q queries that's the difference between O(N+Q) and O(NQ)
     # norm work. The candidate side is repartitioned: a small parquet file
     # scans as one split, and the per-pair dot products are the CPU-heavy
     # part worth spreading across all cores.
+    if vecs is None:
+        register_views(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", as_double("embedding").alias("e"))
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
-        as_double("embedding").alias("qv"),
-        l2_norm(as_double("embedding")).alias("qn"),
+        F.col("e").alias("qv"),
+        l2_norm(F.col("e")).alias("qn"),
     )
-    c = emb.repartition(n_parts).select(
+    c = vecs.repartition(n_parts).select(
         F.col("vec_id").alias("c_id"),
-        as_double("embedding").alias("cv"),
-        l2_norm(as_double("embedding")).alias("cn"),
+        F.col("e").alias("cv"),
+        l2_norm(F.col("e")).alias("cn"),
     )
     sims = (
         c.crossJoin(F.broadcast(q))
@@ -175,12 +185,13 @@ def lsh_table_buckets(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column
     return F.array(*entries)
 
 
-@query(
-    "ann_lsh_topk",
-    oracle=f"""
+def _lsh_topk_oracle(src: str = "embeddings") -> str:
+    """DuckDB replay of the multi-table hyperplane-LSH top-k over the
+    (vec_id, embedding) relation ``src``."""
+    return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM {src}
     ),
     b AS (
 {_buckets_cte_sql(N_PLANES)}
@@ -203,8 +214,10 @@ def lsh_table_buckets(vec: Column, dim: int, n_planes: int = N_PLANES) -> Column
                                     ORDER BY sim6 DESC, c_id) AS rk
           FROM s)
     WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("ann_lsh_topk", oracle=_lsh_topk_oracle())
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per query among candidates sharing any LSH table bucket.
 
@@ -212,8 +225,15 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 1000 executors the full O(Q x N) cross product never materializes;
     each table contributes ~N / 2^N_PLANES candidates per query.
     """
-    register_views(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    return _lsh_topk_frame(spark, sf_dir)
+
+
+def _lsh_topk_frame(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
+    if emb is None:
+        register_views(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
     # EMB_DIM is a build-time constant (the oracle SQL already embeds planes
     # of this length as literals); probing the data with .first() here would
     # run a Spark job at plan-construction time. tests/test_similarity.py
@@ -323,12 +343,13 @@ def ivf_centroids(vecs: DataFrame) -> DataFrame:
     )
 
 
-@query(
-    "ann_ivf_topk",
-    oracle=f"""
+def _ivf_topk_oracle(src: str = "embeddings") -> str:
+    """DuckDB replay of the IVF prune-and-rerank pipeline over the
+    (vec_id, embedding) relation ``src``."""
+    return f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM {src}
     ),
     seeds AS (
       SELECT (vec_id - {N_QUERY_VECS})::INT AS cid, e AS cv
@@ -389,12 +410,21 @@ def ivf_centroids(vecs: DataFrame) -> DataFrame:
                                     ORDER BY sim6 DESC, c_id) AS rk
           FROM s)
     WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("ann_ivf_topk", oracle=_ivf_topk_oracle())
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k per query among vectors in the query's IVF_NPROBE nearest cells."""
-    register_views(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    return _ivf_topk_frame(spark, sf_dir)
+
+
+def _ivf_topk_frame(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
+    if emb is None:
+        register_views(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     vecs = emb.repartition(n_parts).select(
         "vec_id",
@@ -764,34 +794,39 @@ def _int_dot(a: Column, b: Column) -> Column:
 # deterministic, so the oracle replays quantization, approx ranking, and
 # rerank bit-for-bit — a full value check, like the LSH/IVF paths.
 # --------------------------------------------------------------------------
-@query(
-    "ann_sq_topk",
-    headline=True,
-    oracle=f"""
+def _sq_topk_oracle(src: str = "embeddings") -> str:
+    """DuckDB replay of the SQ-int8 overfetch+rerank pipeline over the
+    (vec_id, embedding) relation ``src``."""
+    return f"""
     WITH base AS (
       SELECT vec_id, embedding,
              greatest(list_max(list_transform(embedding, x -> abs(x))),
-                      1e-30) AS scale
-      FROM embeddings
+                      1e-30) AS scale,
+             greatest(sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 1e-30)
+               AS nrm
+      FROM {src}
     ), qz AS (
       SELECT vec_id AS q_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv,
              list_transform(embedding,
                x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS qq,
-             CAST(scale AS DOUBLE) AS qs
+             CAST(scale AS DOUBLE) AS qs,
+             nrm AS qn
       FROM base WHERE vec_id < {N_QUERY_VECS}
     ), cz AS (
       SELECT vec_id AS c_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv,
              list_transform(embedding,
                x -> CAST(floor(x * 127.0 / scale + 0.5) AS BIGINT)) AS cq,
-             CAST(scale AS DOUBLE) AS cs
+             CAST(scale AS DOUBLE) AS cs,
+             nrm AS cn
       FROM base
     ), ap AS (
       SELECT q_id, c_id, qv, cv,
              ROUND(CAST(list_sum(list_transform(range(1, len(qq) + 1),
                                  i -> qq[i] * cq[i])) AS DOUBLE)
-                   * qs * cs, 6) AS approx6
+                   * qs * cs / (qn * cn), 6) AS approx6
       FROM qz CROSS JOIN cz WHERE q_id <> c_id
     ), cand AS (
       SELECT q_id, c_id, qv, cv
@@ -811,11 +846,20 @@ def _int_dot(a: Column, b: Column) -> Column:
                                     ORDER BY sim6 DESC, c_id) AS rk
           FROM ex)
     WHERE rk <= {TOP_K}
-    """,
-)
+    """
+
+
+@query("ann_sq_topk", headline=True, oracle=_sq_topk_oracle())
 def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
+    return _sq_topk_frame(spark, sf_dir)
+
+
+def _sq_topk_frame(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
+    if emb is None:
+        register_views(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     # greatest(., eps): an all-zero vector would otherwise divide by zero
     # into NaN quantized values, and NaN orders differently in Spark (sorts
@@ -823,22 +867,33 @@ def ann_sq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = F.greatest(
         F.array_max(F.transform("embedding", lambda x: F.abs(x))), F.lit(1e-30)
     )
+    # The approx phase ranks by QUANTIZED COSINE (int-dot rescaled by the
+    # two scales, divided by the exact per-vector norms — one extra float
+    # per vector, the FAISS IP->cosine convention). Ranking by the raw
+    # rescaled dot worked on the isotropic corpus (uniform norms) but
+    # COLLAPSED on the clustered fixture (recall 0.10: large-norm
+    # clusters crowd out every query's own cluster in the overfetch) —
+    # the exact defect class ann_recall_matrix_clustered exists to catch.
+    nrm = F.greatest(l2_norm(as_double("embedding")), F.lit(1e-30))
     q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
         F.col("vec_id").alias("q_id"),
         as_double("embedding").alias("qv"),
         _quant(F.col("embedding"), scale).alias("qq"),
         scale.cast("double").alias("qs"),
+        nrm.alias("qn"),
     )
     c = emb.repartition(n_parts).select(
         F.col("vec_id").alias("c_id"),
         as_double("embedding").alias("cv"),
         _quant(F.col("embedding"), scale).alias("cq"),
         scale.cast("double").alias("cs"),
+        nrm.alias("cn"),
     )
     approx6 = F.round(
         _int_dot(F.col("qq"), F.col("cq")).cast("double")
         * F.col("qs")
-        * F.col("cs"),
+        * F.col("cs")
+        / (F.col("qn") * F.col("cn")),
         6,
     )
     ap = (
@@ -2663,6 +2718,11 @@ def _clustered_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CLUST_LSH_FLOOR = 0.5
+CLUST_SQ_FLOOR = 0.9
+CLUST_IVF_FLOOR = 0.5
+
+
 @query(
     "ann_recall_matrix_clustered",
     oracle=f"""
@@ -2671,6 +2731,12 @@ def _clustered_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                _clustered_emb_sql()))}),
     ivfpq AS ({_recall_oracle(_exact_l2_oracle(_clustered_emb_sql()),
                               _ivfpq_oracle(_clustered_emb_sql()))}),
+    lsh AS ({_recall_oracle(_cosine_topk_oracle(_clustered_emb_sql()),
+                            _lsh_topk_oracle(_clustered_emb_sql()))}),
+    sq AS ({_recall_oracle(_cosine_topk_oracle(_clustered_emb_sql()),
+                           _sq_topk_oracle(_clustered_emb_sql()))}),
+    ivf AS ({_recall_oracle(_cosine_topk_oracle(_clustered_emb_sql()),
+                            _ivf_topk_oracle(_clustered_emb_sql()))}),
     u AS (
       SELECT 'pq_adc' AS index_name,
              CAST({CLUST_PQ_FLOOR!r} AS DOUBLE) AS floor_recall,
@@ -2680,6 +2746,16 @@ def _clustered_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT 'ivf_pq', CAST({CLUST_IVFPQ_FLOOR!r} AS DOUBLE), n_hit,
              k_exact
       FROM ivfpq
+      UNION ALL
+      SELECT 'lsh', CAST({CLUST_LSH_FLOOR!r} AS DOUBLE), n_hit, k_exact
+      FROM lsh
+      UNION ALL
+      SELECT 'sq_int8', CAST({CLUST_SQ_FLOOR!r} AS DOUBLE), n_hit,
+             k_exact
+      FROM sq
+      UNION ALL
+      SELECT 'ivf', CAST({CLUST_IVF_FLOOR!r} AS DOUBLE), n_hit, k_exact
+      FROM ivf
     )
     SELECT index_name,
            CAST(COUNT(*) AS BIGINT) AS n_queries,
@@ -2694,13 +2770,20 @@ def ann_recall_matrix_clustered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """(index_name, n_queries, mean_recall, floor_recall, beats_floor)
-    for the two QUANTIZED indexes over the deterministic product-
-    clustered fixture — the measurement that makes PQ recall an
+    for ALL FIVE ANN indexes over the deterministic product-clustered
+    fixture — the measurement that makes index recall an
     implementation-quality gate instead of a data-collapse readout
-    (isotropic twin: ann_recall_matrix). The floor booleans are pinned
-    literals; a wrong ADC table or codebook fails the driver hash."""
+    (isotropic twin: ann_recall_matrix; ground-truth metric per index
+    follows the isotropic matrix's conventions — cosine for
+    lsh/sq/ivf, exact L2 for the quantized pair). The floor booleans
+    are pinned literals; a wrong ADC table, codebook, bucket fold, or
+    quantizer fails the driver hash."""
     vecs = _clustered_vecs(spark, sf_dir)
+    emb = vecs.select("vec_id", F.col("e").alias("embedding"))
     exact = _exact_l2_topk(spark, sf_dir, vecs=vecs)
+    exact_cos = _cosine_topk_frame(spark, sf_dir, vecs=vecs).select(
+        "q_id", "c_id"
+    )
     legs = [
         (
             "pq_adc",
@@ -2718,6 +2801,36 @@ def ann_recall_matrix_clustered(
             _recall_frame(
                 exact,
                 _ivfpq_ranked(spark, sf_dir, vecs=vecs).select(
+                    "q_id", "c_id"
+                ),
+            ),
+        ),
+        (
+            "lsh",
+            CLUST_LSH_FLOOR,
+            _recall_frame(
+                exact_cos,
+                _lsh_topk_frame(spark, sf_dir, emb=emb).select(
+                    "q_id", "c_id"
+                ),
+            ),
+        ),
+        (
+            "sq_int8",
+            CLUST_SQ_FLOOR,
+            _recall_frame(
+                exact_cos,
+                _sq_topk_frame(spark, sf_dir, emb=emb).select(
+                    "q_id", "c_id"
+                ),
+            ),
+        ),
+        (
+            "ivf",
+            CLUST_IVF_FLOOR,
+            _recall_frame(
+                exact_cos,
+                _ivf_topk_frame(spark, sf_dir, emb=emb).select(
                     "q_id", "c_id"
                 ),
             ),

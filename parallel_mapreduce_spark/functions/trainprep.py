@@ -1885,7 +1885,17 @@ def _lrq_features(docs: DataFrame, n_parts: int) -> DataFrame:
 
 
 def _lrq_fit2(spark: SparkSession, feat: DataFrame) -> DataFrame:
-    """Two full-batch GD steps from zero init -> one fitted-weights row."""
+    """Two full-batch GD steps from zero init -> one fitted-weights row.
+
+    The feature frame is deliberately NOT persisted, by measurement
+    (round 9): each GD step + scoring does re-run the one-projection
+    feature lineage, but caching it measured SLOWER at sf0.1 (0.87s ->
+    1.16s) — materializing the cache breaks whole-stage fusion of
+    features into each gradient aggregate, and the recompute is a
+    single cheap tokenize/projection (unlike _pq_cb_row's multi-pass
+    training lineage, where the same experiment won 2x). At corpus
+    scales where tokenization dominates, persisting/writing the feature
+    table is the standard move — re-measure there, don't assume."""
     w0 = spark.range(1).select(
         F.lit(0.0).alias("b"),
         F.lit(0.0).alias("w1"),

@@ -367,3 +367,51 @@ def test_mllib_minhash_parity_agrees_on_planted_pairs(spark, sf_dir):
     assert out.in_mllib.all(), out[~out.in_mllib]
     assert (out[out.jaccard >= 1.0].in_banded).all()
     assert out.in_banded.mean() >= 0.9
+
+
+def test_substring_run_removal_leaves_run_free_corpus(spark, sf_dir):
+    """The Lee et al. contract: after cutting every detected run (keep
+    first occurrence), re-running detection on the REBUILT corpus finds
+    nothing — removal is idempotent. Rebuild the cleaned texts exactly
+    as the query does, feed them back through the run detector."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        SUBSTR_W,
+        _substr_run_rows,
+        _substr_working,
+    )
+    from parallel_mapreduce_spark.functions.text import tokens
+    from parallel_mapreduce_spark.sources import load_table
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    working = _substr_working(docs)
+    spans = _substr_run_rows(working)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("pa0") - F.col("diag")).alias("s"),
+        (
+            F.col("pa0") - F.col("diag") + F.col("n_sh")
+            + F.lit(SUBSTR_W - 2)
+        ).alias("e"),
+    )
+    tk = working.select(
+        "doc_id", F.posexplode(tokens("text")).alias("q0", "tok")
+    ).select("doc_id", (F.col("q0") + 1).cast("long").alias("q"), "tok")
+    kept = tk.join(
+        iv,
+        (tk["doc_id"] == iv["doc_id"])
+        & (tk["q"] >= iv["s"])
+        & (tk["q"] <= iv["e"]),
+        "left_anti",
+    )
+    cleaned = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("q", "tok"))),
+                lambda s: s.getField("tok"),
+            ),
+        ).alias("text")
+    )
+    assert _substr_run_rows(cleaned).count() == 0

@@ -182,16 +182,22 @@ def test_clustered_recall_matrix_gates_quantization_quality(spark, sf_dir):
     scrambles cluster ordering and collapses toward k/N ~ 0.003-0.01):
     the floors are the committed quality gate, at every SF."""
     from parallel_mapreduce_spark.functions.similarity import (
+        CLUST_IVF_FLOOR,
         CLUST_IVFPQ_FLOOR,
+        CLUST_LSH_FLOOR,
         CLUST_PQ_FLOOR,
+        CLUST_SQ_FLOOR,
         ann_recall_matrix_clustered,
     )
 
     out = ann_recall_matrix_clustered(spark, sf_dir).toPandas()
     rows = {r.index_name: r for r in out.itertuples()}
-    assert set(rows) == {"pq_adc", "ivf_pq"}
+    assert set(rows) == {"pq_adc", "ivf_pq", "lsh", "sq_int8", "ivf"}
     assert rows["pq_adc"].mean_recall >= CLUST_PQ_FLOOR
     assert rows["ivf_pq"].mean_recall >= CLUST_IVFPQ_FLOOR
+    assert rows["lsh"].mean_recall >= CLUST_LSH_FLOOR
+    assert rows["sq_int8"].mean_recall >= CLUST_SQ_FLOOR
+    assert rows["ivf"].mean_recall >= CLUST_IVF_FLOOR
     assert out.beats_floor.all()
     # and the isotropic matrix stays the documented honest floor: the
     # clustered fixture must be the thing that separates the two.
