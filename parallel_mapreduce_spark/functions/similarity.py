@@ -2604,10 +2604,12 @@ def ann_pq_shortlist_recall_curve(
 # PRODUCT-CLUSTERED corpus in-query (hash-derived cluster ids, fixed
 # subspace centers, bounded integer-hash noise — the skew_probe.py
 # determinism discipline: no RNG, both engines derive bit-identical
-# doubles from the same integer arithmetic) and re-runs the two QUANTIZED
-# legs over it. On product-structured data a correct PQ recovers high
+# doubles from the same integer arithmetic) and re-runs ALL FIVE index
+# legs over it. On product-structured data a correct index recovers high
 # recall, so the committed mean_recall becomes a real quality gate: the
 # floors below are pinned as booleans that cross the driver's value hash.
+# Proof the gate bites: its first run measured sq_int8 at 0.10 and
+# exposed the unnormalized-overfetch defect fixed in _sq_topk_frame.
 #
 # Fixture geometry: 256 clusters = product of 4 per-subspace center ids;
 # center values CLUST_P are spaced with distinct pairwise gaps so cluster
