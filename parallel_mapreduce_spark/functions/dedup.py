@@ -1834,6 +1834,32 @@ def longest_dup_span_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # min-id copy and cut to EMPTY (n_kept = 0, md5('') via the left-join
 # path); the untouched majority rebuilds verbatim (ZERO cut).
 # --------------------------------------------------------------------------
+def _substr_removal_kept(working: DataFrame) -> DataFrame:
+    """(doc_id, q, tok) — the tokens SURVIVING the keep-first cut of
+    every detected run: detection spans become removal intervals on the
+    later-id doc, and a token-grain anti-join drops the interval union.
+    Shared by the registered query and the idempotence test so the
+    interval arithmetic cannot drift between them."""
+    spans = _substr_run_rows(working)
+    iv = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        (F.col("pa0") - F.col("diag")).alias("s"),
+        (
+            F.col("pa0") - F.col("diag") + F.col("n_sh") + F.lit(SUBSTR_W - 2)
+        ).alias("e"),
+    )
+    tk = working.select(
+        "doc_id", F.posexplode(tokens("text")).alias("q0", "tok")
+    ).select("doc_id", (F.col("q0") + 1).cast("long").alias("q"), "tok")
+    return tk.join(
+        iv,
+        (tk["doc_id"] == iv["doc_id"])
+        & (tk["q"] >= iv["s"])
+        & (tk["q"] <= iv["e"]),
+        "left_anti",
+    )
+
+
 @query(
     "substring_run_removal",
     headline=True,  # the corpus-rewriting long-repeat stage: bench it
@@ -1879,24 +1905,7 @@ def substring_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     working = _substr_working(docs)
-    spans = _substr_run_rows(working)
-    iv = spans.select(
-        F.col("doc_b").alias("doc_id"),
-        (F.col("pa0") - F.col("diag")).alias("s"),
-        (
-            F.col("pa0") - F.col("diag") + F.col("n_sh") + F.lit(SUBSTR_W - 2)
-        ).alias("e"),
-    )
-    tk = working.select(
-        "doc_id", F.posexplode(tokens("text")).alias("q0", "tok")
-    ).select("doc_id", (F.col("q0") + 1).cast("long").alias("q"), "tok")
-    kept = tk.join(
-        iv,
-        (tk["doc_id"] == iv["doc_id"])
-        & (tk["q"] >= iv["s"])
-        & (tk["q"] <= iv["e"]),
-        "left_anti",
-    )
+    kept = _substr_removal_kept(working)
     reb = kept.groupBy("doc_id").agg(
         F.count("*").cast("long").alias("n_kept"),
         F.md5(

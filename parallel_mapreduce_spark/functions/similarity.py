@@ -23,6 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.session import bounded_persist
 from parallel_mapreduce_spark.sources import load_table, register_views
 
 N_QUERY_VECS = 10  # vec_id < 10 are the query vectors
@@ -1548,11 +1549,15 @@ def semdedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cid",
         "c",
     )
-    seeds_row = seeds_tagged.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("gcid"), F.col("cid"), F.col("c")))
-        ).alias("seeds")
-    ).persist()  # one row: K tagged seeds, consumed by the corpus pass
+    seeds_row = bounded_persist(
+        seeds_tagged.agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col("gcid"), F.col("cid"), F.col("c"))
+                )
+            ).alias("seeds")
+        )
+    )  # one row: K tagged seeds, consumed by the corpus pass
     coarse_of = F.filter(
         F.col("seeds"), lambda s: s.getField("cid") < F.lit(n_coarse)
     )
@@ -1590,7 +1595,8 @@ def semdedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )["cid"].alias("cid"),
-    ).withColumn("nrm", l2_norm(F.col("e"))).persist()
+    ).withColumn("nrm", l2_norm(F.col("e")))
+    assigned = bounded_persist(assigned)
     # cid-keyed co-partitioned self-join: the SemDeDup candidate bound.
     x = assigned.select(
         "cid",
@@ -1726,11 +1732,13 @@ def _pq_cb_row(long: DataFrame) -> DataFrame:
             lambda x: x.getField("cval"),
         ).alias("c")
     )
-    return per_cell.agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("s"), F.col("cid"), F.col("c")))
-        ).alias("cb")
-    ).persist()
+    return bounded_persist(
+        per_cell.agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("s"), F.col("cid"), F.col("c")))
+            ).alias("cb")
+        )
+    )
 
 
 def _pq_adc_oracle(topk: int, src: str = "embeddings") -> str:
@@ -1942,7 +1950,7 @@ def _ivfpq_coarse_row(vecs: DataFrame) -> DataFrame:
     corpus assignment and the query-side cell probe; one row cached
     saves a scan of the init slice per consumer."""
     base = N_QUERY_VECS + PQ_K
-    return (
+    out = (
         vecs.filter(
             (F.col("vec_id") >= base)
             & (F.col("vec_id") < base + IVFPQ_COARSE_K)
@@ -1956,8 +1964,8 @@ def _ivfpq_coarse_row(vecs: DataFrame) -> DataFrame:
                 F.collect_list(F.struct(F.col("ccid"), F.col("c")))
             ).alias("coarse")
         )
-        .persist()
     )
+    return bounded_persist(out)
 
 
 def _ivfpq_cell_dists(e_col):
@@ -2636,7 +2644,11 @@ CLUST_PQ_FLOOR = 0.5  # pq_adc mean_recall pin on clustered data
 CLUST_IVFPQ_FLOOR = 0.1  # ivf_pq pin: coarse prune + shared residual cb
 
 _CLUST_SEED_BASE = N_QUERY_VECS  # seeds N_QUERY_VECS..+PQ_K-1 forced
-_CLUST_DIGIT_ALL = (4 ** PQ_M - 1) // (PQ_K - 1)  # 85: digits (j,j,j,j)
+# Repunit in base PQ_K: j * (1 + K + K^2 + ...) has base-K digits
+# (j,j,...,j), one per subspace — 85 at K=4, and still correct if PQ_K
+# is ever retuned (a bare base-4 literal here would silently break the
+# forced-seed coverage the one-Lloyd-step codebook recovery rests on).
+_CLUST_DIGIT_ALL = (PQ_K ** PQ_M - 1) // (PQ_K - 1)
 
 
 def _clustered_emb_sql() -> str:

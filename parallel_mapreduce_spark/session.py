@@ -182,3 +182,33 @@ def state_sized_shuffle(spark: SparkSession, n: int = 8):
     cluster's cores, not hardcoded. Checkpoints are per-invocation here,
     so no stored state ever sees two different partition counts."""
     return scoped_conf(spark, "spark.sql.shuffle.partitions", str(n))
+
+
+# Persisted-frame residency bound (round-9 review finding): anonymous
+# .persist() frames created inside query plans (PQ codebooks, SemDeDup's
+# tagged seeds / assigned frame) have no owner to unpersist them, so a
+# long session (bench best-of-N, the 317-query driver run, the pytest
+# suite) accumulates cached blocks forever. This ring gives them the
+# PENDING_UNCACHE treatment: appending the newest evicts (unpersists)
+# the oldest beyond the cap. Eviction is ALWAYS safe — an unpersisted
+# plan falls back to ordinary recompute, it never breaks — and by the
+# time a frame is _PERSIST_RING_CAP persists old, the query that created
+# it has been materialized or abandoned, so eviction costs nothing. The
+# cap comfortably exceeds the largest single composition's persist count
+# (ann_recall_matrix_clustered creates ~8 before materializing).
+_PERSIST_RING: list = []
+_PERSIST_RING_CAP = 16
+
+
+def bounded_persist(df):
+    """persist() whose cache residency is bounded to the newest
+    _PERSIST_RING_CAP frames session-wide (oldest are unpersisted)."""
+    df.persist()
+    _PERSIST_RING.append(df)
+    while len(_PERSIST_RING) > _PERSIST_RING_CAP:
+        old = _PERSIST_RING.pop(0)
+        try:
+            old.unpersist()
+        except Exception:
+            pass  # session torn down, or already unpersisted
+    return df

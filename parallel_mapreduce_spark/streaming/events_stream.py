@@ -597,13 +597,19 @@ def _late_replay_src(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     # regenerated dataset at the same path must rebuild the replay files,
     # or the stream replays stale data against a fresh oracle and the
     # mismatch surfaces as a baffling hash error instead of a rebuild.
-    ev_glob = os.path.join(sf_dir, "events*.parquet")
+    paths = sorted(glob.glob(os.path.join(sf_dir, "events*.parquet")))
+    files: list[str] = []
+    for p in paths:
+        if os.path.isdir(p):
+            # Directory-layout dataset: fingerprint the PART FILES, not
+            # the directory entry — an in-place regeneration (same part
+            # names) leaves the dirent's size/mtime unchanged.
+            files.extend(sorted(glob.glob(os.path.join(p, "*"))))
+        else:
+            files.append(p)
     fp = sorted(
-        (os.path.basename(f), os.path.getsize(f), int(os.path.getmtime(f)))
-        for f in glob.glob(ev_glob)
-    ) or sorted(
-        (os.path.basename(f), os.path.getsize(f), int(os.path.getmtime(f)))
-        for f in glob.glob(os.path.join(sf_dir, "events.parquet", "*"))
+        (os.path.relpath(f, sf_dir), os.path.getsize(f), os.path.getmtime(f))
+        for f in files
     )
     fp_key = json.dumps(fp)
     if os.path.exists(done):

@@ -375,36 +375,17 @@ def test_substring_run_removal_leaves_run_free_corpus(spark, sf_dir):
     nothing — removal is idempotent. Rebuild the cleaned texts exactly
     as the query does, feed them back through the run detector."""
     from parallel_mapreduce_spark.functions.dedup import (
-        SUBSTR_W,
+        _substr_removal_kept,
         _substr_run_rows,
         _substr_working,
     )
-    from parallel_mapreduce_spark.functions.text import tokens
     from parallel_mapreduce_spark.sources import load_table
 
     import pyspark.sql.functions as F
 
     docs = load_table(spark, sf_dir, "documents")
     working = _substr_working(docs)
-    spans = _substr_run_rows(working)
-    iv = spans.select(
-        F.col("doc_b").alias("doc_id"),
-        (F.col("pa0") - F.col("diag")).alias("s"),
-        (
-            F.col("pa0") - F.col("diag") + F.col("n_sh")
-            + F.lit(SUBSTR_W - 2)
-        ).alias("e"),
-    )
-    tk = working.select(
-        "doc_id", F.posexplode(tokens("text")).alias("q0", "tok")
-    ).select("doc_id", (F.col("q0") + 1).cast("long").alias("q"), "tok")
-    kept = tk.join(
-        iv,
-        (tk["doc_id"] == iv["doc_id"])
-        & (tk["q"] >= iv["s"])
-        & (tk["q"] <= iv["e"]),
-        "left_anti",
-    )
+    kept = _substr_removal_kept(working)
     cleaned = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
