@@ -894,3 +894,31 @@ def test_cached_table_both_consumers_scan_memory(spark, sf_dir):
     # provenance (executed once at CACHE time), never as a live consumer:
     # every aggregate's direct child is the in-memory scan.
     assert "InMemoryRelation" in plan
+
+
+def test_bounded_persist_ring_evicts_oldest_and_keeps_results_correct(spark):
+    """The persist ring must (a) cap cached-frame residency at the ring
+    size, unpersisting the oldest on append, and (b) never affect
+    results — an evicted frame's plan falls back to recompute."""
+    from pyspark.sql import functions as F
+
+    import parallel_mapreduce_spark.session as S
+
+    # Drain whatever earlier tests left in the ring so counts are ours.
+    start_len = len(S._PERSIST_RING)
+    frames = []
+    for i in range(S._PERSIST_RING_CAP + 4):
+        df = spark.range(5).withColumn("k", F.lit(i))
+        frames.append(S.bounded_persist(df))
+    assert len(S._PERSIST_RING) == S._PERSIST_RING_CAP
+    # The oldest appended frames (plus anything predating this test that
+    # fell off the ring) are no longer cached; the newest still are.
+    evicted, kept = frames[0], frames[-1]
+    assert kept.storageLevel.useMemory or kept.storageLevel.useDisk
+    if start_len == 0:
+        assert not (
+            evicted.storageLevel.useMemory or evicted.storageLevel.useDisk
+        )
+    # Evicted frames still compute correctly (recompute fallback).
+    assert evicted.count() == 5
+    assert [r.k for r in evicted.limit(1).collect()] == [0]
