@@ -147,6 +147,42 @@ DRIVER_PRIORITY: list[str] = [
     # cover the change now.)
 ]
 
+# Queries whose OUTPUT VALUES changed in a given round. A green driver row
+# from an EARLIER round verified values the current code no longer
+# produces, so it is stale evidence even though it is green — these names
+# outrank the ordinary stalest-green rotation in _ordered_names until a
+# row from `round >= changed_round` lands (driver rows for round N are
+# produced against round N's final code, so an N-row IS fresh for an
+# N-change). Entries clear themselves: once a fresh row exists the round
+# comparison drops the name, so a stale entry here costs nothing. The
+# round-9 verdict flagged exactly this hole — _ordered_names had no way to
+# re-row a value-changed green ahead of 167+ staler greens.
+VALUE_CHANGED: dict[str, int] = {
+    # round 9: SemDeDup hierarchical two-level assignment rewrite changed
+    # cluster membership / report values (latest row r07).
+    "semdedup_cluster_report": 9,
+    # round 9: SQ-int8 overfetch now ranks on quantized cosine, changing
+    # recall values in every query that reports them (latest rows r08).
+    "ann_sq_recall_at_k": 9,
+    "ann_pq_shortlist_recall_curve": 9,
+    # round 10: IVF-PQ moved to PER-CELL residual codebooks — every
+    # query deriving values from the IVF-PQ ranking emits new values
+    # (ann_recall_matrix was already stale from the round-9 SQ fix).
+    "ann_ivfpq_topk": 10,
+    "ann_ivfpq_recall_at_k": 10,
+    "ann_recall_matrix": 10,
+    "ann_recall_matrix_clustered": 10,
+    # round 9: SimHash bucket means moved to integer-sum discipline
+    # (latest row r08).
+    "simhash_angle_fidelity": 9,
+    # round 10: the substring-run pair universe gained the within-doc
+    # self leg (same-doc pairs at pa < pb) plus the +66M repeated-span
+    # fixture — all three substring reports emit new rows/values.
+    "exact_substring_runs": 10,
+    "longest_dup_span_per_doc": 10,
+    "substring_run_removal": 10,
+}
+
 
 def _driver_latest_status() -> dict[str, tuple[int, bool]]:
     """name -> (round of the LATEST driver correctness row, was it green).
@@ -195,7 +231,12 @@ def _ordered_names() -> list[str]:
        next round's check window (the bug that shipped twice, r3->r4 and
        r4->r5).
     2. Every other red-or-unrowed query, registration order.
-    3. The green tail, OLDEST latest-row first (ties: registration
+    3. VALUE_CHANGED names whose latest driver row PREDATES the change —
+       a green row earned against the old output values is evidence for
+       code that no longer exists, so these outrank every ordinary green
+       re-check until a fresh row lands (then they drop out by the same
+       round comparison, no hand edit needed).
+    4. The green tail, OLDEST latest-row first (ties: registration
        order) — re-check slots rotate through the stalest verifications
        by themselves.
     """
@@ -204,11 +245,19 @@ def _ordered_names() -> list[str]:
     green = {n for n, (_, ok) in status.items() if ok}
     pri = [n for n in DRIVER_PRIORITY if n in QUERIES and n not in green]
     listed = set(pri)
+    forced = [
+        n
+        for n in VALUE_CHANGED
+        if n in QUERIES and n in green and n not in listed
+        and status[n][0] < VALUE_CHANGED[n]
+    ]
+    forced_set = set(forced)
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
-    rest = [n for n in QUERIES if n not in listed]
+    rest = [n for n in QUERIES if n not in listed and n not in forced_set]
     return (
         pri
         + [n for n in rest if n not in green]
+        + forced
         + sorted(
             (n for n in rest if n in green),
             key=lambda n: (status[n][0], reg_pos[n]),

@@ -65,11 +65,13 @@ def test_cli_list_and_run(capsys, spark):
 
 def test_ordering_puts_needy_before_green_and_rotates_recheck_tail():
     """Every red-or-unrowed query must precede every green one, and the
-    green tail must be ordered oldest-latest-row first, so (a) a wider
-    driver window always lands on fresh surface and (b) re-check slots
-    rotate through the stalest verifications without hand edits."""
+    green tail (minus forced VALUE_CHANGED re-rows, which lead it) must be
+    ordered oldest-latest-row first, so (a) a wider driver window always
+    lands on fresh surface and (b) re-check slots rotate through the
+    stalest verifications without hand edits."""
     from parallel_mapreduce_spark.registry import (
         QUERIES,
+        VALUE_CHANGED,
         _driver_latest_status,
         _ordered_names,
     )
@@ -77,16 +79,71 @@ def test_ordering_puts_needy_before_green_and_rotates_recheck_tail():
     names = _ordered_names()
     status = _driver_latest_status()
     green = {n for n, (_, ok) in status.items() if ok}
+    forced = {
+        n
+        for n, rnd in VALUE_CHANGED.items()
+        if n in green and status[n][0] < rnd
+    }
     seen_green = False
     last_round = 0
     for n in names:
-        if n in green:
+        if n in forced:
+            seen_green = True  # forced re-rows lead the green tail
+        elif n in green:
             seen_green = True
             assert status[n][0] >= last_round, f"green tail not oldest-first at {n}"
             last_round = status[n][0]
         else:
             assert not seen_green, f"needy {n} after a green query"
     assert len(names) == len(QUERIES)
+
+
+def test_value_changed_greens_outrank_the_stale_green_rotation():
+    """Round-9 verdict item 1: a green driver row earned BEFORE a query's
+    output values changed is stale evidence — those names must sit between
+    the needy front and the ordinary green tail so the driver's ~50-query
+    window re-rows them next round, and must drop out by themselves once a
+    row from >= the change round lands."""
+    from parallel_mapreduce_spark.registry import (
+        QUERIES,
+        VALUE_CHANGED,
+        _driver_latest_status,
+        _ordered_names,
+    )
+
+    assert all(n in QUERIES for n in VALUE_CHANGED), "unknown VALUE_CHANGED name"
+    status = _driver_latest_status()
+    green = {n for n, (_, ok) in status.items() if ok}
+    names = _ordered_names()
+    pos = {n: i for i, n in enumerate(names)}
+    forced = [
+        n
+        for n, rnd in VALUE_CHANGED.items()
+        if n in green and status[n][0] < rnd
+    ]
+    cleared = [
+        n
+        for n, rnd in VALUE_CHANGED.items()
+        if n in green and status[n][0] >= rnd
+    ]
+    ordinary_greens = [n for n in green if n not in set(forced)]
+    if forced and ordinary_greens:
+        first_ordinary = min(pos[n] for n in ordinary_greens)
+        for n in forced:
+            assert pos[n] < first_ordinary, (
+                f"value-changed {n} (stale row r{status[n][0]}) ranked "
+                "behind an ordinary green re-check"
+            )
+    # Self-clearing: a fresh row puts the name back in the normal rotation
+    # (it must NOT still lead the tail purely by being listed).
+    for n in cleared:
+        stalest = min(
+            (status[g][0] for g in ordinary_greens if g != n), default=None
+        )
+        if stalest is not None and status[n][0] > stalest:
+            assert pos[n] > min(
+                pos[g] for g in ordinary_greens if g != n
+            ), f"cleared VALUE_CHANGED name {n} still forced to the front"
 
 
 def test_all_green_window_is_exactly_the_stalest_fifty():
@@ -103,15 +160,26 @@ def test_all_green_window_is_exactly_the_stalest_fifty():
         _ordered_names,
     )
 
+    from parallel_mapreduce_spark.registry import VALUE_CHANGED
+
     _load_all()
     status = _driver_latest_status()
     needy = [n for n in QUERIES if not status.get(n, (0, False))[1]]
     if needy:
         return  # red/unrowed exist: covered by the priority-window test
     reg_pos = {n: i for i, n in enumerate(QUERIES)}
-    expected = sorted(QUERIES, key=lambda n: (status[n][0], reg_pos[n]))[:50]
+    forced = [
+        n
+        for n in VALUE_CHANGED
+        if n in QUERIES and status[n][0] < VALUE_CHANGED[n]
+    ]
+    tail = sorted(
+        (n for n in QUERIES if n not in set(forced)),
+        key=lambda n: (status[n][0], reg_pos[n]),
+    )
+    expected = (forced + tail)[:50]
     assert _ordered_names()[:50] == expected, (
-        "all-green window is not the 50 stalest latest-row names"
+        "all-green window is not forced-value-changed + stalest latest-row"
     )
 
 
