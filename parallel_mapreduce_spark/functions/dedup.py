@@ -1587,6 +1587,27 @@ SUBSTR_SLICE_START = 4  # 1-based token index where the copied slice begins
 SUBSTR_SLICE_BASE = 13  # copied-run length = BASE + doc_id % 7 (13..19)
 SUBSTR_MIN_TOKENS = 24  # variant eligibility: slice must fit
 
+# WITHIN-DOC leg (round 10) — Lee et al. 2022 also cut spans a document
+# repeats INSIDE ITSELF (template spam, boilerplate farms); the round-9
+# pair universe was cross-doc only (doc_a < doc_b), so self-repeats were
+# invisible to detection and removal alike. The self leg adds same-doc
+# shingle pairs at pa < pb: diag = pa - pb < 0, so the standard cut
+# interval [pa0 - diag, ...] lands on the LATER occurrence and keep-first
+# needs no new interval arithmetic (tandem period-W repeats collapse to
+# one copy; period < W repeats exceed the occurrence cap and are dropped
+# whole, the same visible-cap posture as cross-doc boilerplate).
+# Fixture: every doc_id % 5 == 3 document contributes a variant at
+# +66,000,001 whose text repeats an ID-UNIQUE synthetic span twice
+# ('wa{id}' s.. 'wb{id}' s.. 'wc{id}', span tokens r{id}x{i}, length
+# 13 + id % 7) — the span exists nowhere else in the corpus, so the
+# self leg is the BINDING detection AND cut for these docs at every SF
+# (the +55M cross-doc variants can't shadow it). Offsets can't collide:
+# base + 66,000,001 = base' + 55,000,001 (+ any probe 10M stride
+# multiple) needs |base - base'| >= 1,000,000, far above any shipped or
+# replicated base id.
+SUBSTR_SELF_RESIDUE = 3  # doc_id % SUBSTR_VARIANT_MOD for the self fixture
+SUBSTR_SELF_OFFSET = 66_000_001
+
 
 def _substr_shingle_digests(toks: Column) -> Column:
     """array<string> of md5 digests of every overlapping SUBSTR_W-token
@@ -1622,6 +1643,19 @@ working AS (
       FROM (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents)
       WHERE doc_id % {SUBSTR_VARIANT_MOD} = 2
         AND len(toks) >= {SUBSTR_MIN_TOKENS}
+      UNION ALL
+      SELECT doc_id + {SUBSTR_SELF_OFFSET},
+             'wa' || doc_id || ' ' || span || ' wb' || doc_id || ' '
+               || span || ' wc' || doc_id
+      FROM (
+        SELECT doc_id,
+               array_to_string(
+                 list_transform(
+                   range(1, {SUBSTR_SLICE_BASE} + doc_id % 7 + 1),
+                   i -> 'r' || doc_id || 'x' || i), ' ') AS span
+        FROM documents
+        WHERE doc_id % {SUBSTR_VARIANT_MOD} = {SUBSTR_SELF_RESIDUE}
+      )
     ), sh AS (
       SELECT doc_id,
              CAST(generate_subscripts(digs, 1) AS BIGINT) AS pos,
@@ -1642,6 +1676,7 @@ working AS (
              a.pos AS pa, a.pos - b.pos AS diag
       FROM sh a JOIN sh b USING (dig) JOIN ok USING (dig)
       WHERE a.doc_id < b.doc_id
+         OR (a.doc_id = b.doc_id AND a.pos < b.pos)
     ), isl AS (
       SELECT doc_a, doc_b, diag, pa,
              pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, diag
@@ -1657,7 +1692,9 @@ working AS (
 
 
 def _substr_working(docs: DataFrame) -> DataFrame:
-    """documents plus the sliced-copy variants (the planted fixture)."""
+    """documents plus the sliced-copy variants (the planted cross-doc
+    fixture) plus the repeated-span variants (the planted WITHIN-DOC
+    fixture — an id-unique span twice in one document)."""
     toks = tokens("text")
     slice_len = (F.lit(SUBSTR_SLICE_BASE) + F.col("doc_id") % 7).cast("int")
     variants = (
@@ -1678,14 +1715,50 @@ def _substr_working(docs: DataFrame) -> DataFrame:
             ).alias("text"),
         )
     )
-    return docs.select("doc_id", "text").unionByName(variants)
+    span = F.array_join(
+        F.transform(
+            F.sequence(
+                F.lit(1), (F.lit(SUBSTR_SLICE_BASE) + F.col("doc_id") % 7)
+            ),
+            lambda i: F.concat(
+                F.lit("r"),
+                F.col("doc_id").cast("string"),
+                F.lit("x"),
+                i.cast("string"),
+            ),
+        ),
+        " ",
+    )
+    self_variants = (
+        docs.filter(F.col("doc_id") % SUBSTR_VARIANT_MOD == SUBSTR_SELF_RESIDUE)
+        .select("doc_id", span.alias("span"))
+        .select(
+            (F.col("doc_id") + SUBSTR_SELF_OFFSET).alias("doc_id"),
+            F.concat_ws(
+                " ",
+                F.concat(F.lit("wa"), F.col("doc_id").cast("string")),
+                F.col("span"),
+                F.concat(F.lit("wb"), F.col("doc_id").cast("string")),
+                F.col("span"),
+                F.concat(F.lit("wc"), F.col("doc_id").cast("string")),
+            ).alias("text"),
+        )
+    )
+    return (
+        docs.select("doc_id", "text")
+        .unionByName(variants)
+        .unionByName(self_variants)
+    )
 
 
 def _substr_run_rows(working: DataFrame) -> DataFrame:
     """(doc_a, doc_b, diag, pa0, n_sh) — one row per maximal aligned run
     (the run-level grain all three substring reports derive from): pa0 is
     the run's first shingle position in doc_a, diag = pa - pb, so the
-    run covers doc_b tokens [pa0 - diag, pa0 - diag + n_sh + W - 2]."""
+    run covers doc_b tokens [pa0 - diag, pa0 - diag + n_sh + W - 2].
+    WITHIN-DOC runs appear as doc_a == doc_b with pa < pb (diag < 0):
+    the covered doc_b interval is then the LATER occurrence, so the
+    keep-first removal cut needs no special casing."""
     # PERSISTED (bounded ring): the digest stream has two consumers —
     # the frequency census and the join-back — and recomputing it means
     # re-tokenizing and re-hashing the whole corpus per consumer.
@@ -1725,7 +1798,13 @@ def _substr_run_rows(working: DataFrame) -> DataFrame:
     p = (
         occ.select(F.explode("occs").alias("a"), "occs")
         .select("a", F.explode("occs").alias("b"))
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .filter(
+            (F.col("a.doc_id") < F.col("b.doc_id"))
+            | (
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.pos") < F.col("b.pos"))
+            )
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -1759,7 +1838,8 @@ def _substr_run_rows(working: DataFrame) -> DataFrame:
 def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_a, doc_b, n_runs, max_run_tokens) for every document pair
     sharing at least one exact >= {SUBSTR_W}-token run: the number of
-    maximal verbatim runs and the longest one's exact token length."""
+    maximal verbatim runs and the longest one's exact token length.
+    Within-doc repeats surface as doc_a == doc_b rows (round 10)."""
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     runs = _substr_run_rows(_substr_working(docs))
@@ -1799,7 +1879,8 @@ def exact_substring_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def longest_dup_span_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, longest_shared_tokens, has_shared_run) for EVERY working-
-    set document: the per-doc longest verbatim cross-document run."""
+    set document: the per-doc longest verbatim run shared with ANOTHER
+    document or repeated WITHIN the document itself (round 10)."""
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     working = _substr_working(docs)
@@ -1827,7 +1908,10 @@ def longest_dup_span_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rebuilds the corpus. Policy, identical on both engines: for every
 # detected maximal run between doc_a < doc_b, doc_a (the first occurrence
 # in id order) keeps its copy and the covered token interval
-# [pa0 - diag, pa0 - diag + n_sh + W - 2] is cut from doc_b; a document's
+# [pa0 - diag, pa0 - diag + n_sh + W - 2] is cut from doc_b; a WITHIN-DOC
+# run (doc_a == doc_b, diag < 0, round 10) cuts the LATER occurrence via
+# the exact same interval formula — keep-first becomes keep-earliest
+# inside one document with zero new arithmetic; a document's
 # removed set is the UNION of its incident intervals (evaluated as a
 # token-level membership test, so overlapping intervals need no interval
 # algebra), and the survivors reassemble in original order — the

@@ -369,6 +369,50 @@ def test_mllib_minhash_parity_agrees_on_planted_pairs(spark, sf_dir):
     assert out.in_banded.mean() >= 0.9
 
 
+def test_within_doc_runs_detected_and_later_copy_cut(spark, sf_dir):
+    """Round-10 self leg: every planted +66M variant (an id-unique span
+    repeated twice inside ONE document) must be detected as exactly one
+    doc_a == doc_b run of exactly the span length — the span exists
+    nowhere else in the corpus, so no cross-doc run can shadow it — and
+    the removal stage must cut exactly the LATER copy: n_tokens =
+    2L + 3 junk markers, n_kept = L + 3 (keep-earliest inside one doc)."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        SUBSTR_SELF_OFFSET,
+        SUBSTR_SELF_RESIDUE,
+        SUBSTR_SLICE_BASE,
+        SUBSTR_VARIANT_MOD,
+        exact_substring_runs,
+        substring_run_removal,
+    )
+    from parallel_mapreduce_spark.sources import load_table
+
+    base_ids = [
+        r.doc_id
+        for r in load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % SUBSTR_VARIANT_MOD == SUBSTR_SELF_RESIDUE)
+        .select("doc_id")
+        .collect()
+    ]
+    assert base_ids, "fixture residue class empty — corpus too small"
+    pairs = exact_substring_runs(spark, sf_dir).toPandas()
+    selfs = pairs[pairs.doc_a == pairs.doc_b].set_index("doc_a")
+    for b in base_ids:
+        v = b + SUBSTR_SELF_OFFSET
+        L = SUBSTR_SLICE_BASE + b % 7
+        assert v in selfs.index, f"self run missed for planted doc {v}"
+        assert selfs.loc[v].n_runs == 1
+        assert selfs.loc[v].max_run_tokens == L
+    out = substring_run_removal(spark, sf_dir).toPandas().set_index("doc_id")
+    for b in base_ids:
+        v = b + SUBSTR_SELF_OFFSET
+        L = SUBSTR_SLICE_BASE + b % 7
+        assert out.loc[v].n_tokens == 2 * L + 3
+        assert out.loc[v].n_kept == L + 3, (
+            f"doc {v}: later copy not cut exactly "
+            f"({out.loc[v].n_kept} kept of {out.loc[v].n_tokens})"
+        )
+
+
 def test_substring_run_removal_leaves_run_free_corpus(spark, sf_dir):
     """The Lee et al. contract: after cutting every detected run (keep
     first occurrence), re-running detection on the REBUILT corpus finds
