@@ -524,10 +524,16 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     A regression in either index (or in the shared shingle layer) makes
 #     a boolean flip or a row vanish — a loud driver hash/row mismatch.
 #
-# HashingTF (2^20 binary features) maps shingles to vector indices; a
-# bucket collision can only MERGE set elements, which never lowers binary
-# Jaccard, so the approxSimilarityJoin threshold (distance <= 1 -
-# PARITY_MLLIB_J) admits every true J >= 0.9 pair. Scale posture: both
+# HashingTF (2^20 binary features) maps shingles to vector indices.
+# A bucket collision CAN lower binary Jaccard — two shingles in the
+# intersection colliding moves i/u to (i-1)/(u-1), which is smaller for
+# i < u — so the admission guarantee is a MARGIN argument, not an
+# invariant: expected collisions per pair are ~C(u,2)/2^20 (u = union
+# shingle count; ~0.5 collisions at u = 1000), shifting measured Jaccard
+# by ~c/u ~ 5e-4, three orders of magnitude under the 0.1 margin between
+# the candidate floor (PARITY_MLLIB_J = 0.8) and the parity universe
+# (PARITY_JACCARD = 0.9). Retuning numFeatures or PARITY_MLLIB_J must
+# re-check that gap, not assume merge-monotonicity. Scale posture: both
 # indexes run on exact-text representatives (collapse-first), MLlib's
 # join explodes hashes exactly like the hand-rolled band join (same
 # shuffle shape), and the exact-Jaccard verify touches only the planted
@@ -536,6 +542,14 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARITY_JACCARD = 0.9  # exact-Jaccard floor for the parity universe
 PARITY_TABLES = 8  # MLlib numHashTables: miss prob (1-J)^8 <= 1e-8
 PARITY_MLLIB_J = 0.8  # candidate-join Jaccard floor (margin under 0.9)
+# The oracle pins in_mllib TRUE under this frozen seed, so the driver
+# value hash depends on MLlib's seeded coefficient derivation staying
+# bit-stable: the pinned outcome was verified on Spark 4.1.2 (pyspark
+# 4.1.2, this container) at all three SFs. If a Spark upgrade ever
+# changes MinHashLSH's seeded hash generation, expect a driver hash
+# mismatch on THIS query (and the BRP twin in similarity.py) before
+# suspecting the portable index — tests/test_dedup.py asserts the MLlib
+# leg separately so the failure is self-explaining.
 PARITY_SEED = 20260815
 PARITY_TF_FEATURES = 1 << 20
 

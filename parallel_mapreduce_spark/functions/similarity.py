@@ -3016,6 +3016,12 @@ BRP_D2 = 16.0  # squared-L2 close-pair floor (same-cluster <= 2.56)
 BRP_DIST = 4.0  # MLlib join threshold (euclidean, = sqrt(BRP_D2))
 BRP_TABLES = 12
 BRP_BUCKET_LEN = 10.0
+# in_mllib is oracle-pinned TRUE under this frozen seed — the pinned
+# outcome depends on BucketedRandomProjectionLSH's seeded projection
+# generation staying bit-stable and was verified on Spark 4.1.2 (this
+# container) at all three SFs; a Spark upgrade changing seeded RNG
+# derivation surfaces as a driver hash mismatch HERE (and on the MinHash
+# twin in dedup.py), not as a portable-index bug.
 BRP_SEED = 20260909
 
 

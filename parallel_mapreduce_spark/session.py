@@ -16,6 +16,7 @@ same code is correct on a multi-executor cluster at 100 TB:
 from __future__ import annotations
 
 import os
+import threading
 from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
@@ -198,15 +199,35 @@ def state_sized_shuffle(spark: SparkSession, n: int = 8):
 # (ann_recall_matrix_clustered creates ~8 before materializing).
 _PERSIST_RING: list = []
 _PERSIST_RING_CAP = 16
+_PERSIST_RING_LOCK = threading.Lock()
+# Evictions since process start — a composition that persists more than
+# _PERSIST_RING_CAP frames before materializing would silently lose its
+# speedups to recompute fallback; this counter makes a cap overrun
+# observable (tests/test_plans.py pins the eviction semantics, and any
+# future composition can assert the counter didn't move across its own
+# build). Read via persist_evictions().
+_PERSIST_EVICTIONS = 0
+
+
+def persist_evictions() -> int:
+    """Number of ring evictions so far (monotone, process-wide)."""
+    return _PERSIST_EVICTIONS
 
 
 def bounded_persist(df):
     """persist() whose cache residency is bounded to the newest
-    _PERSIST_RING_CAP frames session-wide (oldest are unpersisted)."""
+    _PERSIST_RING_CAP frames session-wide (oldest are unpersisted).
+    Thread-safe: streaming query listeners / foreachBatch threads may
+    race the driver loop, so ring mutation holds a lock."""
+    global _PERSIST_EVICTIONS
     df.persist()
-    _PERSIST_RING.append(df)
-    while len(_PERSIST_RING) > _PERSIST_RING_CAP:
-        old = _PERSIST_RING.pop(0)
+    evicted = []
+    with _PERSIST_RING_LOCK:
+        _PERSIST_RING.append(df)
+        while len(_PERSIST_RING) > _PERSIST_RING_CAP:
+            evicted.append(_PERSIST_RING.pop(0))
+            _PERSIST_EVICTIONS += 1
+    for old in evicted:
         try:
             old.unpersist()
         except Exception:

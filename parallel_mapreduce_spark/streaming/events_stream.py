@@ -593,10 +593,17 @@ def _late_replay_src(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
     src_dir = os.path.join(root, "src" + tag)
     done = os.path.join(src_dir, "_DONE")
     # The reuse marker is keyed on a CONTENT fingerprint of the source
-    # events files (paths + sizes + mtimes), not just the sf_dir path: a
-    # regenerated dataset at the same path must rebuild the replay files,
-    # or the stream replays stale data against a fresh oracle and the
-    # mismatch surfaces as a baffling hash error instead of a rebuild.
+    # events files, not just the sf_dir path: a regenerated dataset at
+    # the same path must rebuild the replay files, or the stream replays
+    # stale data against a fresh oracle and the mismatch surfaces as a
+    # baffling hash error instead of a rebuild. Round-10 review fix: the
+    # fingerprint hashes ACTUAL BYTES (head + parquet-footer tail of each
+    # file) alongside path+size — size+mtime alone would reuse stale
+    # replays against a deterministic regeneration that restores
+    # timestamps (mtime is deliberately NOT keyed: a timestamp-preserving
+    # copy with identical bytes is the same data).
+    import hashlib
+
     paths = sorted(glob.glob(os.path.join(sf_dir, "events*.parquet")))
     files: list[str] = []
     for p in paths:
@@ -607,8 +614,19 @@ def _late_replay_src(spark: SparkSession, sf_dir: str) -> tuple[str, int]:
             files.extend(sorted(glob.glob(os.path.join(p, "*"))))
         else:
             files.append(p)
+
+    def _content_digest(path: str) -> str:
+        h = hashlib.sha256()
+        size = os.path.getsize(path)
+        with open(path, "rb") as fh:
+            h.update(fh.read(4096))  # header + first row group start
+            if size > 8192:
+                fh.seek(size - 4096)
+            h.update(fh.read(4096))  # parquet footer: schema + rg stats
+        return h.hexdigest()
+
     fp = sorted(
-        (os.path.relpath(f, sf_dir), os.path.getsize(f), os.path.getmtime(f))
+        (os.path.relpath(f, sf_dir), os.path.getsize(f), _content_digest(f))
         for f in files
     )
     fp_key = json.dumps(fp)

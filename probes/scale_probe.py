@@ -106,6 +106,14 @@ DISJOINT_QUERIES = (
     # working doc, so rows grow exactly linearly and wall should track
     # the detection plan plus a linear token pass — expect ~1.
     "substring_run_removal",
+    # round 10 (verdict item 5): the MLlib cross-validation leg runs
+    # approxSimilarityJoin over the full rep set — same hash-bucket
+    # shuffle shape as the hand-rolled band join by argument, but it was
+    # the one corpus-scale dedup plan with no measured exponent. Token
+    # rewrite keeps the >= 0.9-Jaccard pair structure per-replica, so
+    # output rows grow linearly and b_time measures the two banded
+    # indexes + the exact-Jaccard verify — expect ~1.
+    "mllib_minhash_parity_pairs",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 

@@ -922,3 +922,9 @@ def test_bounded_persist_ring_evicts_oldest_and_keeps_results_correct(spark):
     # Evicted frames still compute correctly (recompute fallback).
     assert evicted.count() == 5
     assert [r.k for r in evicted.limit(1).collect()] == [0]
+    # Evictions are counted (round-10 review fix): a composition whose
+    # persist count overruns the cap loses its speedups silently unless
+    # this counter makes the overrun observable.
+    before = S.persist_evictions()
+    S.bounded_persist(spark.range(3))
+    assert S.persist_evictions() == before + 1
