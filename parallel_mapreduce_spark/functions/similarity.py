@@ -2066,10 +2066,11 @@ def _ivfpq_assign(subdf: DataFrame, cb_row: DataFrame) -> DataFrame:
     )
 
 
-def _ivfpq_oracle(src: str = "embeddings") -> str:
+def _ivfpq_oracle(src: str = "embeddings", topk: int = PQ_TOPK) -> str:
     """DuckDB replay of the full IVF-PQ pipeline (coarse assign ->
-    residual -> codebook train -> per-cell ADC) — parameterized over the
-    (vec_id, embedding) relation for the clustered-fixture leg."""
+    residual -> per-cell codebook train -> per-cell ADC) — parameterized
+    over the (vec_id, embedding) relation for the clustered-fixture leg
+    and over the ranking cut for the rerank shortlist."""
     return f"""
     WITH v AS (
       SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
@@ -2166,12 +2167,15 @@ def _ivfpq_oracle(src: str = "embeddings") -> str:
                  ROW_NUMBER() OVER (PARTITION BY q_id
                                     ORDER BY approx_du, c_id) AS rk
           FROM ad)
-    WHERE rk <= {PQ_TOPK}
+    WHERE rk <= {topk}
     """
 
 
 def _ivfpq_ranked(
-    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    vecs: DataFrame | None = None,
+    topk: int = PQ_TOPK,
 ) -> DataFrame:
     if vecs is None:
         register_views(spark, sf_dir)
@@ -2323,7 +2327,7 @@ def _ivfpq_ranked(
         F.row_number().over(
             W.partitionBy("q_id", "salt").orderBy("approx_du", "vec_id")
         ),
-    ).filter(F.col("rn1") <= PQ_TOPK)
+    ).filter(F.col("rn1") <= topk)
     return (
         stage1.withColumn(
             "rk",
@@ -2331,7 +2335,7 @@ def _ivfpq_ranked(
                 W.partitionBy("q_id").orderBy("approx_du", "vec_id")
             ),
         )
-        .filter(F.col("rk") <= PQ_TOPK)
+        .filter(F.col("rk") <= topk)
         .select(
             "q_id",
             F.col("rk").cast("long").alias("rk"),
@@ -2348,6 +2352,111 @@ def _ivfpq_ranked(
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivfpq_ranked(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# IVF-PQ shortlist + EXACT RERANK (round 10) — the production two-stage
+# retrieval FAISS ships as IndexRefine: the compressed index is used only
+# to cut the corpus to an L-candidate shortlist per query; the final
+# ordering re-reads the L raw vectors and ranks by exact L2. This is the
+# missing composition between ann_ivfpq_topk (pure ADC ranking) and
+# ann_pq_shortlist_recall_curve (which MEASURES that ADC's ranking
+# quality recovers with depth but registers no reranked result): SQ-int8
+# already ships overfetch+rerank; this closes the same loop for the
+# quantized pair at the IVF-PQ composition.
+#
+# Scale posture: the shortlist is Q x L rows (broadcast); the exact leg
+# joins it back to the corpus by c_id — a broadcast-hash join touching L
+# raw vectors per query instead of N, so the full-precision read is
+# shortlist-bounded exactly as in FAISS refine. The final window ranks
+# L rows per query.
+# --------------------------------------------------------------------------
+IVFPQ_RERANK_L = 4 * PQ_TOPK  # shortlist depth (the curve's L=20 point)
+
+
+def _ivfpq_rerank_oracle(src: str = "embeddings") -> str:
+    """DuckDB replay: ADC shortlist at L via the full _ivfpq_oracle
+    pipeline, then exact-L2 rerank of the shortlist pairs cut at
+    PQ_TOPK (integer micro-unit distances, the simhash discipline)."""
+    return f"""
+    WITH sl AS (
+      SELECT q_id, c_id FROM ({_ivfpq_oracle(src, topk=IVFPQ_RERANK_L)})
+    ), v AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM {src}
+    ), d AS (
+      SELECT sl.q_id, sl.c_id,
+             CAST(ROUND(ROUND(SUM((q.val - c.val) ^ 2), 6) * 1e6)
+                  AS BIGINT) AS d2u
+      FROM sl
+      JOIN v q ON q.vec_id = sl.q_id
+      JOIN v c ON c.vec_id = sl.c_id AND c.pos = q.pos
+      GROUP BY 1, 2
+    )
+    SELECT q_id, CAST(rk AS BIGINT) AS rk, c_id, d2u
+    FROM (SELECT q_id, c_id, d2u,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY d2u, c_id) AS rk
+          FROM d)
+    WHERE rk <= {PQ_TOPK}
+    """
+
+
+def _ivfpq_rerank_ranked(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> DataFrame:
+    if vecs is None:
+        register_views(spark, sf_dir)
+        emb = load_table(spark, sf_dir, "embeddings")
+        vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    shortlist = _ivfpq_ranked(
+        spark, sf_dir, vecs=vecs, topk=IVFPQ_RERANK_L
+    ).select("q_id", "c_id")
+    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qv")
+    )
+    c = vecs.filter(F.col("vec_id") >= N_QUERY_VECS).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("cv")
+    )
+    # Shortlist (Q x L rows) + query vectors broadcast; the corpus side
+    # stays partitioned and only shortlist members' raw vectors are read.
+    sl_q = shortlist.join(F.broadcast(q), "q_id")
+    d2u = (
+        F.round(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("qv"),
+                        F.col("cv"),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+            * 1e6
+        )
+        .cast("long")
+        .alias("d2u")
+    )
+    scored = c.join(F.broadcast(sl_q), "c_id").select("q_id", "c_id", d2u)
+    w = W.partitionBy("q_id").orderBy("d2u", "c_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= PQ_TOPK)
+        .select(
+            "q_id", F.col("rk").cast("long").alias("rk"), "c_id", "d2u"
+        )
+    )
+
+
+@query("ann_ivfpq_rerank_topk", oracle=_ivfpq_rerank_oracle())
+def ann_ivfpq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, rk, c_id, d2u): exact-L2 reranked top-{PQ_TOPK} from the
+    IVF-PQ ADC shortlist at L = {IVFPQ_RERANK_L} — FAISS IndexRefine."""
+    return _ivfpq_rerank_ranked(spark, sf_dir)
 
 
 # --------------------------------------------------------------------------
@@ -2543,6 +2652,25 @@ def ann_pq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivfpq_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = _exact_l2_topk(spark, sf_dir)
     approx = ann_ivfpq_topk(spark, sf_dir).select("q_id", "c_id")
+    return _recall_frame(exact, approx)
+
+
+@query(
+    "ann_ivfpq_rerank_recall_at_k",
+    oracle=_recall_oracle(_SQL_EXACT_L2_TOPK, _ivfpq_rerank_oracle()),
+)
+def ann_ivfpq_rerank_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall of the exact-reranked IVF-PQ shortlist against exact L2
+    top-k — what the raw-vector refine pass buys back over pure ADC
+    ranking (compare ann_ivfpq_recall_at_k): on ISOTROPIC data the ADC
+    shortlist itself is near-chance so rerank recovers little (the
+    shortlist-curve story: depth, not precision, is the lever there);
+    on clustered data the rerank leg in ann_recall_matrix_clustered
+    shows the production win."""
+    exact = _exact_l2_topk(spark, sf_dir)
+    approx = ann_ivfpq_rerank_topk(spark, sf_dir).select("q_id", "c_id")
     return _recall_frame(exact, approx)
 
 
@@ -2755,6 +2883,12 @@ CLUST_PQ_FLOOR = 0.5  # pq_adc mean_recall pin on clustered data
 # the floor is now a real quality bar like pq_adc's, not a >10x-chance
 # consolation pin.
 CLUST_IVFPQ_FLOOR = 0.5
+# The exact-rerank leg (FAISS refine over the L=20 ADC shortlist) must
+# recover what residual quantization loses inside the probed cells —
+# measured 1.0 at all three SFs (the shortlist contains every same-cell
+# true neighbor; exact L2 orders them perfectly). Floor 0.8 leaves slack
+# for corpus regeneration, not for implementation loss.
+CLUST_IVFPQ_RERANK_FLOOR = 0.8
 
 _CLUST_SEED_BASE = N_QUERY_VECS  # seeds N_QUERY_VECS..+PQ_K-1 forced
 # Repunit in base PQ_K: j * (1 + K + K^2 + ...) has base-K digits
@@ -2858,6 +2992,8 @@ CLUST_IVF_FLOOR = 0.5
                                                _clustered_emb_sql()))}),
     ivfpq AS ({_recall_oracle(_exact_l2_oracle(_clustered_emb_sql()),
                               _ivfpq_oracle(_clustered_emb_sql()))}),
+    ivfpqr AS ({_recall_oracle(_exact_l2_oracle(_clustered_emb_sql()),
+                               _ivfpq_rerank_oracle(_clustered_emb_sql()))}),
     lsh AS ({_recall_oracle(_cosine_topk_oracle(_clustered_emb_sql()),
                             _lsh_topk_oracle(_clustered_emb_sql()))}),
     sq AS ({_recall_oracle(_cosine_topk_oracle(_clustered_emb_sql()),
@@ -2873,6 +3009,10 @@ CLUST_IVF_FLOOR = 0.5
       SELECT 'ivf_pq', CAST({CLUST_IVFPQ_FLOOR!r} AS DOUBLE), n_hit,
              k_exact
       FROM ivfpq
+      UNION ALL
+      SELECT 'ivf_pq_rerank', CAST({CLUST_IVFPQ_RERANK_FLOOR!r} AS DOUBLE),
+             n_hit, k_exact
+      FROM ivfpqr
       UNION ALL
       SELECT 'lsh', CAST({CLUST_LSH_FLOOR!r} AS DOUBLE), n_hit, k_exact
       FROM lsh
@@ -2897,7 +3037,8 @@ def ann_recall_matrix_clustered(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """(index_name, n_queries, mean_recall, floor_recall, beats_floor)
-    for ALL FIVE ANN indexes over the deterministic product-clustered
+    for ALL FIVE ANN indexes — plus the IVF-PQ exact-rerank composition
+    (round 10) — over the deterministic product-clustered
     fixture — the measurement that makes index recall an
     implementation-quality gate instead of a data-collapse readout
     (isotropic twin: ann_recall_matrix; ground-truth metric per index
@@ -2928,6 +3069,16 @@ def ann_recall_matrix_clustered(
             _recall_frame(
                 exact,
                 _ivfpq_ranked(spark, sf_dir, vecs=vecs).select(
+                    "q_id", "c_id"
+                ),
+            ),
+        ),
+        (
+            "ivf_pq_rerank",
+            CLUST_IVFPQ_RERANK_FLOOR,
+            _recall_frame(
+                exact,
+                _ivfpq_rerank_ranked(spark, sf_dir, vecs=vecs).select(
                     "q_id", "c_id"
                 ),
             ),

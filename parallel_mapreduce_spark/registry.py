@@ -74,77 +74,17 @@ def query(name: str, oracle: str | None = None, headline: bool = False):
 # nothing. The invariant (window prefers red + unrowed over green
 # re-checks) is enforced by tests/test_registry.py.
 DRIVER_PRIORITY: list[str] = [
-    # round-7 additions (front of the unrowed set for the next window).
-    # Every pre-round-7 name this list used to carry has a green latest
-    # driver row (r01-r06 cumulative) and was pruned — runtime already
-    # dropped them (_ordered_names filters greens), the literal prune
-    # just keeps the hand-ordered front inside the ~50-query driver
-    # window contract pinned by tests/test_registry.py.
-    "dpp_partitioned_join",
-    "rebalance_hint_write_stats",
-    "avro_roundtrip_order_stats",
-    "dsir_importance_weights",
-    "join_strategy_hint_matrix",
-    "quality_classifier_lr2",
-    "semdedup_cluster_report",
-    "python_datasource_write_roundtrip",
-    "stream_python_source_totals",
-    "stream_python_sink_roundtrip",
-    "pipeline_model_filtered_corpus",
-    "segment_dedup_reassemble",
-    "source_cap_sample",
-    "scalar_iter_token_weights",
-    "stream_chained_join_hourly",
-    "ann_pq_adc_topk",
-    "ann_ivfpq_topk",
-    # round-7 session-3 additions
-    "pagerank_trade_graph",
-    "approx_topk_tokens",
-    "histogram_numeric_profile",
-    "freq_items_verified",
-    "source_overlap_matrix",
-    "cached_table_reuse",
-    "bpe_train_3merges",
-    "calendar_arithmetic_report",
-    "timestamp_ntz_roundtrip",
-    "transpose_pricing_report",
-    "bitmap_distinct_rollup",
-    "mask_customer_pii",
-    "theta_customer_set_algebra",
-    "kll_quantile_rollup",
-    "barrier_allgather_stats",
-    # round-8 additions: recall for the compressed ANN trio + the
-    # committed quality/compression matrix and overfetch curve.
-    # (semdedup_cluster_report's K-derivation fix is NOT re-listed: its
-    # latest driver row is green so _ordered_names would drop it anyway;
-    # the stalest-green rotation re-rows it in a later round, and local
-    # parity at all three SFs plus the re-run scale probe cover it now.)
-    "ann_sq_recall_at_k",
-    "ann_pq_recall_at_k",
-    "ann_ivfpq_recall_at_k",
-    "ann_recall_matrix",
-    "ann_pq_shortlist_recall_curve",
-    "exact_substring_runs",
-    "ann_ivf_recall_at_k",
-    "simhash_angle_fidelity",
-    "stream_late_drop_accounting",
-    "hll_precision_error_curve",
-    "declarative_pipeline_medallion",
-    "longest_dup_span_per_doc",
-    # round-9 additions: the clustered-fixture PQ quality gate, the
-    # pyspark.ml cross-validation exhibit, and the Lee et al. run-removal
-    # composition.
-    "ann_recall_matrix_clustered",
-    "mllib_minhash_parity_pairs",
-    "substring_run_removal",
-    "mllib_brp_lsh_parity_pairs",
-    "mllib_feature_parity_report",
-    # (semdedup_cluster_report's round-9 hierarchical-assignment rewrite
-    # is NOT listed: its latest driver row is green so _ordered_names
-    # would drop it anyway — the round-8 precedent for the K-derivation
-    # fix. The stalest-green rotation re-rows it in a later round; local
-    # oracle parity at all three SFs plus the re-run 1x/3x/10x/30x probe
-    # cover the change now.)
+    # ROUND-10 PRUNE: every name this list carried through round 9 is
+    # green on its latest driver row (r07-r09 cumulative), so the whole
+    # hand-ordered front was dropped — _ordered_names filters greens at
+    # runtime anyway; the literal prune keeps the list inside the
+    # 50-name window contract pinned by tests/test_registry.py. Names
+    # whose OUTPUT VALUES changed while green are NOT re-listed here:
+    # that is VALUE_CHANGED's job (below), which outranks the stale-
+    # green rotation until a fresh row lands.
+    # round-10 additions (never rowed): the FAISS-refine composition.
+    "ann_ivfpq_rerank_topk",
+    "ann_ivfpq_rerank_recall_at_k",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -184,6 +184,7 @@ def test_clustered_recall_matrix_gates_quantization_quality(spark, sf_dir):
     from parallel_mapreduce_spark.functions.similarity import (
         CLUST_IVF_FLOOR,
         CLUST_IVFPQ_FLOOR,
+        CLUST_IVFPQ_RERANK_FLOOR,
         CLUST_LSH_FLOOR,
         CLUST_PQ_FLOOR,
         CLUST_SQ_FLOOR,
@@ -192,12 +193,20 @@ def test_clustered_recall_matrix_gates_quantization_quality(spark, sf_dir):
 
     out = ann_recall_matrix_clustered(spark, sf_dir).toPandas()
     rows = {r.index_name: r for r in out.itertuples()}
-    assert set(rows) == {"pq_adc", "ivf_pq", "lsh", "sq_int8", "ivf"}
+    assert set(rows) == {
+        "pq_adc", "ivf_pq", "ivf_pq_rerank", "lsh", "sq_int8", "ivf",
+    }
     assert rows["pq_adc"].mean_recall >= CLUST_PQ_FLOOR
     assert rows["ivf_pq"].mean_recall >= CLUST_IVFPQ_FLOOR
     assert rows["lsh"].mean_recall >= CLUST_LSH_FLOOR
     assert rows["sq_int8"].mean_recall >= CLUST_SQ_FLOOR
     assert rows["ivf"].mean_recall >= CLUST_IVF_FLOOR
+    # The exact-rerank composition must beat the pure ADC ranking AND
+    # clear its own (higher) floor — refine buys back quantization loss.
+    assert rows["ivf_pq_rerank"].mean_recall >= CLUST_IVFPQ_RERANK_FLOOR
+    assert (
+        rows["ivf_pq_rerank"].mean_recall >= rows["ivf_pq"].mean_recall
+    )
     assert out.beats_floor.all()
     # and the isotropic matrix stays the documented honest floor: the
     # clustered fixture must be the thing that separates the two.
