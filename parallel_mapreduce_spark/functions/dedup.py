@@ -108,6 +108,101 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# NORMALIZED exact dedup (round 10) — the normalize-before-hash grain real
+# pipelines (C4, Gopher, Dolma) apply between byte-exact and near-dup:
+# lowercase, strip non-alphanumerics, collapse whitespace, THEN digest.
+# Byte-exact dedup misses "Same Text!!" vs "same text"; MinHash wastes a
+# signature comparison on what one canonical digest resolves. Same plan
+# shape as dedup_exact (digests + lengths cross the one shuffle, text
+# normalized in a single projection; n_raw_variants is a partial-
+# aggregable COUNT DISTINCT over 16-byte digests).
+#
+# Fixture (the substring-family convention, residue 4 of the doc_id % 5
+# classes, offset +77M — collision-free against the +55M/+66M classes for
+# the same arithmetic reasons): every doc_id % 5 == 4 document reappears
+# UPPERCASED with trailing punctuation — raw digests differ, normalized
+# digests match, so the norm_only branch fires at every SF and the oracle
+# replays the mangle + normalization token-for-token.
+#
+# Engine-parity note: DuckDB regexp_replace replaces the FIRST match
+# unless given the 'g' flag; Spark's is global by default — the oracle
+# must say 'g' or the two engines normalize differently.
+# --------------------------------------------------------------------------
+NORM_VARIANT_MOD = 5  # same residue universe as the substring fixtures
+NORM_VARIANT_RESIDUE = 4
+NORM_VARIANT_OFFSET = 77_000_001
+
+
+def _norm_text(col) -> Column:
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(col), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+
+
+@query(
+    "dedup_exact_normalized",
+    oracle=f"""
+    WITH working AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + {NORM_VARIANT_OFFSET}, upper(text) || ' !!'
+      FROM documents
+      WHERE doc_id % {NORM_VARIANT_MOD} = {NORM_VARIANT_RESIDUE}
+    ),
+    k AS (
+      SELECT doc_id, md5(text) AS rk,
+             trim(regexp_replace(regexp_replace(lower(text),
+                    '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS nt
+      FROM working
+    )
+    SELECT MIN(doc_id) AS group_rep,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(COUNT(DISTINCT rk) AS BIGINT) AS n_raw_variants,
+           COUNT(DISTINCT rk) > 1 AS norm_only
+    FROM k GROUP BY nt HAVING COUNT(*) >= 2
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(group_rep, n_members, n_raw_variants, norm_only) per normalized-
+    text duplicate group (>= 2 members): norm_only marks groups byte-
+    exact dedup cannot see (>= 2 distinct raw digests merged by
+    normalization)."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    variants = docs.filter(
+        F.col("doc_id") % NORM_VARIANT_MOD == NORM_VARIANT_RESIDUE
+    ).select(
+        (F.col("doc_id") + NORM_VARIANT_OFFSET).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit(" !!")).alias("text"),
+    )
+    working = docs.unionByName(variants)
+    nt = _norm_text(F.col("text"))
+    keyed = working.select(
+        "doc_id",
+        F.md5("text").alias("rk"),
+        F.md5(nt).alias("nk"),
+        F.length(nt).alias("nl"),
+    )
+    return (
+        keyed.groupBy("nk", "nl")
+        .agg(
+            F.min("doc_id").alias("group_rep"),
+            F.count("*").cast("long").alias("n_members"),
+            F.countDistinct("rk").cast("long").alias("n_raw_variants"),
+        )
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "group_rep",
+            "n_members",
+            "n_raw_variants",
+            (F.col("n_raw_variants") > 1).alias("norm_only"),
+        )
+    )
+
+
 def _digest_groups(docs: DataFrame) -> DataFrame:
     """One row per distinct text: (_k, _l, rep, text) where _k/_l are the
     md5/length digest, rep is the min doc_id of the group and text is that

@@ -983,6 +983,83 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# WEIGHTED (multiset) Jaccard between sources (round 10) — the tf-aware
+# twin of source_vocab_overlap: J_w = sum_w min(tf_a, tf_b) /
+# sum_w max(tf_a, tf_b). Distinct-vocab Jaccard says two crawls share
+# WORDS; weighted Jaccard says they share the same text MASS (a source
+# that uses a shared vocabulary at wildly different frequencies scores
+# high on vocab overlap and low here — the duplicated-crawl detector
+# used by mixture tuning). The union term needs no outer join:
+# sum max = tot_a + tot_b - sum min, so the only pair-grain frame is the
+# inner token join, and every post-join frame is |sources|^2-bounded.
+# All sums are integer token counts — the single divide is the only
+# float op on either engine.
+@query(
+    "source_weighted_jaccard",
+    oracle=f"""
+    WITH tf AS (
+      SELECT source, word, COUNT(*) AS tf
+      FROM (SELECT source, unnest({_SQL_TOKS}) AS word FROM documents)
+      GROUP BY 1, 2
+    ),
+    tot AS (SELECT source, SUM(tf) AS tot FROM tf GROUP BY 1),
+    m AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             SUM(LEAST(a.tf, b.tf)) AS w_inter
+      FROM tf a JOIN tf b ON a.word = b.word AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b,
+           CAST(w_inter AS BIGINT) AS w_inter,
+           CAST(ta.tot + tb.tot - w_inter AS BIGINT) AS w_union,
+           ROUND(w_inter * 1.0 / (ta.tot + tb.tot - w_inter), 4)
+             AS weighted_jaccard
+    FROM m
+    JOIN tot ta ON src_a = ta.source
+    JOIN tot tb ON src_b = tb.source
+    """,
+)
+def source_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, w_inter, w_union, weighted_jaccard) for every
+    source pair sharing at least one token: multiset Jaccard over
+    (token -> tf) bags."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        _spread(spark, docs, "source", "text")
+        .select("source", F.explode(tokens("text")).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count("*").alias("tf"))
+    )
+    tot = tf.groupBy("source").agg(F.sum("tf").alias("tot"))
+    a, b = tf.alias("a"), tf.alias("b")
+    m = (
+        a.join(
+            b,
+            (F.col("a.word") == F.col("b.word"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.sum(F.least(F.col("a.tf"), F.col("b.tf"))).alias("w_inter"))
+    )
+    ta = tot.select(F.col("source").alias("src_a"), F.col("tot").alias("ta"))
+    tb = tot.select(F.col("source").alias("src_b"), F.col("tot").alias("tb"))
+    w_union = F.col("ta") + F.col("tb") - F.col("w_inter")
+    return (
+        m.join(F.broadcast(ta), "src_a")
+        .join(F.broadcast(tb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.col("w_inter").cast("long").alias("w_inter"),
+            w_union.cast("long").alias("w_union"),
+            F.round(F.col("w_inter") / w_union, 4).alias("weighted_jaccard"),
+        )
+    )
+
+
 def _pr4(c: Column) -> Column:
     """Portable 4-decimal rounding: floor(x*1e4 + 0.5)/1e4 on BOTH engines.
     Spark round() and DuckDB ROUND() can split on half-ulp boundaries for

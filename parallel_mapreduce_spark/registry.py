@@ -82,9 +82,13 @@ DRIVER_PRIORITY: list[str] = [
     # whose OUTPUT VALUES changed while green are NOT re-listed here:
     # that is VALUE_CHANGED's job (below), which outranks the stale-
     # green rotation until a fresh row lands.
-    # round-10 additions (never rowed): the FAISS-refine composition.
+    # round-10 additions (never rowed): the FAISS-refine composition,
+    # the normalize-before-hash dedup grain, and the tf-weighted source
+    # Jaccard.
     "ann_ivfpq_rerank_topk",
     "ann_ivfpq_rerank_recall_at_k",
+    "dedup_exact_normalized",
+    "source_weighted_jaccard",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -369,6 +369,50 @@ def test_mllib_minhash_parity_agrees_on_planted_pairs(spark, sf_dir):
     assert out.in_banded.mean() >= 0.9
 
 
+def test_dedup_exact_normalized_catches_case_punct_variants(spark, sf_dir):
+    """Every planted +77M variant (UPPERCASED + trailing ' !!') must land
+    in a normalized group with its original — flagged norm_only, since
+    their raw digests differ — and normalization must never SPLIT a
+    byte-exact group (raw dups share a normalized digest by construction,
+    so every dedup_exact group with n_copies >= 2 appears here with at
+    least that many members)."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        NORM_VARIANT_MOD,
+        NORM_VARIANT_OFFSET,
+        NORM_VARIANT_RESIDUE,
+        dedup_exact,
+        dedup_exact_normalized,
+    )
+    from parallel_mapreduce_spark.sources import load_table
+
+    out = dedup_exact_normalized(spark, sf_dir).toPandas()
+    n_variants = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % NORM_VARIANT_MOD == NORM_VARIANT_RESIDUE)
+        .count()
+    )
+    assert n_variants > 0
+    # Each variant's group contains its original, so the group rep is a
+    # base-corpus id (< OFFSET) and the group is norm_only.
+    norm_only = out[out.norm_only]
+    assert len(norm_only) >= 1
+    assert (norm_only.group_rep < NORM_VARIANT_OFFSET).all()
+    assert int(norm_only.n_members.sum()) >= 2 * len(norm_only)
+    # Byte-exact groups survive: every raw dup group maps into some
+    # normalized group of at least the same size.
+    raw = dedup_exact(spark, sf_dir).toPandas()
+    raw_multi = raw[raw.n_copies >= 2]
+    merged = out.set_index("group_rep")
+    for r in raw_multi.itertuples():
+        # The raw group's keeper is the min id of a normalized group that
+        # includes all its copies (possibly more, never fewer) — unless an
+        # even-smaller id merged in, in which case the keeper just isn't
+        # the rep; membership mass is checked via the sum below.
+        if r.keep_id in merged.index:
+            assert merged.loc[r.keep_id].n_members >= r.n_copies
+    assert int(out.n_members.sum()) >= int(raw_multi.n_copies.sum())
+
+
 def test_within_doc_runs_detected_and_later_copy_cut(spark, sf_dir):
     """Round-10 self leg: every planted +66M variant (an id-unique span
     repeated twice inside ONE document) must be detected as exactly one
