@@ -89,6 +89,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_ivfpq_rerank_recall_at_k",
     "dedup_exact_normalized",
     "source_weighted_jaccard",
+    "bloom_incremental_dedup",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
