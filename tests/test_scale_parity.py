@@ -120,6 +120,17 @@ SCALE_SENSITIVE = [
     # round-8: per-doc fold of the run frame incl. the zero-overlap
     # left-join branch — sf0.1's organic long runs exercise both sides
     "longest_dup_span_per_doc",
+    # round-10: within-doc self leg + its fixture first meet organic
+    # long runs at this scale (the pair universe change rides the two
+    # queries above plus the removal composition)
+    "substring_run_removal",
+    # round-10: bloom fp counts are load-factor-dependent — sf0.1 is
+    # where the undersized filter saturates (837 fp) and a hash or
+    # sizing drift would first show
+    "bloom_incremental_dedup",
+    # round-10: the clustered matrix's six floor booleans at the 2000-vec
+    # corpus (ivf_pq per-cell codebooks + the rerank leg)
+    "ann_recall_matrix_clustered",
 ]
 
 
