@@ -601,6 +601,139 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Banded-index precision/recall CURVE (round 10) — the committed Broder
+# S-curve for the shipped 16-perm/4-band configuration: at each exact-
+# Jaccard threshold t, what fraction of true >= t pairs does the band
+# join surface (recall), and what fraction of surfaced candidates are
+# true >= t pairs (precision)? minhash_jaccard_estimate pins signature
+# accuracy and the MLlib parity pins the >= 0.9 tail; this measures the
+# full operating range a user actually tunes bands against (theory:
+# P(candidate) = 1 - (1 - t^4)^4 -> 0.06 at t=0.5, 0.66 at t=0.8, 0.94
+# at t=0.9; the committed numbers are this corpus's empirical curve).
+# Thresholds start AT the exact-pair frame's own >= 0.5 floor, so
+# sub-threshold candidates (possible at J < 0.5, where the band match
+# probability is already <= 6%) need no exact J — they fold to 0 via
+# the full join and only ever lower precision, exactly as they should.
+# Universe: member-level pairs (the minhash_lsh_candidates convention);
+# both legs run on exact-text representatives and expand to members.
+# --------------------------------------------------------------------------
+PR_THRESHOLDS = (0.5, 0.6, 0.7, 0.8, 0.9)
+
+
+@query(
+    "minhash_lsh_pr_curve",
+    oracle=f"""
+    WITH {_SQL_MINHASH_BAND_CTES},
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    j AS (
+      SELECT doc_a, doc_b,
+             ROUND(shared * 1.0 / (sa.sz + sb.sz - shared), 4) AS jaccard
+      FROM pairs
+      JOIN sz sa ON doc_a = sa.doc_id
+      JOIN sz sb ON doc_b = sb.doc_id
+      WHERE shared * 1.0 / (sa.sz + sb.sz - shared) >= {JACCARD_THRESHOLD}
+    ),
+    u AS (
+      SELECT COALESCE(j.jaccard, 0) AS jaccard,
+             c.doc_a IS NOT NULL AS cand
+      FROM j FULL JOIN cand c
+        ON j.doc_a = c.doc_a AND j.doc_b = c.doc_b
+    ),
+    th(threshold) AS (VALUES {", ".join(f"({t!r})" for t in PR_THRESHOLDS)})
+    SELECT th.threshold,
+           CAST(SUM(CASE WHEN jaccard >= th.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN cand AND jaccard >= th.threshold
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_cand_true,
+           CAST(SUM(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT) AS n_cand,
+           ROUND(SUM(CASE WHEN cand AND jaccard >= th.threshold
+                     THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN jaccard >= th.threshold
+                          THEN 1 ELSE 0 END), 0), 4) AS recall,
+           ROUND(SUM(CASE WHEN cand AND jaccard >= th.threshold
+                     THEN 1 ELSE 0 END) * 1.0
+                 / NULLIF(SUM(CASE WHEN cand THEN 1 ELSE 0 END), 0), 4)
+             AS "precision"
+    FROM u CROSS JOIN th GROUP BY 1
+    """,
+)
+def minhash_lsh_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold, n_true, n_cand_true, n_cand, recall, precision) per
+    exact-Jaccard threshold: the banded index's measured S-curve."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    n = max(spark.sparkContext.defaultParallelism, 8)
+    members = exact_dup_members(docs)
+    reps = _rep_texts(docs, n)
+    shingled = reps.select(
+        "doc_id", shingles3(tokens("text")).alias("sh")
+    ).filter(F.size("sh") > 0)
+    eligible = shingled.select(F.col("doc_id").alias("rep"))
+    rep_j = jaccard_pairs(shingled)
+    exact = expand_rep_pairs(rep_j, members, "jaccard").unionByName(
+        within_group_pairs(members, eligible, F.lit(1.0).alias("jaccard"))
+    )
+    bands = _lsh_bands(_minhash_of(reps))
+    ba, bb = bands.alias("a"), bands.alias("b")
+    rep_cand = (
+        ba.join(
+            bb,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .withColumn("c", F.lit(True))
+    )
+    cand = expand_rep_pairs(rep_cand, members, "c").unionByName(
+        within_group_pairs(members, eligible, F.lit(True).alias("c"))
+    )
+    u = exact.join(cand, ["doc_a", "doc_b"], "full").select(
+        F.coalesce("jaccard", F.lit(0.0)).alias("jaccard"),
+        F.coalesce("c", F.lit(False)).alias("cand"),
+    )
+    thresholds = F.explode(
+        F.array(*[F.lit(t) for t in PR_THRESHOLDS])
+    ).alias("threshold")
+    hit = F.col("cand") & (F.col("jaccard") >= F.col("threshold"))
+    as_l = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    return (
+        u.select("jaccard", "cand", thresholds)
+        .groupBy("threshold")
+        .agg(
+            as_l(F.col("jaccard") >= F.col("threshold")).alias("n_true"),
+            as_l(hit).alias("n_cand_true"),
+            as_l(F.col("cand")).alias("n_cand"),
+            F.round(
+                as_l(hit)
+                / F.nullif(
+                    as_l(F.col("jaccard") >= F.col("threshold")), F.lit(0)
+                ),
+                4,
+            ).alias("recall"),
+            F.round(
+                as_l(hit) / F.nullif(as_l(F.col("cand")), F.lit(0)), 4
+            ).alias("precision"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
 # pyspark.ml MinHashLSH parity exhibit (round 9) — cross-validates the
 # hand-rolled banded index above against Spark MLlib's INDEPENDENT
 # implementation (org.apache.spark.ml.feature.MinHashLSH), the index a

@@ -90,6 +90,7 @@ DRIVER_PRIORITY: list[str] = [
     "dedup_exact_normalized",
     "source_weighted_jaccard",
     "bloom_incremental_dedup",
+    "minhash_lsh_pr_curve",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
