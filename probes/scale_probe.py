@@ -114,6 +114,20 @@ DISJOINT_QUERIES = (
     # output rows grow linearly and b_time measures the two banded
     # indexes + the exact-Jaccard verify — expect ~1.
     "mllib_minhash_parity_pairs",
+    # round 10: the new dedup/text/ANN surface. Normalized dedup is one
+    # digest shuffle (expect ~1, rows ~1); weighted jaccard's pair grid
+    # is |sources|^2-bounded with a linearly growing token-count input
+    # (expect ~1, rows 0); the bloom gate is two broadcast-bit probes +
+    # one digest join (expect ~1, one output row); the PR curve runs the
+    # exact-Jaccard join + band join (disjoint replicas keep pair
+    # structure per-replica -> rows 0, 5 threshold rows; wall tracks
+    # the two index joins); rerank adds a shortlist-bounded exact leg
+    # on top of the IVF-PQ plan (expect ~ the ivfpq exponent).
+    "dedup_exact_normalized",
+    "source_weighted_jaccard",
+    "bloom_incremental_dedup",
+    "minhash_lsh_pr_curve",
+    "ann_ivfpq_rerank_topk",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 
