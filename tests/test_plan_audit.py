@@ -257,6 +257,24 @@ HEADLINE_EXCHANGE_CEILING = {
     # round 9: detection (above) + the token-grain anti-join + per-doc
     # reassembly agg + the base join — measured 7; persisted-plan slack.
     "substring_run_removal": 16,
+    # round 10 (non-headline ship plans, pinned for the same shuffle-
+    # regression discipline; cold-session measurements with the usual
+    # persisted/cache-state slack):
+    # one digest agg + the variant-union branch — measured 2.
+    "dedup_exact_normalized": 6,
+    # token-count shuffle x2 legs + the |sources|^2 joins — measured 14.
+    "source_weighted_jaccard": 24,
+    # corpus digest distinct + two bit-set builds + two probe joins +
+    # the audit join + final agg — measured 15.
+    "bloom_incremental_dedup": 26,
+    # both index legs (exact-Jaccard join + band join) + member
+    # expansion on each + the threshold agg — measured 49.
+    "minhash_lsh_pr_curve": 70,
+    # the full IVF-PQ plan (persisted codebooks re-print per consumer,
+    # the ann_ivfpq_topk precedent) + the shortlist-bounded exact leg —
+    # measured 49 / 55 (recall adds the exact-L2 ground-truth leg).
+    "ann_ivfpq_rerank_topk": 70,
+    "ann_ivfpq_rerank_recall_at_k": 80,
 }
 
 
