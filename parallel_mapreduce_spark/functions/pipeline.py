@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import Window as W
 
 from parallel_mapreduce_spark.functions.dedup import (
     JACCARD_THRESHOLD,
@@ -29,7 +30,14 @@ from parallel_mapreduce_spark.functions.dedup import (
     shingles3,
 )
 from parallel_mapreduce_spark.functions.portable import phash60_sql
-from parallel_mapreduce_spark.functions.text import quality_expr, tokens
+from parallel_mapreduce_spark.functions.similarity import N_QUERY_VECS
+from parallel_mapreduce_spark.functions.text import (
+    _SQL_TOKS,
+    BM25_B,
+    BM25_K1,
+    quality_expr,
+    tokens,
+)
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.sources import load_table, register_views
 
@@ -532,4 +540,251 @@ def pipeline_tokenize_pack_shard(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_packs_touched"
         ),
         digest.alias("docs_digest"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval with reciprocal-rank fusion (round 10) — the capstone a
+# production RAG stack actually serves: a LEXICAL leg (Okapi BM25 over the
+# query document's distinct terms, bm25_topk_docs's exact scoring shape)
+# and a VECTOR leg (brute cosine over the aligned embeddings, cosine_topk's
+# exact expressions), fused by RRF: score(c) = sum over legs of
+# 1 / (K0 + rank_leg(c)) — the fusion needs no score calibration between
+# BM25's unbounded sums and cosine's [-1, 1], which is exactly why RRF won
+# in practice (Cormack et al. 2009). The fixture makes it real: vec_id IS
+# doc_id in the testdata, so query ids < N_QUERY_VECS carry both text and
+# an embedding, and the two legs rank the SAME candidate universe (all
+# other documents).
+#
+# Determinism discipline: each leg ranks on its own rounded score (6 dp
+# cosine / 4 dp BM25, the legs' registered conventions), RRF contributions
+# cross the fusion as INTEGER micro-units round(1e6 / (K0 + rank)) — no
+# denominator in 61..(60+L) produces a .5 midpoint — and the fused rank
+# ties break on c_id. Both legs and the fusion replay in DuckDB, so every
+# fused rank is value-checked.
+#
+# Scale posture: the vector leg is the brute baseline (the ANN indexes are
+# the documented scale path — any of them can substitute as the leg since
+# fusion only consumes ranks); the lexical leg restricts postings to query
+# terms BEFORE the tf aggregate (the bm25_topk_docs plan); the fusion
+# frame is Q x 2L rows — driver-bounded however big the corpus.
+# --------------------------------------------------------------------------
+HYBRID_L = 20  # per-leg shortlist depth
+HYBRID_K = 10  # fused results per query
+RRF_K0 = 60  # the standard RRF constant
+
+
+@query(
+    "hybrid_rrf_retrieval",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id AS q_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE vec_id < {N_QUERY_VECS}
+    ),
+    cv AS (
+      SELECT vec_id AS c_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    vs AS (
+      SELECT q_id, c_id,
+             ROUND(list_cosine_similarity(qv.v, cv.v), 6) AS sim6
+      FROM qv CROSS JOIN cv WHERE c_id <> q_id
+    ),
+    vr AS (
+      SELECT q_id, c_id,
+             CAST(ROUND(1000000.0 / ({RRF_K0} + rk)) AS BIGINT) AS u_v
+      FROM (SELECT q_id, c_id,
+                   ROW_NUMBER() OVER (PARTITION BY q_id
+                                      ORDER BY sim6 DESC, c_id) AS rk
+            FROM vs)
+      WHERE rk <= {HYBRID_L}
+    ),
+    qt AS (
+      SELECT doc_id AS qid,
+             unnest(list_distinct({_SQL_TOKS})) AS term
+      FROM documents WHERE doc_id < {N_QUERY_VECS}
+    ),
+    t AS (SELECT doc_id, {_SQL_TOKS} AS toks FROM documents),
+    d AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM t
+          WHERE len(toks) > 0),
+    p AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT doc_id, unnest(toks) AS term FROM t) GROUP BY 1, 2
+    ),
+    pq AS (SELECT p.* FROM p JOIN (SELECT DISTINCT term FROM qt) u
+           ON p.term = u.term),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 ROUND(AVG(dl), 6) AS avgdl FROM d),
+    dfq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfreq
+            FROM pq GROUP BY term),
+    sc AS (
+      SELECT qt.qid, pq.doc_id,
+             ROUND(SUM(
+               ln(1 + (s.n_docs - dfq.dfreq + 0.5) / (dfq.dfreq + 0.5))
+               * pq.tf * ({BM25_K1} + 1)
+               / (pq.tf + {BM25_K1}
+                  * (1 - {BM25_B} + {BM25_B} * d.dl / s.avgdl))), 4) AS score
+      FROM pq
+      JOIN qt ON pq.term = qt.term
+      JOIN dfq ON pq.term = dfq.term
+      JOIN d ON pq.doc_id = d.doc_id
+      CROSS JOIN s
+      WHERE pq.doc_id <> qt.qid
+      GROUP BY 1, 2
+    ),
+    lr AS (
+      SELECT qid AS q_id, doc_id AS c_id,
+             CAST(ROUND(1000000.0 / ({RRF_K0} + rk)) AS BIGINT) AS u_l
+      FROM (SELECT qid, doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY qid
+                                      ORDER BY score DESC, doc_id) AS rk
+            FROM sc)
+      WHERE rk <= {HYBRID_L}
+    ),
+    f AS (
+      SELECT COALESCE(vr.q_id, lr.q_id) AS q_id,
+             COALESCE(vr.c_id, lr.c_id) AS c_id,
+             COALESCE(u_v, 0) + COALESCE(u_l, 0) AS rrf_u,
+             vr.c_id IS NOT NULL AS in_vector,
+             lr.c_id IS NOT NULL AS in_lexical
+      FROM vr FULL JOIN lr ON vr.q_id = lr.q_id AND vr.c_id = lr.c_id
+    )
+    SELECT q_id, CAST(rk AS BIGINT) AS rk, c_id, rrf_u,
+           in_vector, in_lexical
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY rrf_u DESC, c_id) AS rk
+          FROM f)
+    WHERE rk <= {HYBRID_K}
+    """,
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, rk, c_id, rrf_u, in_vector, in_lexical): reciprocal-rank
+    fusion of the BM25 lexical leg and the brute-cosine vector leg over
+    the aligned document/embedding corpus."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        as_double,
+        dot,
+        l2_norm,
+    )
+    from parallel_mapreduce_spark.functions.text import _spread
+
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    rrf_u = lambda rk: (  # noqa: E731
+        F.round(F.lit(1000000.0) / (F.lit(RRF_K0) + rk)).cast("long")
+    )
+
+    # ---- vector leg (cosine_topk's exact expressions, depth HYBRID_L)
+    vecs = emb.select("vec_id", as_double(F.col("embedding")).alias("e"))
+    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qv"),
+        l2_norm(F.col("e")).alias("qn"),
+    )
+    c = vecs.repartition(n_parts).select(
+        F.col("vec_id").alias("c_id"),
+        F.col("e").alias("cv"),
+        l2_norm(F.col("e")).alias("cn"),
+    )
+    sims = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")),
+                6,
+            ).alias("sim6"),
+        )
+    )
+    wv = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
+    vr = (
+        sims.withColumn("rk", F.row_number().over(wv))
+        .filter(F.col("rk") <= HYBRID_L)
+        .select("q_id", "c_id", rrf_u(F.col("rk")).alias("u_v"))
+    )
+
+    # ---- lexical leg (bm25_topk_docs's exact scoring shape; query term
+    # sets are the query documents' distinct tokens)
+    qt = docs.filter(F.col("doc_id") < N_QUERY_VECS).select(
+        F.col("doc_id").alias("qid"),
+        F.explode(F.array_distinct(tokens("text"))).alias("term"),
+    )
+    uterms = qt.select("term").distinct()
+    t = _spread(spark, docs, "doc_id", "text").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    d_stats = (
+        t.select("doc_id", F.size("toks").cast("long").alias("dl"))
+        .filter(F.col("dl") > 0)
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.round(F.avg("dl"), 6).alias("avgdl"),
+        )
+    )
+    pq = (
+        t.select(
+            "doc_id",
+            F.size("toks").cast("long").alias("dl"),
+            F.explode("toks").alias("term"),
+        )
+        .join(F.broadcast(uterms), "term")
+        .groupBy("doc_id", "dl", "term")
+        .agg(F.count("*").cast("long").alias("tf"))
+    )
+    dfq = pq.groupBy("term").agg(F.count("*").cast("long").alias("dfreq"))
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n_docs") - F.col("dfreq") + 0.5) / (F.col("dfreq") + 0.5)
+    )
+    contrib = idf * F.col("tf") * (BM25_K1 + 1) / (
+        F.col("tf")
+        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+    )
+    sc = (
+        pq.join(F.broadcast(qt), "term")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(F.broadcast(dfq), "term")
+        .crossJoin(F.broadcast(d_stats))
+        .groupBy("qid", "doc_id")
+        .agg(F.round(F.sum(contrib), 4).alias("score"))
+    )
+    wl = W.partitionBy("qid").orderBy(F.col("score").desc(), F.col("doc_id"))
+    lr = (
+        sc.withColumn("rk", F.row_number().over(wl))
+        .filter(F.col("rk") <= HYBRID_L)
+        .select(
+            F.col("qid").alias("q_id"),
+            F.col("doc_id").alias("c_id"),
+            rrf_u(F.col("rk")).alias("u_l"),
+        )
+    )
+
+    # ---- RRF fusion (Q x 2L rows, driver-bounded)
+    f = vr.join(lr, ["q_id", "c_id"], "full").select(
+        "q_id",
+        "c_id",
+        (F.coalesce("u_v", F.lit(0)) + F.coalesce("u_l", F.lit(0))).alias(
+            "rrf_u"
+        ),
+        F.col("u_v").isNotNull().alias("in_vector"),
+        F.col("u_l").isNotNull().alias("in_lexical"),
+    )
+    wf = W.partitionBy("q_id").orderBy(F.col("rrf_u").desc(), F.col("c_id"))
+    return (
+        f.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") <= HYBRID_K)
+        .select(
+            "q_id",
+            F.col("rk").cast("long").alias("rk"),
+            "c_id",
+            "rrf_u",
+            "in_vector",
+            "in_lexical",
+        )
     )

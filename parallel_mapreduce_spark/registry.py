@@ -91,6 +91,7 @@ DRIVER_PRIORITY: list[str] = [
     "source_weighted_jaccard",
     "bloom_incremental_dedup",
     "minhash_lsh_pr_curve",
+    "hybrid_rrf_retrieval",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -275,6 +275,9 @@ HEADLINE_EXCHANGE_CEILING = {
     # measured 49 / 55 (recall adds the exact-L2 ground-truth leg).
     "ann_ivfpq_rerank_topk": 70,
     "ann_ivfpq_rerank_recall_at_k": 80,
+    # both retrieval legs (cosine pairs + BM25 postings) + per-leg ranks
+    # + the Q x 2L fusion — measured 19.
+    "hybrid_rrf_retrieval": 30,
 }
 
 
