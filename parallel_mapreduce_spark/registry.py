@@ -92,6 +92,7 @@ DRIVER_PRIORITY: list[str] = [
     "bloom_incremental_dedup",
     "minhash_lsh_pr_curve",
     "hybrid_rrf_retrieval",
+    "aqe_skew_join_user_tiers",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
