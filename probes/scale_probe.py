@@ -128,6 +128,12 @@ DISJOINT_QUERIES = (
     "bloom_incremental_dedup",
     "minhash_lsh_pr_curve",
     "ann_ivfpq_rerank_topk",
+    # round 10 session 2: hybrid fusion — the token rewrite makes replica
+    # docs share no terms with the 10 query docs, so the BM25 postings
+    # stay query-bounded and the cosine leg's linear scan dominates
+    # (measured flat at these sizes: fixed overhead; constant 100-row
+    # output).
+    "hybrid_rrf_retrieval",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 
@@ -156,6 +162,12 @@ RELATIONAL_QUERIES = (
     # 25 under key-offset replication, so iterations cost O(1) and the
     # output is 25 rows at every scale. Expect b_time ~ 1, b_rows = 0.
     "pagerank_trade_graph",
+    # round 10: the AQE skew exhibit belongs HERE (events replicate with
+    # key offsets; the disjoint mode symlinks events, which would time a
+    # constant input). The amplified hot user stays the base replica's,
+    # so the probe measures the plain join's linear term under a
+    # constant-size hot partition.
+    "aqe_skew_join_user_tiers",
 )
 RELATIONAL_KEYS = {
     "customer": ("c_custkey",),
