@@ -1,0 +1,137 @@
+"""Diversity-based data SELECTION over the `embeddings` table.
+
+LLM-pipeline operator family (SURVEY.md §2.3 extension surface): the
+training-data sampling queries in trainprep.py pick rows by SOURCE
+(stratified / weighted / temperature) — none of them look at the vectors.
+This module adds the geometry-aware selection grain: k-center greedy
+(farthest-point traversal), the classic 2-approximation to the k-center
+objective (Gonzalez 1985, "Clustering to minimize the maximum intercluster
+distance") and the standard coreset picker for diversity-maximizing
+training-subset selection (used by active-learning and data-pruning
+pipelines).
+
+Algorithm: start from a fixed seed (vec_id 0); k-1 times, add the point
+FARTHEST from the already-selected set (max over points of min squared-L2
+distance to any selected center), then report the covering radius after
+every pick — the k-center objective value, non-increasing in rank.
+
+Spark-first shape and why it scales:
+- the running state is ONE distributed frame (vec_id, e, md) holding each
+  point's min distance to the selected set — updated per pick with
+  ``least(md, dist(e, new_center))``, a NARROW map over the corpus
+  (no shuffle, no N x k distance matrix ever materializes);
+- each pick is one ``ORDER BY md DESC, vec_id LIMIT 1`` — Spark plans a
+  distributed TakeOrdered (per-partition top-1 then a k-way driver merge),
+  so the corpus never concentrates anywhere;
+- the only driver-side data is the k picked rows themselves (one 64-dim
+  vector each) — the same bounded per-iteration scalar hop the k-means /
+  PageRank loops use; the hop is inherent to the algorithm (pick i+1
+  depends on pick i — Gonzalez is sequential in k by definition);
+- the corpus frame is persisted once; per-pick lineage is rebuilt from a
+  LITERAL center array, so plans stay flat (no 5^k lineage nesting — see
+  the NN-Descent checkpoint note in similarity.py for the failure mode).
+
+Determinism (module convention, registry.py rules): squared-L2 distances
+rounded to 6 dp before min/argmax, ties broken toward the lower vec_id;
+the DuckDB oracle replays every pick with an unrolled CTE chain.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.functions.similarity import as_double
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.session import bounded_persist
+from parallel_mapreduce_spark.sources import load_table, register_views
+
+KC_K = 12  # selected coreset size (k centers, seed included)
+
+
+def _kc_oracle() -> str:
+    """Unrolled k-step replay: md{i} = running min-distance frame after
+    centers 0..i; p{i} = the argmax pick that becomes center i."""
+    sql = """
+    WITH v AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), c0 AS (SELECT pos, val AS cval FROM v WHERE vec_id = 0),
+    md0 AS MATERIALIZED (
+      SELECT v.vec_id, ROUND(SUM((v.val - c0.cval) ^ 2), 6) AS md
+      FROM v JOIN c0 USING (pos) GROUP BY v.vec_id
+    )"""
+    for i in range(1, KC_K):
+        p = i - 1
+        sql += f""",
+    p{i} AS (SELECT vec_id FROM md{p} ORDER BY md DESC, vec_id LIMIT 1),
+    c{i} AS (SELECT v.pos, v.val AS cval FROM v JOIN p{i} USING (vec_id)),
+    d{i} AS (SELECT v.vec_id, ROUND(SUM((v.val - c{i}.cval) ^ 2), 6) AS d
+             FROM v JOIN c{i} USING (pos) GROUP BY v.vec_id),
+    md{i} AS MATERIALIZED (
+      SELECT md{p}.vec_id, LEAST(md{p}.md, d{i}.d) AS md
+      FROM md{p} JOIN d{i} USING (vec_id))"""
+    legs = [
+        "SELECT CAST(0 AS BIGINT) AS sel_rank, CAST(0 AS BIGINT) AS center_id,"
+        " (SELECT MAX(md) FROM md0) + 0.0 AS radius"
+    ]
+    for i in range(1, KC_K):
+        legs.append(
+            f"SELECT CAST({i} AS BIGINT), CAST((SELECT vec_id FROM p{i}) AS"
+            f" BIGINT), (SELECT MAX(md) FROM md{i}) + 0.0"
+        )
+    return sql + "\n    " + "\n    UNION ALL\n    ".join(legs)
+
+
+def _dist6_to(center_vec: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in center_vec])
+    return F.round(
+        F.aggregate(
+            F.zip_with(F.col("e"), c, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, d: acc + d,
+        ),
+        6,
+    )
+
+
+@query("kcenter_coreset_select", headline=True, oracle=_kc_oracle())
+def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sel_rank, center_id, radius): the Gonzalez farthest-point
+    trajectory over the embedding corpus — which vectors a
+    diversity-maximizing k-subset selects, in pick order, plus the
+    k-center covering radius after each pick. radius is the max over the
+    corpus of each point's min 6dp-rounded squared-L2 distance to the
+    selected set; it is non-increasing in sel_rank (pinned in
+    tests/test_selection.py)."""
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = bounded_persist(
+        emb.repartition(n_parts, "vec_id").select(
+            "vec_id", as_double(F.col("embedding")).alias("e")
+        )
+    )
+    seed = vecs.where(F.col("vec_id") == 0).select("e").head()
+    md = vecs.select("vec_id", "e", _dist6_to(seed["e"]).alias("md"))
+    rows: list[tuple[int, int, float]] = []
+    center_id = 0
+    for rank in range(KC_K):
+        # One bounded hop per pick: the argmax row carries BOTH this
+        # rank's covering radius (its md IS max(md)) and the next pick.
+        top = md.orderBy(F.desc("md"), "vec_id").head()
+        rows.append((rank, center_id, float(top["md"])))
+        if rank == KC_K - 1:
+            break
+        center_id = int(top["vec_id"])
+        md = bounded_persist(
+            md.select(
+                "vec_id",
+                "e",
+                F.least(F.col("md"), _dist6_to(top["e"])).alias("md"),
+            )
+        )
+    return spark.createDataFrame(
+        rows, "sel_rank long, center_id long, radius double"
+    )

@@ -93,6 +93,11 @@ DRIVER_PRIORITY: list[str] = [
     "minhash_lsh_pr_curve",
     "hybrid_rrf_retrieval",
     "aqe_skew_join_user_tiers",
+    # round-10 second wave (never rowed): LSH-seeded NN-Descent kNN-graph
+    # construction and the diversity-selection family.
+    "knn_graph_nn_descent",
+    "knn_graph_recall_curve",
+    "kcenter_coreset_select",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
@@ -242,6 +247,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.functions.multimodal  # noqa: F401
     import parallel_mapreduce_spark.functions.pipeline  # noqa: F401
     import parallel_mapreduce_spark.functions.python_slots  # noqa: F401
+    import parallel_mapreduce_spark.functions.selection  # noqa: F401
     import parallel_mapreduce_spark.functions.similarity  # noqa: F401
     import parallel_mapreduce_spark.functions.text  # noqa: F401
     import parallel_mapreduce_spark.functions.trainprep  # noqa: F401

@@ -134,6 +134,16 @@ DISJOINT_QUERIES = (
     # (measured flat at these sizes: fixed overhead; constant 100-row
     # output).
     "hybrid_rrf_retrieval",
+    # round 10 session 3: NN-Descent kNN-graph — per refinement round the
+    # candidate frame is N * (2K)^2 (degree-bounded neighbor-of-neighbor)
+    # and the seed-bucket join holds expected bucket size ~32 because the
+    # truncated plane count p(N) grows with log2(N) (the semdedup
+    # corpus-derived-K convention) — expect b_time ~ 1 with a CONSTANT
+    # 600-row eval output (b_rows = 0). k-center greedy: KC_K fixed picks,
+    # each one narrow distance pass + a distributed top-1 — expect ~1
+    # with a constant 12-row output.
+    "knn_graph_nn_descent",
+    "kcenter_coreset_select",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 

@@ -1,0 +1,60 @@
+"""k-center greedy coreset selection (functions/selection.py, round 10).
+
+Oracle parity is covered by test_oracle_parity.py; here the Gonzalez
+invariants:
+- the covering radius is strictly about the SELECTED set: non-increasing
+  in pick rank, and every pick strictly reduces or holds it;
+- picks are distinct, seeded at vec_id 0;
+- each pick really is the farthest point: verified against a numpy
+  replay of the full trajectory.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from parallel_mapreduce_spark.functions.selection import (
+    KC_K,
+    kcenter_coreset_select,
+)
+
+
+def _trajectory(spark, sf_dir):
+    df = kcenter_coreset_select(spark, sf_dir).toPandas()
+    return df.sort_values("sel_rank").reset_index(drop=True)
+
+
+def test_shape_and_seed(spark, sf_dir):
+    t = _trajectory(spark, sf_dir)
+    assert len(t) == KC_K
+    assert t["sel_rank"].tolist() == list(range(KC_K))
+    assert t.loc[0, "center_id"] == 0
+    assert t["center_id"].nunique() == KC_K
+
+
+def test_radius_non_increasing(spark, sf_dir):
+    r = _trajectory(spark, sf_dir)["radius"].tolist()
+    assert all(a >= b for a, b in zip(r, r[1:]))
+    assert r[-1] > 0  # corpus has no duplicate-of-seed collapse
+
+
+def test_matches_numpy_replay(spark, sf_dir):
+    import duckdb
+
+    t = _trajectory(spark, sf_dir)
+    emb = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).df()
+    e = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    md = np.round(((e - e[0]) ** 2).sum(axis=1), 6)
+    centers, radii = [0], [md.max()]
+    for _ in range(KC_K - 1):
+        # argmax with ties to the LOWER vec_id: argmax returns first max
+        pick = int(np.argmax(md))
+        d = np.round(((e - e[pick]) ** 2).sum(axis=1), 6)
+        md = np.minimum(md, d)
+        centers.append(pick)
+        radii.append(md.max())
+    assert t["center_id"].tolist() == centers
+    np.testing.assert_allclose(t["radius"].to_numpy(), radii, rtol=1e-9)
