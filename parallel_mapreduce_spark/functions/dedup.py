@@ -2405,3 +2405,119 @@ def simhash_angle_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cos6u") / (F.count("*") * F.lit(1000000)), 4
         ).alias("mean_exact_cos"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sorted-neighborhood blocking (round 10, session 3; Hernandez & Stolfo
+# 1995 "merge/purge") — the classic COMPLEMENT to the SymSpell deletion
+# index above: instead of generating a per-record key neighborhood, sort
+# every record by a key once and compare only records whose global sort
+# ranks fall within a fixed window. Cost is exactly N*(W-1) candidate
+# pairs per pass — no quadratic regime exists at any skew — but recall is
+# structural, not guaranteed: a difference in a HIGH-significance key
+# position (the first digit of an id) teleports a record far away in sort
+# order, so the window never sees the pair. sorted_neighborhood_recall
+# COMMITS that trade-off: the window's measured recall of the exact
+# ed-1 pair set (fuzzy_name_pairs) on the same corpus, the number a
+# pipeline owner reads before choosing blocking strategies.
+#
+# Scale shape: the global rank comes from operators/rank.global_row_number
+# (range shards + broadcast bases — no single-task global sort); the
+# window pairs are an explode(1..W-1) + rank equi-join, NOT a range join;
+# the verify is output-sized levenshtein. The oracle replays the rank
+# with a plain window (oracle scale is DuckDB's problem) and the same
+# BETWEEN window.
+# --------------------------------------------------------------------------
+SN_WINDOW = 4    # compare records whose sort ranks differ by 1..W-1
+SN_MAX_LEV = 2   # verify stage keeps pairs at edit distance <= 2
+
+_SN_PAIRS_SQL = f"""
+    WITH snn AS (SELECT DISTINCT s_name FROM supplier),
+    snr AS (
+      SELECT s_name, ROW_NUMBER() OVER (ORDER BY s_name) AS rnk FROM snn
+    )
+    SELECT a.s_name AS name_a, b.s_name AS name_b,
+           CAST(b.rnk - a.rnk AS BIGINT) AS rank_gap,
+           CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) AS lev
+    FROM snr a JOIN snr b
+      ON b.rnk - a.rnk BETWEEN 1 AND {SN_WINDOW - 1}
+    WHERE levenshtein(a.s_name, b.s_name) <= {SN_MAX_LEV}
+"""
+
+
+def _sn_pairs_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from parallel_mapreduce_spark.operators.rank import global_row_number
+
+    register_views(spark, sf_dir)
+    names = load_table(spark, sf_dir, "supplier").select("s_name").distinct()
+    r = global_row_number(names, [F.asc("s_name")], out="rnk")
+    targets = r.select(
+        F.col("s_name").alias("name_a"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(SN_WINDOW - 1)).cast("array<bigint>")
+        ).alias("rank_gap"),
+        (F.col("rnk") + F.col("rank_gap")).alias("trnk"),
+    )
+    pairs = targets.join(
+        r.select(F.col("s_name").alias("name_b"), F.col("rnk").alias("trnk")),
+        "trnk",
+    )
+    return pairs.select(
+        "name_a",
+        "name_b",
+        "rank_gap",
+        F.levenshtein("name_a", "name_b").cast("long").alias("lev"),
+    ).where(F.col("lev") <= SN_MAX_LEV)
+
+
+@query("sorted_neighborhood_pairs", oracle=_SN_PAIRS_SQL)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(name_a, name_b, rank_gap, lev): candidate pairs whose global
+    sort ranks differ by < SN_WINDOW, verified to edit distance <=
+    SN_MAX_LEV. name_a < name_b follows from rank order because the sort
+    key IS the name."""
+    return _sn_pairs_frame(spark, sf_dir)
+
+
+@query(
+    "sorted_neighborhood_recall",
+    oracle=f"""
+    WITH sn AS ({_SN_PAIRS_SQL}),
+    tru AS (
+      SELECT a.s_name AS name_a, b.s_name AS name_b
+      FROM supplier a JOIN supplier b
+        ON a.s_name < b.s_name AND levenshtein(a.s_name, b.s_name) = 1
+    )
+    SELECT CAST({SN_WINDOW} AS BIGINT) AS window_w,
+           CAST(COUNT(*) AS BIGINT) AS n_true_ed1,
+           CAST(SUM(CASE WHEN sn.name_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           ROUND(SUM(CASE WHEN sn.name_a IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS recall
+    FROM tru
+    LEFT JOIN (SELECT name_a, name_b FROM sn WHERE lev = 1) sn
+      USING (name_a, name_b)
+    """,
+)
+def sorted_neighborhood_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(window_w, n_true_ed1, n_caught, recall): how much of the EXACT
+    ed-1 pair set (the SymSpell index's output) the W-record sorted
+    window actually sees — the committed blocking-strategy trade-off."""
+    sn = (
+        _sn_pairs_frame(spark, sf_dir)
+        .where(F.col("lev") == 1)
+        .select("name_a", "name_b")
+        .withColumn("hit", F.lit(1))
+    )
+    tru = fuzzy_name_pairs(spark, sf_dir)
+    j = tru.join(sn, ["name_a", "name_b"], "left")
+    return j.agg(
+        F.lit(SN_WINDOW).cast("long").alias("window_w"),
+        F.count("*").cast("long").alias("n_true_ed1"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_caught"),
+        F.round(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))) * 1.0 / F.count("*"), 4
+        ).alias("recall"),
+    )

@@ -3361,7 +3361,9 @@ KNN_FLOOR = 0.6    # final-round mean recall floor: 0.68 measured at the
                    # hardest SF (sf0.1, N=2000); deterministic plan+data
 
 
-def _knn_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _knn_vecs(
+    spark: SparkSession, sf_dir: str, where: Column | None = None
+) -> DataFrame:
     """(vec_id, e, nrm): norms are computed ONCE per vector here — the
     scoring pass touches millions of pairs per round, and higher-order
     array functions are interpreted (not codegen'd), so a per-pair norm
@@ -3369,6 +3371,8 @@ def _knn_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole scoring cost."""
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
+    if where is not None:
+        emb = emb.where(where)
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     e = as_double(F.col("embedding"))
     return bounded_persist(
@@ -3419,29 +3423,19 @@ def _knn_topk(scored: DataFrame) -> DataFrame:
     )
 
 
-def _knn_rounds(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
-    """[B_0 .. B_KNN_ITERS], each (node, nbr, cos6) with KNN_K neighbors
-    per node (a node whose seed buckets hold fewer than K candidates
-    starts under-K; one neighbor-of-neighbor round restores full degree).
-
-    Each round is CHECKPOINTED (reliable, like connected components in
-    dedup.py): round t's plan references round t-1 five times (two
-    undirected legs, two self-join sides, the keep-current union), so
-    without lineage truncation the logical plan grows ~5^t and Catalyst
-    analysis time — not execution — was measured dominating the query
-    (iter-1 window: 28.7 s analyzing vs 1.3 s running; a persist bounds
-    recompute but not plan growth, because the optimizer still walks the
-    full lineage under the cache node)."""
-    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
-
-    ensure_checkpoint_dir(spark)
-    vecs = _knn_vecs(spark, sf_dir)
+def _knn_prow(vecs: DataFrame) -> DataFrame:
+    """One-row (p): the corpus-adaptive truncated plane count."""
     pexp = F.greatest(
         F.lit(KNN_PLANES_MIN),
         F.ceil(F.log2(F.col("n") / F.lit(float(KNN_SEED_BUCKET)))).cast("int"),
     )
-    prow = vecs.agg(F.count("*").alias("n")).select(pexp.alias("p"))
-    buckets = (
+    return vecs.agg(F.count("*").alias("n")).select(pexp.alias("p"))
+
+
+def _knn_buckets(vecs: DataFrame, prow: DataFrame) -> DataFrame:
+    """(vec_id, tbl, bucket): full 12-bit hyperplane buckets truncated to
+    the p bits carried by the broadcast one-row ``prow``."""
+    return (
         vecs.select(
             "vec_id",
             F.explode(
@@ -3463,6 +3457,30 @@ def _knn_rounds(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
             .alias("bucket"),
         )
     )
+
+
+def _knn_rounds(
+    spark: SparkSession, sf_dir: str, vecs: DataFrame | None = None
+) -> list[DataFrame]:
+    """[B_0 .. B_KNN_ITERS], each (node, nbr, cos6) with KNN_K neighbors
+    per node (a node whose seed buckets hold fewer than K candidates
+    starts under-K; one neighbor-of-neighbor round restores full degree).
+
+    Each round is CHECKPOINTED (reliable, like connected components in
+    dedup.py): round t's plan references round t-1 five times (two
+    undirected legs, two self-join sides, the keep-current union), so
+    without lineage truncation the logical plan grows ~5^t and Catalyst
+    analysis time — not execution — was measured dominating the query
+    (iter-1 window: 28.7 s analyzing vs 1.3 s running; a persist bounds
+    recompute but not plan growth, because the optimizer still walks the
+    full lineage under the cache node)."""
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    if vecs is None:
+        vecs = _knn_vecs(spark, sf_dir)
+    prow = _knn_prow(vecs)
+    buckets = _knn_buckets(vecs, prow)
     a = buckets.select(F.col("vec_id").alias("node"), "tbl", "bucket")
     c = buckets.select(F.col("vec_id").alias("nbr"), "tbl", "bucket")
     init = (
@@ -3495,15 +3513,15 @@ def _knn_rounds(spark: SparkSession, sf_dir: str) -> list[DataFrame]:
     return rounds
 
 
-def _knn_buckets_cte() -> str:
-    """Seed-LSH bucket rows (vec_id, tbl, bucket) over knnv — the same
+def _knn_buckets_cte(src: str = "knnv") -> str:
+    """Seed-LSH bucket rows (vec_id, tbl, bucket) over ``src`` — the same
     plane constants as the engine's
     lsh_table_buckets(n_planes=KNN_PLANES_MAX), embedded as list literals,
-    truncated to the corpus-adaptive p(N) bits exactly as the engine
-    does."""
+    truncated to the corpus-adaptive p bits carried by knnp exactly as
+    the engine does."""
     full = "\n        UNION ALL\n".join(
         f"        SELECT vec_id, {t} AS tbl,"
-        f" {_bucket_sql(t, KNN_PLANES_MAX)} AS b12 FROM knnv"
+        f" {_bucket_sql(t, KNN_PLANES_MAX)} AS b12 FROM {src}"
         for t in range(N_TABLES)
     )
     return f"""      SELECT vec_id, tbl,
@@ -3514,13 +3532,14 @@ def _knn_buckets_cte() -> str:
       ) knnb12 CROSS JOIN knnp"""
 
 
-def _knn_oracle_ctes() -> str:
-    """Shared CTE chain b0..b{KNN_ITERS}: init + unrolled refinement."""
+def _knn_oracle_ctes(where: str = "") -> str:
+    """Shared CTE chain b0..b{KNN_ITERS}: init + unrolled refinement over
+    the (optionally filtered) corpus."""
     ctes = f"""
     knnv AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
-      FROM embeddings
+      FROM embeddings {where}
     ), knnn AS (SELECT COUNT(*) AS n FROM knnv),
     knnp AS (
       SELECT GREATEST({KNN_PLANES_MIN},
@@ -3664,31 +3683,56 @@ _KNN_TRUTH_SQL = f"""
                 ON t.node = b.node AND t.nbr = b.nbr'''
           for r in range(KNN_ITERS + 1)
       )}
+    ),
+    churn AS (
+      {" UNION ALL ".join(
+          f'''SELECT CAST({r} AS BIGINT) AS rnd,
+                     CAST(COUNT(*) AS BIGINT) AS n_edges,
+                     CAST(SUM(CASE WHEN p.nbr IS NULL THEN 1 ELSE 0 END)
+                          AS BIGINT) AS n_new_edges
+              FROM b{r} c
+              LEFT JOIN {f"b{r - 1}" if r else "(SELECT NULL AS node,"
+                         " NULL AS nbr WHERE FALSE)"} p
+                ON p.node = c.node AND p.nbr = c.nbr'''
+          for r in range(KNN_ITERS + 1)
+      )}
     )
-    SELECT rnd,
-           CAST(COUNT(*) AS BIGINT) AS n_true,
-           CAST(SUM(hit) AS BIGINT) AS n_hit,
-           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
-           CASE WHEN rnd = {KNN_ITERS}
+    SELECT l.rnd, l.n_true, l.n_hit, l.recall,
+           churn.n_edges, churn.n_new_edges,
+           CASE WHEN l.rnd = {KNN_ITERS}
                 THEN CAST({KNN_FLOOR!r} AS DOUBLE) ELSE 0.0 END
              AS floor_recall,
-           SUM(hit) * 1.0 / COUNT(*)
-             >= CASE WHEN rnd = {KNN_ITERS}
+           l.raw_recall
+             >= CASE WHEN l.rnd = {KNN_ITERS}
                      THEN CAST({KNN_FLOOR!r} AS DOUBLE) ELSE 0.0 END
              AS beats_floor
-    FROM legs GROUP BY rnd
+    FROM (
+      SELECT rnd,
+             CAST(COUNT(*) AS BIGINT) AS n_true,
+             CAST(SUM(hit) AS BIGINT) AS n_hit,
+             ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+             SUM(hit) * 1.0 / COUNT(*) AS raw_recall
+      FROM legs GROUP BY rnd
+    ) l JOIN churn USING (rnd)
     """,
 )
 def knn_graph_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-round mean recall of the NN-Descent graph vs brute-force truth
-    on the eval nodes: (rnd, n_true, n_hit, recall, floor_recall,
-    beats_floor). The floor literal (final round only) crosses the driver
-    hash, making graph convergence an implementation-quality gate like
-    the clustered ANN matrix."""
+    on the eval nodes, plus the GLOBAL edge churn — (rnd, n_true, n_hit,
+    recall, n_edges, n_new_edges, floor_recall, beats_floor). n_new_edges
+    (edges absent from the previous round's graph) is NN-Descent's
+    standard convergence signal (Dong et al. terminate when the update
+    count falls below delta*N*K); recall needs ground truth, churn
+    doesn't, so churn is what a production run monitors. The floor
+    literal (final round only) crosses the driver hash, making graph
+    convergence an implementation-quality gate like the clustered ANN
+    matrix."""
     vecs = _knn_vecs(spark, sf_dir)
     truth = bounded_persist(_knn_truth(spark, sf_dir, vecs))
     rounds = _knn_rounds(spark, sf_dir)
     legs = []
+    churn_legs = []
+    prev = None
     for r, b in enumerate(rounds):
         hit = (
             truth.join(
@@ -3704,16 +3748,240 @@ def knn_graph_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         legs.append(hit)
+        if prev is None:
+            churn_legs.append(
+                b.agg(
+                    F.lit(r).cast("long").alias("rnd"),
+                    F.count("*").cast("long").alias("n_edges"),
+                    F.count("*").cast("long").alias("n_new_edges"),
+                )
+            )
+        else:
+            j = b.select("node", "nbr").join(
+                prev.select("node", "nbr").withColumn("old", F.lit(1)),
+                ["node", "nbr"],
+                "left",
+            )
+            churn_legs.append(
+                j.agg(
+                    F.lit(r).cast("long").alias("rnd"),
+                    F.count("*").cast("long").alias("n_edges"),
+                    F.sum(F.when(F.col("old").isNull(), 1).otherwise(0))
+                    .cast("long")
+                    .alias("n_new_edges"),
+                )
+            )
+        prev = b
     allr = legs[0]
     for leg in legs[1:]:
         allr = allr.union(leg)
+    churn = churn_legs[0]
+    for leg in churn_legs[1:]:
+        churn = churn.union(leg)
     floor = F.when(
         F.col("rnd") == KNN_ITERS, F.lit(float(KNN_FLOOR))
     ).otherwise(F.lit(0.0))
-    return allr.groupBy("rnd").agg(
+    agg = allr.groupBy("rnd").agg(
         F.count("*").cast("long").alias("n_true"),
         F.sum("hit").cast("long").alias("n_hit"),
         F.round(F.sum("hit") / F.count("*"), 4).alias("recall"),
         F.max(floor).alias("floor_recall"),
         (F.sum("hit") / F.count("*") >= F.max(floor)).alias("beats_floor"),
     )
+    return agg.join(F.broadcast(churn), "rnd").select(
+        "rnd",
+        "n_true",
+        "n_hit",
+        "recall",
+        "n_edges",
+        "n_new_edges",
+        "floor_recall",
+        "beats_floor",
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental kNN-graph ingest (round 10, session 3) — the maintenance
+# path the batch build above doesn't cover: a daily-arrivals batch joins
+# an EXISTING graph without a rebuild (the graph twin of
+# incremental_dedup_ingest / incremental_neardup_ingest). Batch = vec_id
+# % KNN_BATCH_MOD == KNN_BATCH_RES (~14%), base = the rest; the base
+# graph is the standard 2-round build over base vectors only.
+#
+# Ingest, three base-graph-bounded steps:
+#   1. SEED   new nodes bucket with the base index's plane count (p from
+#             the BASE corpus — the index that exists decides the
+#             granularity) and take top-K among bucket-sharing base
+#             vectors;
+#   2. REFINE one neighbor-of-neighbor hop THROUGH the base graph (new ->
+#             seeded base nbr -> its base nbrs), keep-best — the step
+#             that recovers neighbors the seed buckets missed;
+#   3. BACK-LINK base nodes absorb the reverse edges (base node b is a
+#             candidate neighbor OF new node n <=> n is a candidate for
+#             b, same score) and re-rank their lists — so the graph stays
+#             symmetric-candidate after ingest, not append-only.
+# Batch-INTERNAL edges (new-new) are deliberately out of scope for the
+# single-pass ingest — two arrivals in the same batch meet at the next
+# periodic rebuild; the committed output makes that visible (kind='new'
+# rows never carry a batch nbr).
+#
+# Scale: every step is bucket- or degree-bounded (seed ~|batch| * 32 *
+# tables pairs, refine ~|batch| * K * 2K, back-link ~|batch| * K), so
+# ingest cost scales with the BATCH, not the corpus — the property that
+# makes it an ingest path at all. Output grain (kind, node, rk, nbr,
+# cos6): kind='new' = every new node's final list; kind='base' = only
+# the base-list entries that now point at batch nodes (the graph delta).
+# --------------------------------------------------------------------------
+KNN_BATCH_MOD = 7
+KNN_BATCH_RES = 3
+
+
+def _knn_ingest_oracle() -> str:
+    rk = "ROW_NUMBER() OVER (PARTITION BY node ORDER BY cos6 DESC, nbr)"
+    return f"""
+    WITH {_knn_oracle_ctes(
+        where=f"WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_RES}"
+    )},
+    allv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    newv AS (
+      SELECT vec_id, e FROM allv
+      WHERE vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_RES}
+    ),
+    newlshb AS MATERIALIZED (
+{_knn_buckets_cte(src="newv")}
+    ),
+    seed AS (
+      SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
+      FROM newlshb q
+      JOIN knnlshb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    ),
+    l0 AS MATERIALIZED (
+      SELECT node, nbr, cos6 FROM (
+        SELECT s.node, s.nbr, s.cos6, {rk.replace('node', 's.node')
+            .replace('cos6', 's.cos6').replace('nbr', 's.nbr')} AS rk
+        FROM (
+          SELECT seed.node, seed.nbr,
+                 ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos6
+          FROM seed JOIN allv a ON a.vec_id = seed.node
+                    JOIN allv c ON c.vec_id = seed.nbr
+        ) s
+      ) WHERE rk <= {KNN_K}
+    ),
+    undb AS (
+      SELECT node AS a, nbr AS b FROM b{KNN_ITERS}
+      UNION
+      SELECT nbr AS a, node AS b FROM b{KNN_ITERS}
+    ),
+    icand AS (
+      SELECT l0.node, u.b AS nbr FROM l0 JOIN undb u ON l0.nbr = u.a
+      UNION
+      SELECT node, nbr FROM l0
+    ),
+    l1 AS MATERIALIZED (
+      SELECT node, nbr, cos6 FROM (
+        SELECT s.node, s.nbr, s.cos6, {rk.replace('node', 's.node')
+            .replace('cos6', 's.cos6').replace('nbr', 's.nbr')} AS rk
+        FROM (
+          SELECT icand.node, icand.nbr,
+                 ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos6
+          FROM icand JOIN allv a ON a.vec_id = icand.node
+                     JOIN allv c ON c.vec_id = icand.nbr
+        ) s
+      ) WHERE rk <= {KNN_K}
+    ),
+    merged AS (
+      SELECT node, nbr, cos6, {rk} AS rk FROM (
+        SELECT node, nbr, cos6 FROM b{KNN_ITERS}
+        UNION ALL
+        SELECT nbr AS node, node AS nbr, cos6 FROM l1
+      )
+    )
+    SELECT 'new' AS kind, node, CAST(rk AS BIGINT) AS rk, nbr, cos6 + 0.0
+             AS cos6
+    FROM (SELECT node, nbr, cos6, {rk} AS rk FROM l1)
+    WHERE rk <= {KNN_K}
+    UNION ALL
+    SELECT 'base', node, CAST(rk AS BIGINT), nbr, cos6 + 0.0
+    FROM merged
+    WHERE rk <= {KNN_K} AND nbr % {KNN_BATCH_MOD} = {KNN_BATCH_RES}
+    """
+
+
+@query("knn_graph_incremental_ingest", oracle=_knn_ingest_oracle())
+def knn_graph_incremental_ingest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(kind, node, rk, nbr, cos6): kind='new' = final neighbor lists of
+    the ingested batch; kind='base' = base-graph entries that now point
+    at batch nodes after the back-link re-rank (the graph delta)."""
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    allv = _knn_vecs(spark, sf_dir)
+    is_batch = F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_RES
+    base = bounded_persist(allv.where(~is_batch))
+    new = allv.where(is_batch)
+    bgraph = _knn_rounds(spark, sf_dir, vecs=base)[-1].checkpoint(eager=True)
+    prow = _knn_prow(base)
+    # ONE bucket frame over the full corpus, filtered per side — the
+    # 12-plane bucket expression tree is ~3k literals, and building it
+    # once instead of twice measurably cuts plan-construction time.
+    bkts = bounded_persist(_knn_buckets(allv, prow))
+    seed = (
+        bkts.where(is_batch)
+        .select(F.col("vec_id").alias("node"), "tbl", "bucket")
+        .join(
+            bkts.where(~is_batch).select(
+                F.col("vec_id").alias("nbr"), "tbl", "bucket"
+            ),
+            ["tbl", "bucket"],
+        )
+        .select("node", "nbr")
+        .distinct()
+    )
+    l0 = bounded_persist(_knn_topk(_knn_score(seed, allv)))
+    undb = (
+        bgraph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
+        .union(bgraph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
+        .distinct()
+    )
+    icand = (
+        l0.select("node", F.col("nbr").alias("a"))
+        .join(undb, "a")
+        .select("node", F.col("b").alias("nbr"))
+        .union(l0.select("node", "nbr"))
+        .distinct()
+    )
+    l1 = bounded_persist(_knn_topk(_knn_score(icand, allv)))
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    new_rows = l1.select(
+        F.lit("new").alias("kind"),
+        "node",
+        F.row_number().over(w).cast("long").alias("rk"),
+        "nbr",
+        (F.col("cos6") + F.lit(0.0)).alias("cos6"),
+    )
+    merged = bgraph.select("node", "nbr", "cos6").unionAll(
+        l1.select(
+            F.col("nbr").alias("node"), F.col("node").alias("nbr"), "cos6"
+        )
+    )
+    base_rows = (
+        merged.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(
+            (F.col("rk") <= KNN_K)
+            & (F.col("nbr") % KNN_BATCH_MOD == KNN_BATCH_RES)
+        )
+        .select(
+            F.lit("base").alias("kind"),
+            "node",
+            "rk",
+            "nbr",
+            (F.col("cos6") + F.lit(0.0)).alias("cos6"),
+        )
+    )
+    return new_rows.unionAll(base_rows)

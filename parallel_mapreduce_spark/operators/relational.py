@@ -4044,3 +4044,109 @@ def hll_precision_error_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(4.0) * F.col("rsd_x10000") / 10000.0 * F.col("exact_parts")
         ).alias("within_4sigma"),
     )
+
+
+# --------------------------------------------------------------------------
+# k-anonymity generalization audit (round 10, session 3) — the data-release
+# governance question the PII family (mask_customer_pii / pii_redact /
+# user_erasure_audit) stops short of: after masking direct identifiers,
+# can the QUASI-identifier combination (nation, market segment, account-
+# balance bucket) still single customers out? Sweeney 2002's k-anonymity:
+# a release is k-anonymous iff every quasi-identifier group holds >= k
+# rows. The query walks a 5-level generalization lattice (balance bucket
+# 100s -> 1000s -> suppressed -> nation coarsened to region -> region
+# only) and reports, per level, the group count, the smallest group, and
+# how many rows sit in groups below K_ANON — the table a steward reads to
+# pick the coarsest level that is actually releasable.
+#
+# Scale shape: one hash aggregate per lattice level over the customer
+# frame (5 corpus passes, each count-only), the 25-row nation dim
+# broadcast for the region levels; per-level group stats fold in a second
+# tiny aggregate over the group counts. No windows, no driver loops.
+# Bucket arithmetic note: FLOOR(acctbal / 10^b) is engine-stable because
+# a 2-dp decimal only reaches a floor boundary when it is an exact
+# multiple of the bucket width, and those are integers (exact doubles).
+# --------------------------------------------------------------------------
+K_ANON = 5
+_KANON_LEVELS = [
+    # (level, label, DuckDB group-key expr on customer c + nation n)
+    (0, "nation+segment+bal100", "c.c_nationkey, c.c_mktsegment,"
+        " FLOOR(c.c_acctbal / 100)"),
+    (1, "nation+segment+bal1000", "c.c_nationkey, c.c_mktsegment,"
+        " FLOOR(c.c_acctbal / 1000)"),
+    (2, "nation+segment", "c.c_nationkey, c.c_mktsegment"),
+    (3, "region+segment", "n.n_regionkey, c.c_mktsegment"),
+    (4, "region", "n.n_regionkey"),
+]
+
+
+def _kanon_oracle() -> str:
+    legs = []
+    for lvl, label, keys in _KANON_LEVELS:
+        legs.append(f"""
+    SELECT CAST({lvl} AS BIGINT) AS gen_level,
+           '{label}' AS quasi_ids,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(MIN(grp_n) AS BIGINT) AS min_group_size,
+           CAST(SUM(CASE WHEN grp_n < {K_ANON} THEN grp_n ELSE 0 END)
+                AS BIGINT) AS rows_below_k,
+           ROUND(SUM(CASE WHEN grp_n < {K_ANON} THEN grp_n ELSE 0 END)
+                 * 1.0 / SUM(grp_n), 4) AS pct_below_k,
+           MIN(grp_n) >= {K_ANON} AS k_anonymous
+    FROM (
+      SELECT COUNT(*) AS grp_n
+      FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY {keys}
+    )""")
+    return "\n    UNION ALL\n".join(legs)
+
+
+@query("k_anonymity_generalization", oracle=_kanon_oracle())
+def k_anonymity_generalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(gen_level, quasi_ids, n_groups, min_group_size, rows_below_k,
+    pct_below_k, k_anonymous) — one row per generalization-lattice level,
+    K_ANON = 5."""
+    register_views(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey"
+    )
+    base = cust.join(
+        F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"]
+    )
+    level_keys = {
+        0: [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 100),
+        ],
+        1: [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / 1000),
+        ],
+        2: [F.col("c_nationkey"), F.col("c_mktsegment")],
+        3: [F.col("n_regionkey"), F.col("c_mktsegment")],
+        4: [F.col("n_regionkey")],
+    }
+    out = None
+    for lvl, label, _keys_sql in _KANON_LEVELS:
+        groups = base.groupBy(*level_keys[lvl]).agg(
+            F.count("*").alias("grp_n")
+        )
+        below = F.when(F.col("grp_n") < K_ANON, F.col("grp_n")).otherwise(
+            F.lit(0)
+        )
+        leg = groups.agg(
+            F.lit(lvl).cast("long").alias("gen_level"),
+            F.lit(label).alias("quasi_ids"),
+            F.count("*").cast("long").alias("n_groups"),
+            F.min("grp_n").cast("long").alias("min_group_size"),
+            F.sum(below).cast("long").alias("rows_below_k"),
+            F.round(F.sum(below) * 1.0 / F.sum("grp_n"), 4).alias(
+                "pct_below_k"
+            ),
+            (F.min("grp_n") >= K_ANON).alias("k_anonymous"),
+        )
+        out = leg if out is None else out.union(leg)
+    return out

@@ -98,6 +98,8 @@ DRIVER_PRIORITY: list[str] = [
     "knn_graph_nn_descent",
     "knn_graph_recall_curve",
     "kcenter_coreset_select",
+    "knn_graph_incremental_ingest",
+    "k_anonymity_generalization",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

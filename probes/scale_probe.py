@@ -144,6 +144,12 @@ DISJOINT_QUERIES = (
     # with a constant 12-row output.
     "knn_graph_nn_descent",
     "kcenter_coreset_select",
+    # ...and the ingest path: batch size is a fixed fraction of the
+    # corpus, seed pairs are bucket-size-bounded (constant under the
+    # adaptive plane count) and refine/back-link are degree-bounded, so
+    # the whole ingest should track the base build ~linearly; rows grow
+    # with the batch (b_rows ~ 1).
+    "knn_graph_incremental_ingest",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 
@@ -178,6 +184,11 @@ RELATIONAL_QUERIES = (
     # so the probe measures the plain join's linear term under a
     # constant-size hot partition.
     "aqe_skew_join_user_tiers",
+    # round 10 session 3: k-anonymity walks 5 grouping levels over the
+    # replicated customer frame — 5 count-only hash aggregates, group
+    # cardinality bounded by the quasi-id domain (nation x segment x
+    # bucket), so expect b_time ~ 1 with a constant 5-row output.
+    "k_anonymity_generalization",
 )
 RELATIONAL_KEYS = {
     "customer": ("c_custkey",),

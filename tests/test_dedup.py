@@ -484,3 +484,27 @@ def test_substring_run_removal_leaves_run_free_corpus(spark, sf_dir):
         ).alias("text")
     )
     assert _substr_run_rows(cleaned).count() == 0
+
+
+# --- sorted-neighborhood blocking (round 10, session 3) -------------------
+def test_sorted_neighborhood_window_and_recall(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.dedup import (
+        SN_MAX_LEV,
+        SN_WINDOW,
+        sorted_neighborhood_pairs,
+        sorted_neighborhood_recall,
+    )
+
+    pairs = sorted_neighborhood_pairs(spark, sf_dir).toPandas()
+    assert pairs["rank_gap"].between(1, SN_WINDOW - 1).all()
+    assert (pairs["lev"] <= SN_MAX_LEV).all()
+    assert (pairs["name_a"] < pairs["name_b"]).all()  # sort key IS the name
+    r = sorted_neighborhood_recall(spark, sf_dir).toPandas().iloc[0]
+    assert r["n_caught"] <= r["n_true_ed1"]
+    # every caught pair is a window pair at lev 1
+    n_lev1 = int((pairs["lev"] == 1).sum())
+    assert r["n_caught"] <= n_lev1
+    assert 0.0 < r["recall"] < 1.0, (
+        "the committed trade-off should be a real number, not a degenerate "
+        "0 or 1 — first-digit changes must escape the window on this corpus"
+    )

@@ -62,6 +62,13 @@ def test_recall_monotone_and_floor(curve):
     rec = curve["recall"].tolist()
     assert rec == sorted(rec), "recall must be non-decreasing across rounds"
     assert curve["rnd"].tolist() == list(range(S.KNN_ITERS + 1))
+    # churn: round 0 is all-new by definition; refinement churn shrinks
+    assert (curve["n_new_edges"] <= curve["n_edges"]).all()
+    assert curve.iloc[0]["n_new_edges"] == curve.iloc[0]["n_edges"]
+    churn = curve["n_new_edges"].tolist()[1:]
+    assert churn == sorted(churn, reverse=True), (
+        "refinement churn should decrease as the graph converges"
+    )
     final = curve.iloc[-1]
     assert final["floor_recall"] == S.KNN_FLOOR
     assert bool(final["beats_floor"])
@@ -90,3 +97,29 @@ def test_truth_is_exact_topk(spark, sf_dir):
     expected = set(np.argsort(-sims, kind="stable")[: S.KNN_K].tolist())
     got = set(truth[truth["node"] == 0]["nbr"])
     assert got == expected
+
+
+def test_incremental_ingest_shape(spark, sf_dir):
+    df = S.knn_graph_incremental_ingest(spark, sf_dir).toPandas()
+    new = df[df["kind"] == "new"]
+    base = df[df["kind"] == "base"]
+    is_batch = lambda s: s % S.KNN_BATCH_MOD == S.KNN_BATCH_RES  # noqa: E731
+    # every batch node got a list; single-pass ingest scopes candidates
+    # to the base graph, so 'new' neighbors are never batch nodes
+    assert is_batch(new["node"]).all()
+    assert not is_batch(new["nbr"]).any()
+    assert (new.groupby("node")["rk"].max() <= S.KNN_K).all()
+    import duckdb
+
+    n_batch = duckdb.sql(
+        f"SELECT count(*) FROM '{sf_dir}/embeddings.parquet'"
+        f" WHERE vec_id % {S.KNN_BATCH_MOD} = {S.KNN_BATCH_RES}"
+    ).fetchone()[0]
+    assert new["node"].nunique() == n_batch
+    # the delta rows are base lists absorbing batch arrivals
+    assert not is_batch(base["node"]).any()
+    assert is_batch(base["nbr"]).all()
+    assert (base["rk"] <= S.KNN_K).all()
+    assert len(base) > 0, "no base list absorbed any arrival"
+    # no self edges anywhere
+    assert (df["node"] != df["nbr"]).all()

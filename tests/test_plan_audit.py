@@ -80,7 +80,10 @@ def _plan(df) -> str:
 #     row per shard — 8/16 rows however big the corpus): zipf_slope,
 #     vocab_min_count, tokens_to_ids, detokenize_ids_roundtrip,
 #     epoch_shuffle_order, stratified_split_assign,
-#     price_weighted_median_by_flag (plus its per-flag totals frame).
+#     price_weighted_median_by_flag (plus its per-flag totals frame),
+#     sorted_neighborhood_pairs / sorted_neighborhood_recall (round 10
+#     session 3: the name rank comes from global_row_number — same
+#     shard-bases decomposition, global window over one row per shard).
 #   - K-seed / centroid frames (row_number over the K-row seed pick):
 #     kmeans_lloyd_2iter, semdedup_cluster_report.
 #   - |V|=25 aggregated trade graph (dangling-mass fold):
@@ -100,6 +103,8 @@ GLOBAL_WINDOW_WHITELIST = {
     "pagerank_trade_graph",
     "price_weighted_median_by_flag",
     "semdedup_cluster_report",
+    "sorted_neighborhood_pairs",
+    "sorted_neighborhood_recall",
     "stratified_split_assign",
     "tokens_to_ids",
     "vocab_min_count",

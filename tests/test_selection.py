@@ -58,3 +58,28 @@ def test_matches_numpy_replay(spark, sf_dir):
         radii.append(md.max())
     assert t["center_id"].tolist() == centers
     np.testing.assert_allclose(t["radius"].to_numpy(), radii, rtol=1e-9)
+
+
+def test_k_anonymity_lattice_monotone(spark, sf_dir):
+    """Levels are strictly nested generalizations, so coarsening can only
+    merge groups: min group size is non-decreasing, the below-k row mass
+    and the group count are non-increasing."""
+    from parallel_mapreduce_spark.operators.relational import (
+        k_anonymity_generalization,
+    )
+
+    t = (
+        k_anonymity_generalization(spark, sf_dir)
+        .toPandas()
+        .sort_values("gen_level")
+        .reset_index(drop=True)
+    )
+    assert t["gen_level"].tolist() == [0, 1, 2, 3, 4]
+    assert t["min_group_size"].is_monotonic_increasing
+    mono_dec = lambda s: all(  # noqa: E731
+        a >= b for a, b in zip(s, s[1:])
+    )
+    assert mono_dec(t["rows_below_k"].tolist())
+    assert mono_dec(t["n_groups"].tolist())
+    assert bool(t.iloc[-1]["k_anonymous"]), "region level must be releasable"
+    assert (t["k_anonymous"] == (t["min_group_size"] >= 5)).all()
