@@ -3359,6 +3359,55 @@ KNN_PLANES_MAX = 12  # sign bits actually computed per table; the bucket id
 KNN_SEED_BUCKET = 32 # target expected seed-bucket size
 KNN_FLOOR = 0.6    # final-round mean recall floor: 0.68 measured at the
                    # hardest SF (sf0.1, N=2000); deterministic plan+data
+KNN_BUCKET_CAP = 64  # max CANDIDATE members per (tbl, bucket) in a seed
+                     # join. Near-duplicate-heavy corpora break the
+                     # adaptive-plane bound: every copy of a vector lands
+                     # in the SAME bucket at any plane depth (deeper
+                     # planes split empty space, not occupied buckets),
+                     # so bucket sizes grow with duplication and the
+                     # seed join goes quadratic — the 30x probe corpus
+                     # (30 near-copies per vector) measured 234M seed
+                     # pairs where the uniform model predicts 7M. The
+                     # cap is the hot-shingle frequency-cap discipline
+                     # applied to buckets: candidates per bucket are a
+                     # DETERMINISTIC hash-mixed subset, pairs bounded by
+                     # N * tables * cap, and the refinement rounds
+                     # recover what a capped seed misses.
+KNN_CAP_SALT = 8     # salted two-phase rank: no task orders a
+                     # corpus-scale degenerate bucket
+KNN_CAP_MIX = 2654435761  # Knuth multiplicative mix for the kept subset
+KNN_CAP_MOD = 2147483648  # 2^31
+
+
+def _knn_capped_buckets(buckets: DataFrame) -> DataFrame:
+    """Candidate-side bucket membership, capped to KNN_BUCKET_CAP per
+    (tbl, bucket) by hash-mix order (salted two-phase: per-salt top-cap
+    is a superset of the global top-cap, then the global rank runs over
+    salt survivors only). The oracle replays it as ONE ROW_NUMBER."""
+    mx = F.pmod(F.col("vec_id") * F.lit(KNN_CAP_MIX), F.lit(KNN_CAP_MOD))
+    p1 = (
+        buckets.withColumn("mx", mx)
+        .withColumn("salt", F.col("vec_id") % KNN_CAP_SALT)
+        .withColumn(
+            "rn1",
+            F.row_number().over(
+                W.partitionBy("tbl", "bucket", "salt").orderBy(
+                    "mx", "vec_id"
+                )
+            ),
+        )
+        .filter(F.col("rn1") <= KNN_BUCKET_CAP)
+    )
+    return (
+        p1.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("tbl", "bucket").orderBy("mx", "vec_id")
+            ),
+        )
+        .filter(F.col("rn") <= KNN_BUCKET_CAP)
+        .select("vec_id", "tbl", "bucket")
+    )
 
 
 def _knn_vecs(
@@ -3383,12 +3432,23 @@ def _knn_vecs(
 
 
 def _knn_score(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
-    """(node, nbr) -> (node, nbr, cos6): two id-keyed hash joins, one
-    interpreted dot per pair (norms precomputed). The explicit
-    repartition spreads the pair frame across the cluster BEFORE the
-    compute-heavy projection: the pair rows are 16 bytes each, so AQE's
-    byte-based coalescing would otherwise funnel millions of interpreted
-    dot products into 2-3 post-shuffle partitions."""
+    """(node, nbr) -> (node, nbr, cos6): two id-keyed SHUFFLED HASH
+    joins, one interpreted dot per pair (norms precomputed). Two plan
+    decisions both paid for by measurement:
+
+    - the explicit repartition spreads the pair frame across the cluster
+      BEFORE the compute-heavy projection: pair rows are 16 bytes each,
+      so AQE's byte-based coalescing would otherwise funnel millions of
+      interpreted dot products into 2-3 post-shuffle partitions;
+    - the shuffle_hash hints keep the engine from SortMergeJoin-sorting
+      the FAT stream: after the first join every pair row carries a
+      64-double vector (~540 B), and SMJ's sort of that stream at the
+      30x probe scale (34M candidate pairs -> ~18 GB sort input) filled
+      the box's disk with spill and killed the run. Hash-building the
+      per-partition vector shard (the small, bounded side) and STREAMING
+      the pairs never sorts the fat rows — the same reasoning at 1000
+      executors: a vector shard per task is corpus/parallelism and
+      bounded; the candidate stream is unbounded and must not sort."""
     n_parts = max(pairs.sparkSession.sparkContext.defaultParallelism, 8)
     a = vecs.select(
         F.col("vec_id").alias("node"),
@@ -3402,8 +3462,8 @@ def _knn_score(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
     )
     return (
         pairs.repartition(n_parts, "node", "nbr")
-        .join(a, "node")
-        .join(b, "nbr")
+        .join(a.hint("shuffle_hash"), "node")
+        .join(b.hint("shuffle_hash"), "nbr")
         .select(
             "node",
             "nbr",
@@ -3415,9 +3475,20 @@ def _knn_score(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
 
 
 def _knn_topk(scored: DataFrame) -> DataFrame:
+    """Keep-best top-K per node. The explicit repartition before the
+    window is the same compressed-size lesson as _knn_score's: thin
+    (node, nbr, cos6) rows lz4-compress to ~3 bytes each, so AQE's
+    byte-based planner handed the 34M-row window sort TWO tasks at the
+    30x probe scale; partitioning by node at full parallelism lets the
+    window reuse the exchange (no second shuffle) and sort in
+    corpus/parallelism chunks."""
+    n_parts = max(
+        scored.sparkSession.sparkContext.defaultParallelism, 8
+    )
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.repartition(n_parts, "node")
+        .withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= KNN_K)
         .select("node", "nbr", "cos6")
     )
@@ -3480,14 +3551,23 @@ def _knn_rounds(
     if vecs is None:
         vecs = _knn_vecs(spark, sf_dir)
     prow = _knn_prow(vecs)
-    buckets = _knn_buckets(vecs, prow)
+    # persisted: the probe side and the capped candidate side both read
+    # this frame, and the 12-plane bucket expression (~3k literals, 48
+    # interpreted dots/row) is the expensive part — computing it twice
+    # doubled plan+eval cost for zero benefit.
+    buckets = bounded_persist(_knn_buckets(vecs, prow))
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
     a = buckets.select(F.col("vec_id").alias("node"), "tbl", "bucket")
-    c = buckets.select(F.col("vec_id").alias("nbr"), "tbl", "bucket")
+    # probe side uncapped (every node gets seeded); CANDIDATE side capped
+    c = _knn_capped_buckets(buckets).select(
+        F.col("vec_id").alias("nbr"), "tbl", "bucket"
+    )
     init = (
         a.join(c, ["tbl", "bucket"])
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .distinct()
+        .repartition(n_parts, "node", "nbr")
+        .dropDuplicates(["node", "nbr"])
     )
     rounds = [_knn_topk(_knn_score(init, vecs)).checkpoint(eager=True)]
     for it in range(KNN_ITERS):
@@ -3495,7 +3575,8 @@ def _knn_rounds(
         und = (
             b.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
             .union(b.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
-            .distinct()
+            .repartition(n_parts, "a", "b")
+            .dropDuplicates(["a", "b"])
         )
         non = (
             und.alias("x")
@@ -3503,7 +3584,18 @@ def _knn_rounds(
             .select(F.col("x.a").alias("node"), F.col("y.b").alias("nbr"))
             .where(F.col("node") != F.col("nbr"))
         )
-        cand = non.union(b.select("node", "nbr")).distinct()
+        # explicit-N repartition + dropDuplicates instead of distinct():
+        # the dedup hash-agg over the candidate pairs is the round's
+        # biggest frame, and its optimizer-planned exchange falls into
+        # the same compressed-thin-rows AQE trap as the window above
+        # (every explicit-N repartition in this family exists for that
+        # one reason: thin integer rows lz4-compress to ~3 bytes, so
+        # byte-based partition planning starves the compute).
+        cand = (
+            non.union(b.select("node", "nbr"))
+            .repartition(n_parts, "node", "nbr")
+            .dropDuplicates(["node", "nbr"])
+        )
         nxt = _knn_topk(_knn_score(cand, vecs))
         # The LAST round is consumed once (final output / one recall leg),
         # so its plan never nests — skip the eager checkpoint job for it.
@@ -3548,10 +3640,19 @@ def _knn_oracle_ctes(where: str = "") -> str:
       FROM knnn
     ), knnlshb AS MATERIALIZED (
 {_knn_buckets_cte()}
+    ), knnlshc AS MATERIALIZED (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tbl, bucket
+                 ORDER BY (vec_id * {KNN_CAP_MIX}) % {KNN_CAP_MOD}, vec_id
+               ) AS rn
+        FROM knnlshb
+      ) WHERE rn <= {KNN_BUCKET_CAP}
     ), knninit AS (
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM knnlshb q
-      JOIN knnlshb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
       WHERE q.vec_id <> c.vec_id
     ), b0 AS MATERIALIZED (
       SELECT node, nbr, cos6 FROM (
@@ -3857,7 +3958,7 @@ def _knn_ingest_oracle() -> str:
     seed AS (
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM newlshb q
-      JOIN knnlshb c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
     ),
     l0 AS MATERIALIZED (
       SELECT node, nbr, cos6 FROM (
@@ -3935,7 +4036,7 @@ def knn_graph_incremental_ingest(
         bkts.where(is_batch)
         .select(F.col("vec_id").alias("node"), "tbl", "bucket")
         .join(
-            bkts.where(~is_batch).select(
+            _knn_capped_buckets(bkts.where(~is_batch)).select(
                 F.col("vec_id").alias("nbr"), "tbl", "bucket"
             ),
             ["tbl", "bucket"],
@@ -3985,3 +4086,322 @@ def knn_graph_incremental_ingest(
         )
     )
     return new_rows.unionAll(base_rows)
+
+
+# --------------------------------------------------------------------------
+# Johnson-Lindenstrauss random-projection distortion report (round 10,
+# session 3) — the DATA-INDEPENDENT member of the embedding-compression
+# family: SQ-int8 / PQ / IVF-PQ above are trained on the corpus; a +/-1
+# random projection (Achlioptas 2001, "Database-friendly random
+# projections") needs no training pass at all, and the JL lemma prices
+# it: pairwise squared distances are preserved within 1 +/- eps with
+# eps ~ sqrt(2/k) per pair. This query COMMITS that price as measured
+# numbers — per target dimension k in JL_DIMS, the distribution of
+# ratio = ||P(a) - P(b)||^2 / (k * ||a - b||^2) over a fixed pair sample
+# (E[ratio] = 1 for +/-1 entries) — the table a user reads to pick k
+# before swapping a 64-dim scan for a 16-dim one.
+#
+# Determinism: sign matrix s(i, j) = md5-derived parity of "jl:i:j",
+# BAKED AS LITERALS into both plans (the signs never need to be
+# SQL-computable — only identical). The module's linear-congruential
+# plane arithmetic was tried first and REJECTED by this query's own
+# numbers: (a*i + b*j) mod 2048 signs form a lattice with correlated
+# columns, and the measured distortion showed it (max_ratio ~6 at k=32,
+# within-20% ~0.20 where an iid matrix concentrates at ~0.6) — a
+# correlation the LSH buckets tolerate but a JL matrix cannot.
+# Projections are computed ONCE at k_max; the
+# smaller k are PREFIXES of the same projection (nested dims), so the
+# whole exhibit is one long-form aggregate, not |JL_DIMS| passes.
+#
+# Scale shape: projecting a corpus is a narrow per-row map (k_max dot
+# products against broadcast-literal sign rows); the checked values only
+# need the bounded pair sample (vec_id < JL_PAIR_N both sides), so the
+# pair frame is JL_PAIR_N^2/2 rows at any corpus size.
+# --------------------------------------------------------------------------
+JL_DIMS = (8, 16, 32)   # nested target dims (prefixes of one projection)
+JL_PAIR_N = 40          # pair sample: all pairs among vec_id < 40 (780)
+
+
+
+def _jl_sign(i: int, j: int) -> int:
+    """+/-1 from md5("jl:i:j") parity — iid-quality, baked as literals."""
+    import hashlib
+
+    h = hashlib.md5(f"jl:{i}:{j}".encode()).digest()
+    return 1 if h[0] % 2 else -1
+
+
+def _jl_sign_sql() -> str:
+    """(pos, j, s) literal rows for DuckDB."""
+    rows = []
+    for j in range(max(JL_DIMS)):
+        for i in range(EMB_DIM):
+            rows.append(f"({i}, {j}, {_jl_sign(i, j)})")
+    return "SELECT * FROM (VALUES " + ", ".join(rows) + ") AS t(pos, j, s)"
+
+
+@query(
+    "jl_projection_distortion",
+    oracle=f"""
+    WITH jlv AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings WHERE vec_id < {JL_PAIR_N}
+    ),
+    sgn AS ({_jl_sign_sql()}),
+    proj AS (
+      SELECT jlv.vec_id, sgn.j, ROUND(SUM(jlv.val * sgn.s), 6) AS pval
+      FROM jlv JOIN sgn USING (pos) GROUP BY jlv.vec_id, sgn.j
+    ),
+    od AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb,
+             ROUND(SUM((a.val - b.val) ^ 2), 6) AS d2
+      FROM jlv a JOIN jlv b ON a.pos = b.pos AND a.vec_id < b.vec_id
+      GROUP BY a.vec_id, b.vec_id
+    ),
+    pd AS (
+      SELECT a.vec_id AS va, b.vec_id AS vb, a.j,
+             (a.pval - b.pval) ^ 2 AS dd
+      FROM proj a JOIN proj b ON a.j = b.j AND a.vec_id < b.vec_id
+    ),
+    ratios AS (
+      {" UNION ALL ".join(
+          f'''SELECT CAST({k} AS BIGINT) AS k_dim, pd.va, pd.vb,
+                     ROUND(SUM(pd.dd) / ({k} * MIN(od.d2)), 6) AS ratio
+              FROM pd JOIN od ON od.va = pd.va AND od.vb = pd.vb
+              WHERE pd.j < {k} AND od.d2 > 0
+              GROUP BY pd.va, pd.vb'''
+          for k in JL_DIMS
+      )}
+    )
+    SELECT k_dim,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           ROUND(AVG(ratio), 4) AS mean_ratio,
+           ROUND(MIN(ratio), 4) AS min_ratio,
+           ROUND(MAX(ratio), 4) AS max_ratio,
+           ROUND(SUM(CASE WHEN ABS(ratio - 1.0) <= 0.2 THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS frac_within_20pct
+    FROM ratios GROUP BY k_dim
+    """,
+)
+def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k_dim, n_pairs, mean_ratio, min_ratio, max_ratio,
+    frac_within_20pct): measured JL distortion of a +/-1 projection at
+    each nested target dimension over the fixed pair sample."""
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        F.col("vec_id") < JL_PAIR_N
+    )
+    k_max = max(JL_DIMS)
+    e = as_double(F.col("embedding"))
+    # one narrow map: k_max sign-dot-products per row, signs as literals
+    # pval rounds to 6 dp on BOTH engines before differencing: the two
+    # engines fold the 64-term sign-dot in different orders (array fold
+    # vs group SUM), and an unrounded last-ulp difference would ride
+    # into the 6 dp ratio.
+    projs = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    e,
+                    F.array(
+                        *[
+                            F.lit(float(_jl_sign(i, j)))
+                            for i in range(EMB_DIM)
+                        ]
+                    ),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"p{j}")
+        for j in range(k_max)
+    ]
+    v = bounded_persist(
+        emb.select("vec_id", e.alias("e"), F.array(*projs).alias("p"))
+    )
+    a = v.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"),
+        F.col("p").alias("pa"),
+    )
+    b = v.select(
+        F.col("vec_id").alias("vb"), F.col("e").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+    sq = lambda x, y: (x - y) * (x - y)  # noqa: E731
+    pairs = (
+        a.join(F.broadcast(b), F.col("va") < F.col("vb"))
+        .select(
+            "va",
+            "vb",
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("ea"), F.col("eb"), sq),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d2"),
+            F.zip_with(F.col("pa"), F.col("pb"), sq).alias("dd"),
+        )
+        .where(F.col("d2") > 0)
+    )
+    legs = []
+    for k in JL_DIMS:
+        legs.append(
+            pairs.select(
+                F.lit(k).cast("long").alias("k_dim"),
+                F.round(
+                    F.aggregate(
+                        F.slice(F.col("dd"), 1, k),
+                        F.lit(0.0),
+                        lambda acc, x: acc + x,
+                    )
+                    / (F.lit(float(k)) * F.col("d2")),
+                    6,
+                ).alias("ratio"),
+            )
+        )
+    allk = legs[0]
+    for leg in legs[1:]:
+        allk = allk.union(leg)
+    within = F.when(F.abs(F.col("ratio") - 1.0) <= 0.2, 1).otherwise(0)
+    return allk.groupBy("k_dim").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.avg("ratio"), 4).alias("mean_ratio"),
+        F.round(F.min("ratio"), 4).alias("min_ratio"),
+        F.round(F.max("ratio"), 4).alias("max_ratio"),
+        F.round(F.sum(within) * 1.0 / F.count("*"), 4).alias(
+            "frac_within_20pct"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-probe LSH (round 10, session 3; Lv et al. VLDB'07) — the QUERY-SIDE
+# recall lever the module's LSH family lacked: ann_lsh_topk buys recall
+# with MORE TABLES (4x index storage, 4x build cost); multi-probe keeps
+# ONE table and has each query additionally probe the buckets whose sign
+# pattern differs by one hyperplane (the most likely homes of near
+# neighbors that fell on the other side of one plane). Same candidate
+# budget per query (~(1 + n_planes) * N / 2^n_planes vs n_tables * N /
+# 2^n_planes), ~1/4 the index state — the trade a 100 TB serving tier
+# actually wants, since index storage is corpus-sized and probes are
+# query-sized. Probe set = bucket XOR {0, 8, 4, 2, 1} (the 4-bit flips),
+# exactly replayed by DuckDB's xor().
+# --------------------------------------------------------------------------
+MP_PROBE_MASKS = [0] + [2 ** (N_PLANES - 1 - p) for p in range(N_PLANES)]
+
+
+def _mp_topk_oracle(src: str = "embeddings") -> str:
+    masks = ", ".join(str(m) for m in MP_PROBE_MASKS)
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM {src}
+    ),
+    b AS (
+      SELECT vec_id, e, {_bucket_sql(0, N_PLANES)} AS bucket FROM v
+    ),
+    qp AS (
+      SELECT b.vec_id AS q_id, xor(b.bucket, m.m) AS bucket
+      FROM b CROSS JOIN (SELECT unnest([{masks}]) AS m) m
+      WHERE b.vec_id < {N_QUERY_VECS}
+    ),
+    cand AS (
+      SELECT DISTINCT qp.q_id, c.vec_id AS c_id
+      FROM qp JOIN b c USING (bucket)
+      WHERE qp.q_id <> c.vec_id
+    ),
+    s AS (
+      SELECT cand.q_id, cand.c_id,
+             ROUND(list_cosine_similarity(a.e, c.e), 6) AS sim6
+      FROM cand
+      JOIN v a ON a.vec_id = cand.q_id
+      JOIN v c ON c.vec_id = cand.c_id
+    )
+    SELECT q_id, c_id, ROUND(sim6, 4) AS cosine
+    FROM (SELECT q_id, c_id, sim6,
+                 ROW_NUMBER() OVER (PARTITION BY q_id
+                                    ORDER BY sim6 DESC, c_id) AS rk
+          FROM s)
+    WHERE rk <= {TOP_K}
+    """
+
+
+def _mp_topk_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.repartition(n_parts).select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        l2_norm(as_double("embedding")).alias("nrm"),
+    )
+    # ONE table's bucket (index state is corpus x 1, not corpus x 4)
+    b = vecs.select(
+        "vec_id",
+        "v",
+        "nrm",
+        lsh_table_buckets(F.col("v"), EMB_DIM)[0]["bucket"].alias("bucket"),
+    )
+    probes = F.array(*[F.lit(m) for m in MP_PROBE_MASKS])
+    q = (
+        b.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.explode(probes).alias("m"),
+            "bucket",
+        )
+        .select(
+            "q_id", "qv", "qn",
+            F.col("bucket").bitwiseXOR(F.col("m")).alias("bucket"),
+        )
+    )
+    cand = (
+        b.join(F.broadcast(q), "bucket")
+        .filter(F.col("q_id") != F.col("vec_id"))
+        .select("q_id", "qv", "qn", F.col("vec_id").alias("c_id"), "v", "nrm")
+        .dropDuplicates(["q_id", "c_id"])  # probe union, score once
+    )
+    sims = cand.select(
+        "q_id",
+        "c_id",
+        F.round(
+            dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("sim6"),
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
+    return (
+        sims.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id", F.round("sim6", 4).alias("cosine"))
+    )
+
+
+@query("ann_multiprobe_lsh_topk", oracle=_mp_topk_oracle())
+def ann_multiprobe_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per query from ONE hyperplane table probed at the base
+    bucket plus every 1-bit flip — the storage-lean recall lever."""
+    return _mp_topk_frame(spark, sf_dir)
+
+
+@query(
+    "ann_multiprobe_recall_at_k",
+    oracle=_recall_oracle(
+        _cosine_topk_oracle(), _mp_topk_oracle()
+    ),
+)
+def ann_multiprobe_recall_at_k(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Recall@k of multi-probe (1 table, 5 probes) against brute-force
+    cosine — read beside ann_recall_at_k (4 tables, 1 probe each) to see
+    the storage/recall trade at a matched candidate budget."""
+    exact = cosine_topk(spark, sf_dir).select("q_id", "c_id")
+    approx = _mp_topk_frame(spark, sf_dir).select("q_id", "c_id")
+    return _recall_frame(exact, approx)

@@ -100,6 +100,11 @@ DRIVER_PRIORITY: list[str] = [
     "kcenter_coreset_select",
     "knn_graph_incremental_ingest",
     "k_anonymity_generalization",
+    "sorted_neighborhood_pairs",
+    "sorted_neighborhood_recall",
+    "jl_projection_distortion",
+    "ann_multiprobe_lsh_topk",
+    "ann_multiprobe_recall_at_k",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
