@@ -132,6 +132,16 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("md"), _dist6_to(top["e"])).alias("md"),
             )
         )
+    # Everything above ran eagerly, so release the corpus frame's cache
+    # before returning: its plan is byte-identical to kmeans_lloyd_2iter's
+    # input subplan, and a lingering cache entry would substitute an
+    # InMemoryRelation into THAT query's plan (observed: the exchange
+    # census read 21 instead of 17 for kmeans whenever this query had
+    # run first in the session — cross-query cache pollution changes
+    # plan shapes, not just speed). The md chain's frames stay in the
+    # bounded ring; their plans are kcenter-specific and match nothing
+    # else.
+    vecs.unpersist()
     return spark.createDataFrame(
         rows, "sel_rank long, center_id long, radius double"
     )

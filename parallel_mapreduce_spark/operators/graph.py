@@ -179,3 +179,118 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.join(
         F.broadcast(nation), ranks.nk == nation.n_nationkey
     ).select(F.col("n_name").alias("nation"), F.col("r").alias("pr_micro"))
+
+
+# --------------------------------------------------------------------------
+# k-core decomposition by iterative peeling (round 10, session 3) — the
+# fourth graph analytic beside PageRank (this module), connected
+# components (functions/dedup.py) and triangle counting
+# (name_graph_triangles): the k-core is the maximal subgraph where every
+# vertex keeps degree >= k (Seidman 1983). Run over the MinHash-LSH
+# near-dup CANDIDATE graph it is the boilerplate-farm detector: an
+# incidental pairwise match has degree 1 and falls out of the 2-core,
+# while template farms (mutually-similar document families) survive as
+# dense cores — exactly the triage near-dup canonicalization wants
+# before picking survivors. (A first draft peeled the ed-1 supplier-name
+# graph and the TPC-H name grid turned out to be one big clique — every
+# vertex at degree N-1, zero peeling at any tested k; the exhibit moved
+# to a graph whose degrees actually vary: 1..13 at sf0.1.)
+#
+# Peeling is the fixpoint of "drop vertices with current degree < k".
+# Determinism needs no rounding contract (pure set arithmetic) and the
+# fixpoint is IDEMPOTENT — the DuckDB oracle unrolls KCORE_ROUNDS rounds
+# unconditionally (rounds past convergence are no-ops) while the engine
+# stops at a DETECTED fixpoint (bounded scalar count per round, the CC
+# convergence pattern) and raises if the budget is not enough.
+#
+# Scale: each round is one degree aggregate + two vertex-keyed semi
+# joins — the CC label-propagation shuffle shape; rounds are
+# checkpointed (round t references round t-1 three times -> the 5^t
+# NN-Descent plan-growth lesson applies at 3^t).
+# --------------------------------------------------------------------------
+KCORE_KS = (2, 3)
+KCORE_ROUNDS = 8
+
+
+def _kcore_oracle() -> str:
+    from parallel_mapreduce_spark.registry import QUERIES as _Q
+
+    edge_sql = _Q["minhash_lsh_candidates"].oracle
+    legs = []
+    for k in KCORE_KS:
+        ctes = f"""e{k}_0 AS MATERIALIZED (
+      SELECT doc_a AS u, doc_b AS v FROM ({edge_sql})
+      UNION ALL
+      SELECT doc_b AS u, doc_a AS v FROM ({edge_sql})
+    )"""
+        for r in range(1, KCORE_ROUNDS + 1):
+            p = r - 1
+            ctes += f""",
+    keep{k}_{r} AS (
+      SELECT u FROM e{k}_{p} GROUP BY u HAVING COUNT(*) >= {k}
+    ),
+    e{k}_{r} AS MATERIALIZED (
+      SELECT e.u, e.v FROM e{k}_{p} e
+      JOIN keep{k}_{r} ku ON ku.u = e.u
+      JOIN keep{k}_{r} kv ON kv.u = e.v
+    )"""
+        legs.append((k, ctes))
+    all_ctes = ",\n    ".join(c for _, c in legs)
+    sel = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({k} AS BIGINT) AS k_core, u AS doc_id"
+        f" FROM (SELECT DISTINCT u FROM e{k}_{KCORE_ROUNDS})"
+        for k, _ in legs
+    )
+    return f"WITH {all_ctes}\n    {sel}"
+
+
+@query("kcore_neardup_graph", oracle=_kcore_oracle())
+def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k_core, doc_id): membership of the 2-core and 3-core of the
+    MinHash-LSH near-dup candidate graph — incidental pairwise matches
+    peel out, template families survive."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    pairs = minhash_lsh_candidates(spark, sf_dir)
+    und = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    out = None
+    for k in KCORE_KS:
+        e = und.checkpoint(eager=True)
+        n_prev = e.count()
+        for _ in range(KCORE_ROUNDS):
+            keep = (
+                e.groupBy("u")
+                .agg(F.count("*").alias("deg"))
+                .filter(F.col("deg") >= k)
+                .select("u")
+            )
+            e = (
+                e.join(keep, "u", "left_semi")
+                .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+                .select("u", "v")
+                .checkpoint(eager=True)
+            )
+            n = e.count()
+            if n == n_prev:
+                break
+            n_prev = n
+        else:
+            raise RuntimeError(
+                f"kcore_neardup_graph: {k}-core not stable after "
+                f"{KCORE_ROUNDS} peels; raise KCORE_ROUNDS rather than "
+                "returning a non-fixpoint"
+            )
+        members = e.select("u").distinct().select(
+            F.lit(k).cast("long").alias("k_core"),
+            F.col("u").alias("doc_id"),
+        )
+        out = members if out is None else out.unionAll(members)
+    return out

@@ -105,6 +105,7 @@ DRIVER_PRIORITY: list[str] = [
     "jl_projection_distortion",
     "ann_multiprobe_lsh_topk",
     "ann_multiprobe_recall_at_k",
+    "kcore_neardup_graph",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -150,6 +150,13 @@ DISJOINT_QUERIES = (
     # the whole ingest should track the base build ~linearly; rows grow
     # with the batch (b_rows ~ 1).
     "knn_graph_incremental_ingest",
+    # round 10 session 3: k-core peeling over the minhash candidate
+    # graph — disjoint replication keeps dup-cluster structure constant
+    # per replica, so peel rounds stay fixed and each round is one
+    # degree aggregate + two vertex-keyed semi-joins over a linearly
+    # growing edge list; expect ~ the minhash_lsh_candidates exponent,
+    # rows ~ 1 (memberships per replica).
+    "kcore_neardup_graph",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 

@@ -508,3 +508,29 @@ def test_sorted_neighborhood_window_and_recall(spark, sf_dir):
         "the committed trade-off should be a real number, not a degenerate "
         "0 or 1 — first-digit changes must escape the window on this corpus"
     )
+
+
+# --- k-core over the near-dup candidate graph (round 10, session 3) -------
+def test_kcore_nesting_and_peel_correctness(spark, sf_dir):
+    from parallel_mapreduce_spark.functions.dedup import (
+        minhash_lsh_candidates,
+    )
+    from parallel_mapreduce_spark.operators.graph import kcore_neardup_graph
+
+    cores = kcore_neardup_graph(spark, sf_dir).toPandas()
+    c2 = set(cores[cores["k_core"] == 2]["doc_id"])
+    c3 = set(cores[cores["k_core"] == 3]["doc_id"])
+    assert c3 <= c2, "cores must nest"
+    assert len(c2) > len(c3) > 0, "peeling must be non-trivial at test SF"
+    # every 2-core member has degree >= 2 WITHIN the 2-core (defining
+    # property), verified against the raw pair frame
+    pairs = minhash_lsh_candidates(spark, sf_dir).toPandas()
+    import collections
+
+    deg = collections.Counter()
+    for a, b in zip(pairs["doc_a"], pairs["doc_b"]):
+        if a in c2 and b in c2:
+            deg[a] += 1
+            deg[b] += 1
+    assert c2 == {v for v, d in deg.items() if d >= 2}
+    assert all(deg[v] >= 2 for v in c2)

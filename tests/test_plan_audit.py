@@ -283,6 +283,20 @@ HEADLINE_EXCHANGE_CEILING = {
     # both retrieval legs (cosine pairs + BM25 postings) + per-leg ranks
     # + the Q x 2L fusion — measured 19.
     "hybrid_rrf_retrieval": 30,
+    # round 10 session 3: the returned plan is the LAST NN-Descent round
+    # only (earlier rounds are eager reliable checkpoints, executed
+    # during fn() and read back as scans): undirected-view dedup +
+    # neighbor-of-neighbor self-join + candidate dedup + two
+    # shuffled-hash scoring joins + the keep-best window + the eval
+    # output window, each with an EXPLICIT-N repartition because thin
+    # pair rows lz4-compress below AQE's planning resolution — measured
+    # 21.
+    "knn_graph_nn_descent": 23,
+    # Gonzalez runs eagerly (one distributed top-1 job per pick); the
+    # returned frame is the assembled 12-row local table — 0 exchanges
+    # by construction. The pin still catches a refactor that turns the
+    # result into a lazy corpus-scale plan.
+    "kcenter_coreset_select": 0,
 }
 
 
