@@ -145,3 +145,115 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "sel_rank long, center_id long, radius double"
     )
+
+
+# --------------------------------------------------------------------------
+# Capstone composition (round 10, session 3): quality gate -> k-center
+# diversity sample — the "pick k spread-out GOOD documents" pipeline
+# (eval-set construction, few-shot pool selection, annotation budgeting).
+# Structure mirrors pipeline_clean_corpus: each stage is a registered
+# grain reused as-is (token-count gate from the text family; the Gonzalez
+# trajectory above), composed without materialization between stages.
+# The seed generalizes from "vec_id 0" to "lowest SURVIVING vec_id", and
+# every pick is restricted to gate survivors, so the whole trajectory
+# changes when the gate does — the oracle replays gate + picks end to
+# end.
+# --------------------------------------------------------------------------
+PDS_MIN_TOKS = 40  # survivors: docs with >= 40 whitespace tokens (p50=56)
+PDS_K = 8
+
+_SQL_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
+
+def _pds_oracle() -> str:
+    sql = f"""
+    WITH surv AS (
+      SELECT doc_id, source,
+             CAST(len({_SQL_TOKS}) AS BIGINT) AS n_toks
+      FROM documents
+      WHERE len({_SQL_TOKS}) >= {PDS_MIN_TOKS}
+    ), v AS (
+      SELECT e.vec_id, generate_subscripts(e.embedding, 1) - 1 AS pos,
+             CAST(unnest(e.embedding) AS DOUBLE) AS val
+      FROM embeddings e JOIN surv s ON s.doc_id = e.vec_id
+    ), seed AS (SELECT MIN(vec_id) AS sid FROM v),
+    c0 AS (SELECT v.pos, v.val AS cval FROM v JOIN seed ON v.vec_id = seed.sid),
+    md0 AS MATERIALIZED (
+      SELECT v.vec_id, ROUND(SUM((v.val - c0.cval) ^ 2), 6) AS md
+      FROM v JOIN c0 USING (pos) GROUP BY v.vec_id
+    )"""
+    for i in range(1, PDS_K):
+        p = i - 1
+        sql += f""",
+    p{i} AS (SELECT vec_id FROM md{p} ORDER BY md DESC, vec_id LIMIT 1),
+    c{i} AS (SELECT v.pos, v.val AS cval FROM v JOIN p{i} USING (vec_id)),
+    d{i} AS (SELECT v.vec_id, ROUND(SUM((v.val - c{i}.cval) ^ 2), 6) AS d
+             FROM v JOIN c{i} USING (pos) GROUP BY v.vec_id),
+    md{i} AS MATERIALIZED (
+      SELECT md{p}.vec_id, LEAST(md{p}.md, d{i}.d) AS md
+      FROM md{p} JOIN d{i} USING (vec_id))"""
+    legs = [
+        "SELECT CAST(0 AS BIGINT) AS sel_rank,"
+        " CAST((SELECT sid FROM seed) AS BIGINT) AS doc_id,"
+        " (SELECT MAX(md) FROM md0) + 0.0 AS radius"
+    ]
+    for i in range(1, PDS_K):
+        legs.append(
+            f"SELECT CAST({i} AS BIGINT), CAST((SELECT vec_id FROM p{i}) AS"
+            f" BIGINT), (SELECT MAX(md) FROM md{i}) + 0.0"
+        )
+    picks = "\n    UNION ALL\n    ".join(legs)
+    return (
+        sql
+        + f""",
+    picks AS ({picks})
+    SELECT picks.sel_rank, picks.doc_id, surv.source, surv.n_toks,
+           picks.radius
+    FROM picks JOIN surv ON surv.doc_id = picks.doc_id"""
+    )
+
+
+@query("pipeline_diverse_sample", oracle=_pds_oracle())
+def pipeline_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(sel_rank, doc_id, source, n_toks, radius): Gonzalez k-center over
+    the embeddings of token-count-gate survivors — the diversity-sampled
+    eval/few-shot pool, with the gate replayed inside the oracle."""
+    register_views(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split(F.col("text"), " "), lambda t: t != F.lit(""))
+    surv = docs.select(
+        "doc_id", "source", F.size(toks).cast("long").alias("n_toks")
+    ).where(F.col("n_toks") >= PDS_MIN_TOKS)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = bounded_persist(
+        emb.join(
+            surv.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"
+        )
+        .repartition(n_parts, "vec_id")
+        .select("vec_id", as_double(F.col("embedding")).alias("e"))
+    )
+    seed = vecs.orderBy("vec_id").select("vec_id", "e").head()
+    md = vecs.select("vec_id", "e", _dist6_to(seed["e"]).alias("md"))
+    rows: list[tuple[int, int, float]] = []
+    center_id = int(seed["vec_id"])
+    for rank in range(PDS_K):
+        top = md.orderBy(F.desc("md"), "vec_id").head()
+        rows.append((rank, center_id, float(top["md"])))
+        if rank == PDS_K - 1:
+            break
+        center_id = int(top["vec_id"])
+        md = bounded_persist(
+            md.select(
+                "vec_id",
+                "e",
+                F.least(F.col("md"), _dist6_to(top["e"])).alias("md"),
+            )
+        )
+    vecs.unpersist()
+    picks = spark.createDataFrame(
+        rows, "sel_rank long, doc_id long, radius double"
+    )
+    return picks.join(F.broadcast(surv), "doc_id").select(
+        "sel_rank", "doc_id", "source", "n_toks", "radius"
+    )

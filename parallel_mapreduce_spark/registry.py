@@ -106,6 +106,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_multiprobe_lsh_topk",
     "ann_multiprobe_recall_at_k",
     "kcore_neardup_graph",
+    "pipeline_diverse_sample",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
