@@ -351,7 +351,7 @@ def _rag_queries_sql() -> str:
                6) AS sim6
       FROM emb e CROSS JOIN {_rag_queries_sql()}
     )
-    SELECT q_id, doc_id, chunk_idx, ROUND(sim6, 4) AS score
+    SELECT q_id, doc_id, chunk_idx, sim6 + 0.0 AS score
     FROM (SELECT q_id, doc_id, chunk_idx, sim6,
                  ROW_NUMBER() OVER (PARTITION BY q_id
                                     ORDER BY sim6 DESC, doc_id, chunk_idx)
@@ -408,7 +408,16 @@ def pipeline_chunk_index_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         partial.withColumn("rk", F.row_number().over(w_final))
         .filter(F.col("rk") <= RAG_TOP_K)
-        .select("q_id", "doc_id", "chunk_idx", F.round("sim6", 4).alias("score"))
+        .select(
+            "q_id",
+            "doc_id",
+            "chunk_idx",
+            # score ships at the 6dp ranking precision — re-rounding the
+            # 6dp value to 4dp is the decimal-vs-double midpoint hazard
+            # documented at knn_graph_nn_descent (round-11 family-wide
+            # migration off ROUND(sim6, 4)).
+            (F.col("sim6") + F.lit(0.0)).alias("score"),
+        )
     )
 
 

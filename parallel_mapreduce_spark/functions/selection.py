@@ -10,7 +10,7 @@ distance") and the standard coreset picker for diversity-maximizing
 training-subset selection (used by active-learning and data-pruning
 pipelines).
 
-Algorithm: start from a fixed seed (vec_id 0); k-1 times, add the point
+Algorithm: start from a fixed seed (the minimum vec_id); k-1 times, add the point
 FARTHEST from the already-selected set (max over points of min squared-L2
 distance to any selected center), then report the covering radius after
 every pick — the k-center objective value, non-increasing in rank.
@@ -57,7 +57,8 @@ def _kc_oracle() -> str:
       SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
              CAST(unnest(embedding) AS DOUBLE) AS val
       FROM embeddings
-    ), c0 AS (SELECT pos, val AS cval FROM v WHERE vec_id = 0),
+    ), seed AS (SELECT MIN(vec_id) AS sid FROM v),
+    c0 AS (SELECT v.pos, v.val AS cval FROM v JOIN seed ON v.vec_id = seed.sid),
     md0 AS MATERIALIZED (
       SELECT v.vec_id, ROUND(SUM((v.val - c0.cval) ^ 2), 6) AS md
       FROM v JOIN c0 USING (pos) GROUP BY v.vec_id
@@ -73,7 +74,8 @@ def _kc_oracle() -> str:
       SELECT md{p}.vec_id, LEAST(md{p}.md, d{i}.d) AS md
       FROM md{p} JOIN d{i} USING (vec_id))"""
     legs = [
-        "SELECT CAST(0 AS BIGINT) AS sel_rank, CAST(0 AS BIGINT) AS center_id,"
+        "SELECT CAST(0 AS BIGINT) AS sel_rank,"
+        " CAST((SELECT sid FROM seed) AS BIGINT) AS center_id,"
         " (SELECT MAX(md) FROM md0) + 0.0 AS radius"
     ]
     for i in range(1, KC_K):
@@ -113,10 +115,16 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id", as_double(F.col("embedding")).alias("e")
         )
     )
-    seed = vecs.where(F.col("vec_id") == 0).select("e").head()
+    # Seed at the MINIMUM vec_id rather than assuming id 0 exists — a
+    # corpus without vec_id 0 crashed with an opaque TypeError on the
+    # unchecked head() (round-11 advice fix; pipeline_diverse_sample
+    # already seeded this way). Identical output on contiguous-id data.
+    seed = vecs.orderBy("vec_id").select("vec_id", "e").head()
+    if seed is None:
+        raise ValueError("kcenter_coreset_select: empty embedding corpus")
     md = vecs.select("vec_id", "e", _dist6_to(seed["e"]).alias("md"))
     rows: list[tuple[int, int, float]] = []
-    center_id = 0
+    center_id = int(seed["vec_id"])
     for rank in range(KC_K):
         # One bounded hop per pick: the argmax row carries BOTH this
         # rank's covering radius (its md IS max(md)) and the next pick.

@@ -265,7 +265,14 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k in KCORE_KS:
         e = und.checkpoint(eager=True)
         n_prev = e.count()
-        for _ in range(KCORE_ROUNDS):
+        # KCORE_ROUNDS + 1: detection needs a trailing NO-OP round (the
+        # loop only sees convergence when a peel leaves the edge count
+        # unchanged), so a graph that peels productively in all
+        # KCORE_ROUNDS rounds and lands exactly on the fixpoint is still
+        # a success — the +1 budget row is the detection round, keeping
+        # the constant equal to the number of PRODUCTIVE peels the
+        # oracle unrolls (round-11 advice fix).
+        for _ in range(KCORE_ROUNDS + 1):
             keep = (
                 e.groupBy("u")
                 .agg(F.count("*").alias("deg"))

@@ -107,6 +107,13 @@ DRIVER_PRIORITY: list[str] = [
     "ann_multiprobe_recall_at_k",
     "kcore_neardup_graph",
     "pipeline_diverse_sample",
+    # round-11 additions (never rowed): the kNN-graph serving leg and
+    # multi-pass sorted-neighborhood blocking.
+    "ann_graph_search_topk",
+    "ann_graph_search_recall_at_k",
+    "sorted_neighborhood_multipass_pairs",
+    "sorted_neighborhood_multipass_recall",
+    "knn_graph_incremental_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
@@ -143,6 +150,24 @@ VALUE_CHANGED: dict[str, int] = {
     "exact_substring_runs": 10,
     "longest_dup_span_per_doc": 10,
     "substring_run_removal": 10,
+    # round 11: the whole ANN/RAG top-k family shipped its cosine/score
+    # column at the 6dp RANKING precision instead of re-rounding to 4dp —
+    # the decimal-HALF_UP-vs-double-half-away midpoint hazard documented
+    # at knn_graph_nn_descent, removed family-wide per the round-10
+    # advice. Values change in the reported column only; rankings (and
+    # therefore every recall leg) are unchanged.
+    "cosine_topk": 11,
+    "ann_lsh_topk": 11,
+    "ann_ivf_topk": 11,
+    "ann_sq_topk": 11,
+    "ann_multiprobe_lsh_topk": 11,
+    "emb_neardup_pairs": 11,
+    "emb_neardup_lsh_pairs": 11,
+    "pipeline_chunk_index_search": 11,
+    # round 11: incremental ingest gained the WITHIN-BATCH seed leg —
+    # kind='new' lists can now carry same-batch neighbors, changing
+    # output rows wherever a batch neighbor outranks a base one.
+    "knn_graph_incremental_ingest": 11,
 }
 
 

@@ -534,3 +534,50 @@ def test_kcore_nesting_and_peel_correctness(spark, sf_dir):
             deg[b] += 1
     assert c2 == {v for v, d in deg.items() if d >= 2}
     assert all(deg[v] >= 2 for v in c2)
+
+
+def test_multipass_sn_uplift_and_pass_structure(spark, sf_dir):
+    """Multi-pass SN must (a) strictly contain the single-pass candidate
+    set (rotation 0 IS the single-pass key), (b) commit a recall
+    materially above single-pass, and (c) report n_passes consistent
+    with the per-pass windows."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        SN_MP_ROTS,
+        sorted_neighborhood_multipass_pairs,
+        sorted_neighborhood_multipass_recall,
+        sorted_neighborhood_pairs,
+    )
+
+    mp = sorted_neighborhood_multipass_pairs(spark, sf_dir).toPandas()
+    sp = sorted_neighborhood_pairs(spark, sf_dir).toPandas()
+    mp_set = set(zip(mp["name_a"], mp["name_b"]))
+    sp_set = {
+        (min(a, b), max(a, b))
+        for a, b in zip(sp["name_a"], sp["name_b"])
+    }
+    assert sp_set <= mp_set, "pass 0 must reproduce the single-pass window"
+    assert mp["n_passes"].between(1, len(SN_MP_ROTS)).all()
+
+    rec = sorted_neighborhood_multipass_recall(spark, sf_dir).toPandas()
+    assert len(rec) == 1
+    r = rec.iloc[0]
+    assert r["n_caught"] >= r["n_caught_single"]
+    # The uplift needs names varying in MORE than one position: at
+    # sf0.001 the 10 supplier names differ only at the units digit, so
+    # every rotation sorts them identically and multi-pass degenerates
+    # to single-pass (correctly). From sf0.01 up (100+ names, 2+ varying
+    # digits) the rotation family catches ~3x the single pass — measured
+    # 0.5333 vs 0.2667 (sf0.01) and 0.5333 vs 0.1778 (sf0.1).
+    from parallel_mapreduce_spark.sources import load_table
+
+    n_names = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_name")
+        .distinct()
+        .count()
+    )
+    if n_names >= 100:
+        assert len(mp_set) > len(sp_set), "extra keys surfaced nothing new"
+        assert r["recall"] >= 2 * r["recall_single"]
+    else:
+        assert r["recall"] >= r["recall_single"]

@@ -104,10 +104,12 @@ def test_incremental_ingest_shape(spark, sf_dir):
     new = df[df["kind"] == "new"]
     base = df[df["kind"] == "base"]
     is_batch = lambda s: s % S.KNN_BATCH_MOD == S.KNN_BATCH_RES  # noqa: E731
-    # every batch node got a list; single-pass ingest scopes candidates
-    # to the base graph, so 'new' neighbors are never batch nodes
+    # every batch node got a list; the round-11 within-batch seed leg
+    # means 'new' lists CAN carry same-batch neighbors now (the round-10
+    # contract said never) — and at the test SF some actually do, so the
+    # leg is exercised, not just plumbed
     assert is_batch(new["node"]).all()
-    assert not is_batch(new["nbr"]).any()
+    assert is_batch(new["nbr"]).any(), "within-batch leg surfaced no edge"
     assert (new.groupby("node")["rk"].max() <= S.KNN_K).all()
     import duckdb
 
@@ -123,3 +125,101 @@ def test_incremental_ingest_shape(spark, sf_dir):
     assert len(base) > 0, "no base list absorbed any arrival"
     # no self edges anywhere
     assert (df["node"] != df["nbr"]).all()
+
+
+# --- Graph-based ANN search (round 11) ------------------------------------
+
+
+def test_graph_search_topk_shape_and_floor(spark, sf_dir):
+    """Structural pins the oracle hash can't explain when it breaks:
+    per-query result count, no self hits, rank order agrees with score
+    order, and the committed GS_FLOOR holds with margin at the test SF."""
+    topk = S.ann_graph_search_topk(spark, sf_dir).toPandas()
+    assert (topk["q_id"] != topk["c_id"]).all(), "self hit"
+    assert not topk.duplicated(["q_id", "c_id"]).any()
+    per_q = topk.groupby("q_id").size()
+    assert (per_q == S.KNN_K).all()
+    assert sorted(topk["q_id"].unique()) == list(range(S.KNN_EVAL_N))
+    srt = topk.sort_values(["q_id", "rk"])
+    assert (
+        srt.groupby("q_id")["cosine"].apply(lambda s: s.is_monotonic_decreasing)
+    ).all()
+
+    rec = S.ann_graph_search_recall_at_k(spark, sf_dir).toPandas()
+    assert len(rec) == 1
+    assert bool(rec["beats_floor"].iloc[0])
+    assert rec["recall"].iloc[0] >= S.GS_FLOOR
+
+
+def test_graph_search_budget_is_bounded(spark, sf_dir):
+    """The scored-candidate set must respect the structural budget: entry
+    is capped by tables * bucket-cap, every hop by GS_BEAM * 2 * KNN_K —
+    the property that makes this a serving path rather than a scan."""
+    visited = S._gs_visited(spark, sf_dir).toPandas()
+    per_q = visited.groupby("node").size()
+    bound = (
+        S.N_TABLES * S.KNN_BUCKET_CAP
+        + S.GS_ROUNDS * S.GS_BEAM * 2 * S.KNN_K
+    )
+    assert (per_q <= bound).all(), (
+        f"max scored/query {per_q.max()} exceeds structural bound {bound}"
+    )
+    # beam search visits strictly more than the entry buckets alone
+    # (the hops are doing work), but far less than the corpus
+    n_vecs = S._knn_vecs(spark, sf_dir).count()
+    assert per_q.max() < n_vecs - 1
+
+
+def test_graph_search_beats_entry_only(spark, sf_dir):
+    """The traversal must add recall over ranking the LSH entry set
+    alone — otherwise the graph isn't contributing and the query is an
+    LSH lookup in disguise."""
+    import pyspark.sql.functions as F
+
+    vecs = S._knn_vecs(spark, sf_dir)
+    truth = S._knn_truth(spark, sf_dir, vecs).toPandas()
+    tset = set(zip(truth["node"], truth["nbr"]))
+
+    full = S._gs_visited(spark, sf_dir)
+    w_full = S.ann_graph_search_topk(spark, sf_dir).toPandas()
+    got = set(zip(w_full["q_id"], w_full["c_id"]))
+
+    # entry-only: rank the round-0 visited set (no hops)
+    prow = S._knn_prow(vecs)
+    bkts = S._knn_buckets(vecs, prow)
+    entry = (
+        bkts.where(F.col("vec_id") < S.KNN_EVAL_N)
+        .select(F.col("vec_id").alias("node"), "tbl", "bucket")
+        .join(
+            S._knn_capped_buckets(bkts).select(
+                F.col("vec_id").alias("nbr"), "tbl", "bucket"
+            ),
+            ["tbl", "bucket"],
+        )
+        .where(F.col("node") != F.col("nbr"))
+        .select("node", "nbr")
+        .dropDuplicates(["node", "nbr"])
+    )
+    e_top = S._knn_topk(S._knn_score(entry, vecs)).toPandas()
+    entry_set = set(zip(e_top["node"], e_top["nbr"]))
+
+    full_recall = len(got & tset) / len(tset)
+    entry_recall = len(entry_set & tset) / len(tset)
+    assert full_recall > entry_recall, (
+        f"traversal adds nothing: {full_recall} vs entry-only {entry_recall}"
+    )
+
+
+def test_incremental_recall_batch_leg_uplift(spark, sf_dir):
+    """The within-batch seed leg may only ADD recall (it widens the
+    candidate set under the same keep-best update), must surface actual
+    same-batch neighbors, and base_only must have none by construction."""
+    rec = S.knn_graph_incremental_recall(spark, sf_dir).toPandas()
+    rec = rec.set_index("variant")
+    assert set(rec.index) == {"base_only", "with_batch_leg"}
+    assert rec.loc["base_only", "n_batch_nbrs"] == 0
+    assert rec.loc["with_batch_leg", "n_batch_nbrs"] > 0
+    assert (
+        rec.loc["with_batch_leg", "recall"]
+        >= rec.loc["base_only", "recall"]
+    )

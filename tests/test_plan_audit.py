@@ -83,7 +83,10 @@ def _plan(df) -> str:
 #     price_weighted_median_by_flag (plus its per-flag totals frame),
 #     sorted_neighborhood_pairs / sorted_neighborhood_recall (round 10
 #     session 3: the name rank comes from global_row_number — same
-#     shard-bases decomposition, global window over one row per shard).
+#     shard-bases decomposition, global window over one row per shard),
+#     sorted_neighborhood_multipass_pairs / _recall (round 11: one
+#     global_row_number per rotation pass — len(SN_MP_ROTS) shard-base
+#     windows of one row per shard each).
 #   - K-seed / centroid frames (row_number over the K-row seed pick):
 #     kmeans_lloyd_2iter, semdedup_cluster_report.
 #   - |V|=25 aggregated trade graph (dangling-mass fold):
@@ -103,6 +106,8 @@ GLOBAL_WINDOW_WHITELIST = {
     "pagerank_trade_graph",
     "price_weighted_median_by_flag",
     "semdedup_cluster_report",
+    "sorted_neighborhood_multipass_pairs",
+    "sorted_neighborhood_multipass_recall",
     "sorted_neighborhood_pairs",
     "sorted_neighborhood_recall",
     "stratified_split_assign",
