@@ -2603,9 +2603,13 @@ def _sn_mp_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parallel_mapreduce_spark.operators.rank import global_row_number
 
     register_views(spark, sf_dir)
-    names = bounded_persist(
-        load_table(spark, sf_dir, "supplier").select("s_name").distinct()
-    )
+    # NOT persisted despite 3x reuse: the distinct-names plan is
+    # byte-identical to fuzzy_name_pairs' subplan, and a lingering cache
+    # entry substitutes an InMemoryRelation into THAT query's plan,
+    # changing its exchange census (the kcenter/kmeans cross-query
+    # cache-pollution lesson). The frame is dimension-sized; recomputing
+    # it per pass costs one scan of a tiny table.
+    names = load_table(spark, sf_dir, "supplier").select("s_name").distinct()
     legs = []
     for pid, r in enumerate(SN_MP_ROTS):
         keyed = names.withColumn("_key", F.expr(_sn_rot_key_sql(r)))

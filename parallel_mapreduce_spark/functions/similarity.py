@@ -427,9 +427,12 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _ivf_topk_frame(spark, sf_dir)
 
 
-def _ivf_topk_frame(
+def _ivf_scored_frame(
     spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
 ) -> DataFrame:
+    """(q_id, c_id, sim6): every candidate pair inside each query's
+    IVF_NPROBE probed cells, scored — the engine twin of the oracle's
+    ``s`` CTE, shared by the plain and the filtered top-k."""
     if emb is None:
         register_views(spark, sf_dir)
         emb = load_table(spark, sf_dir, "embeddings")
@@ -461,13 +464,19 @@ def _ivf_topk_frame(
     cand = index.join(F.broadcast(probes), "cid").filter(
         F.col("q_id") != F.col("vec_id")
     )
-    sims = cand.select(
+    return cand.select(
         "q_id",
         F.col("vec_id").alias("c_id"),
         F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
             "sim6"
         ),
     )
+
+
+def _ivf_topk_frame(
+    spark: SparkSession, sf_dir: str, emb: DataFrame | None = None
+) -> DataFrame:
+    sims = _ivf_scored_frame(spark, sf_dir, emb=emb)
     w = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
     return (
         sims.withColumn("rk", F.row_number().over(w))
@@ -4803,6 +4812,7 @@ def _gs_oracle_ctes() -> str:
 
 @query(
     "ann_graph_search_topk",
+    headline=True,
     oracle=f"""
     WITH {_knn_oracle_ctes()}{_gs_oracle_ctes()}
     SELECT node AS q_id, CAST(rk AS BIGINT) AS rk, nbr AS c_id,
@@ -4918,3 +4928,241 @@ def ann_graph_search_recall_at_k(
             "beats_floor",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# FILTERED vector search (round 11) — ANN top-k under a metadata
+# predicate, the production RAG query shape ("nearest chunks FROM these
+# sources"). Composes the existing IVF machinery (probes + scored
+# candidates); no new index. The fixture predicate is a source
+# restriction over the aligned documents table (vec_id IS doc_id in the
+# testdata), FLT_SOURCES = 4 of 20 sources => ~20% selectivity.
+#
+# The decision this section COMMITS: serve PRE-FILTER. In an inverted
+# -file index the predicate can be applied to the postings themselves
+# (metadata rides beside each posting entry, or the filter semi-joins
+# the candidate stream before scoring at scale), so the ranked set is
+# exactly the predicate-satisfying candidates and every query returns a
+# full k whenever its probed cells hold k eligible vectors. POST-filter
+# (rank first, filter after) silently starves: at overfetch 1 a query
+# keeps only the eligible fraction of its top-k (~selectivity * k
+# results), and even at overfetch FLT_OVERFETCH the eligible survivors
+# of the unfiltered ranking are a biased, truncated sample.
+# ann_filtered_recall_at_k commits all three numbers side by side —
+# the measured case for the pre-filter default.
+#
+# Scale: the predicate frame is dimension-sized here (broadcast semi
+# join); at 100 TB the same plan holds with the metadata column stored
+# in the index (the posting-list layout every production engine uses) or
+# a bloom-pruned shuffle join against the candidate stream.
+# --------------------------------------------------------------------------
+FLT_SOURCES = ("src0", "src1", "src2", "src3")
+FLT_OVERFETCH = 4  # post-filter overfetch factor priced by the recall row
+
+_FLT_IN = ", ".join(f"'{s}'" for s in FLT_SOURCES)
+
+
+def _flt_allowed_sql() -> str:
+    return f"""allowed AS (
+      SELECT doc_id AS c_id, source FROM documents
+      WHERE source IN ({_FLT_IN})
+    )"""
+
+
+@query(
+    "ann_filtered_topk",
+    headline=True,
+    oracle=f"""
+    WITH {_ivf_scored_ctes()},
+    {_flt_allowed_sql()}
+    SELECT q_id, CAST(rk AS BIGINT) AS rk, c_id, source,
+           sim6 + 0.0 AS cosine
+    FROM (
+      SELECT s.q_id, s.c_id, allowed.source, s.sim6,
+             ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                ORDER BY s.sim6 DESC, s.c_id) AS rk
+      FROM s JOIN allowed ON allowed.c_id = s.c_id
+    )
+    WHERE rk <= {TOP_K}
+    """,
+)
+def ann_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, rk, c_id, source, cosine): IVF top-k restricted to
+    candidates whose document source passes the predicate — PRE-filter
+    semantics (the committed serving default): the predicate semi-joins
+    the candidate stream BEFORE ranking, so ranks are over eligible
+    vectors only."""
+    register_views(spark, sf_dir)
+    sims = _ivf_scored_frame(spark, sf_dir)
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin(*FLT_SOURCES))
+        .select(F.col("doc_id").alias("c_id"), "source")
+    )
+    flt = sims.join(F.broadcast(allowed), "c_id")
+    w = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
+    return (
+        flt.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "q_id",
+            "rk",
+            "c_id",
+            "source",
+            (F.col("sim6") + F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
+def _flt_recall_oracle() -> str:
+    ranked = """SELECT q_id, c_id, sim6,
+             ROW_NUMBER() OVER (PARTITION BY q_id
+                                ORDER BY sim6 DESC, c_id) AS rk
+      FROM s"""
+    legs = []
+    for name, sel in (
+        ("prefilter", f"""
+      SELECT q_id, c_id FROM (
+        SELECT s.q_id, s.c_id,
+               ROW_NUMBER() OVER (PARTITION BY s.q_id
+                                  ORDER BY s.sim6 DESC, s.c_id) AS rk
+        FROM s JOIN allowed ON allowed.c_id = s.c_id
+      ) WHERE rk <= {TOP_K}"""),
+        ("postfilter_of1", f"""
+      SELECT r.q_id, r.c_id
+      FROM ({ranked}) r JOIN allowed ON allowed.c_id = r.c_id
+      WHERE r.rk <= {TOP_K}"""),
+        (f"postfilter_of{FLT_OVERFETCH}", f"""
+      SELECT q_id, c_id FROM (
+        SELECT r.q_id, r.c_id,
+               ROW_NUMBER() OVER (PARTITION BY r.q_id
+                                  ORDER BY r.sim6 DESC, r.c_id) AS rk2
+        FROM ({ranked}) r JOIN allowed ON allowed.c_id = r.c_id
+        WHERE r.rk <= {FLT_OVERFETCH * TOP_K}
+      ) WHERE rk2 <= {TOP_K}"""),
+    ):
+        legs.append(
+            f"""SELECT '{name}' AS variant,
+           CAST((SELECT COUNT(*) FROM ftruth) AS BIGINT) AS n_true,
+           CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(SUM(hit), 0) * 1.0
+                 / (SELECT COUNT(*) FROM ftruth), 4) AS recall,
+           CAST(COUNT(a.c_id) AS BIGINT) AS n_results
+    FROM (
+      SELECT a.c_id,
+             CASE WHEN t.c_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ({sel}) a
+      LEFT JOIN ftruth t ON t.q_id = a.q_id AND t.c_id = a.c_id
+    ) a"""
+        )
+    return f"""
+    WITH {_ivf_scored_ctes()},
+    {_flt_allowed_sql()},
+    ftruth AS (
+      SELECT q_id, c_id FROM (
+        SELECT a.vec_id AS q_id, allowed.c_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(a.e, b.e), 6) DESC,
+                          allowed.c_id) AS rk
+        FROM v a
+        JOIN allowed ON allowed.c_id <> a.vec_id
+        JOIN v b ON b.vec_id = allowed.c_id
+        WHERE a.vec_id < {N_QUERY_VECS}
+      ) WHERE rk <= {TOP_K}
+    )
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("ann_filtered_recall_at_k", oracle=_flt_recall_oracle())
+def ann_filtered_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, n_true, n_hit, recall, n_results): the filtered-search
+    strategy table vs exact filtered brute force — prefilter (the
+    committed default), postfilter at overfetch 1 (the starvation case:
+    n_results ~ selectivity * k per query), and postfilter at the fixed
+    FLT_OVERFETCH budget (the committed post-filter price)."""
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.repartition(n_parts).select(
+        "vec_id",
+        as_double("embedding").alias("v"),
+        l2_norm(as_double("embedding")).alias("nrm"),
+    )
+    allowed = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin(*FLT_SOURCES))
+        .select(F.col("doc_id").alias("c_id"), "source")
+    )
+    # exact filtered truth: queries x eligible candidates, never N^2
+    q = vecs.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    c = vecs.join(F.broadcast(allowed.select("c_id")), vecs.vec_id == F.col("c_id")).select(
+        "c_id", F.col("v").alias("cv"), F.col("nrm").alias("cn")
+    )
+    wt = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
+    truth = bounded_persist(
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("q_id") != F.col("c_id"))
+        .select(
+            "q_id",
+            "c_id",
+            F.round(
+                dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6
+            ).alias("sim6"),
+        )
+        .withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id")
+    )
+    sims = bounded_persist(_ivf_scored_frame(spark, sf_dir))
+    w = W.partitionBy("q_id").orderBy(F.col("sim6").desc(), F.col("c_id"))
+    pre = (
+        sims.join(F.broadcast(allowed.select("c_id")), "c_id")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("q_id", "c_id")
+    )
+    ranked = sims.withColumn("rk", F.row_number().over(w))
+    p1 = (
+        ranked.filter(F.col("rk") <= TOP_K)
+        .join(F.broadcast(allowed.select("c_id")), "c_id")
+        .select("q_id", "c_id")
+    )
+    p4 = (
+        ranked.filter(F.col("rk") <= FLT_OVERFETCH * TOP_K)
+        .join(F.broadcast(allowed.select("c_id")), "c_id")
+        .withColumn("rk2", F.row_number().over(w))
+        .filter(F.col("rk2") <= TOP_K)
+        .select("q_id", "c_id")
+    )
+    n_true = truth.count()
+    legs = []
+    for name, approx in (
+        ("prefilter", pre),
+        ("postfilter_of1", p1),
+        (f"postfilter_of{FLT_OVERFETCH}", p4),
+    ):
+        j = approx.join(
+            truth.withColumn("hit", F.lit(1)), ["q_id", "c_id"], "left"
+        )
+        hit = F.coalesce(F.col("hit"), F.lit(0))
+        legs.append(
+            j.agg(
+                F.lit(name).alias("variant"),
+                F.lit(n_true).cast("long").alias("n_true"),
+                F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("n_hit"),
+                F.round(
+                    F.coalesce(F.sum(hit), F.lit(0)) * 1.0 / F.lit(n_true), 4
+                ).alias("recall"),
+                F.count("c_id").cast("long").alias("n_results"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out

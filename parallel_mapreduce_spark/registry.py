@@ -114,6 +114,8 @@ DRIVER_PRIORITY: list[str] = [
     "sorted_neighborhood_multipass_pairs",
     "sorted_neighborhood_multipass_recall",
     "knn_graph_incremental_recall",
+    "ann_filtered_topk",
+    "ann_filtered_recall_at_k",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -302,6 +302,14 @@ HEADLINE_EXCHANGE_CEILING = {
     # by construction. The pin still catches a refactor that turns the
     # result into a lazy corpus-scale plan.
     "kcenter_coreset_select": 0,
+    # round 11: beam search runs eagerly (entry + hops are checkpointed
+    # per round); the returned plan is the final top-k window over the
+    # visited-set checkpoint scan — measured 1.
+    "ann_graph_search_topk": 2,
+    # round 11: the shared IVF scored-candidate plan (centroid build +
+    # assignment + probes) + the broadcast predicate semi-join + the
+    # ranking window — measured 21; persisted/cache-state slack.
+    "ann_filtered_topk": 30,
 }
 
 

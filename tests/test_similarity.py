@@ -315,3 +315,38 @@ def test_multiprobe_beats_single_probe_at_equal_storage(spark, sf_dir):
     assert (rec["n_hit"] <= rec["k_exact"]).all()
     # multi-probe must find SOMETHING for most queries at one table
     assert (rec["recall"] > 0).sum() >= 7
+
+
+def test_filtered_search_prefilter_dominates(spark, sf_dir):
+    """Structural pins for the round-11 filtered-search family: every
+    result satisfies the predicate, prefilter always returns a full k,
+    postfilter at overfetch 1 starves, and prefilter recall dominates
+    both postfilter variants (it ranks over exactly the eligible set)."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        FLT_OVERFETCH,
+        FLT_SOURCES,
+        N_QUERY_VECS,
+        TOP_K,
+        ann_filtered_recall_at_k,
+        ann_filtered_topk,
+    )
+
+    topk = ann_filtered_topk(spark, sf_dir).toPandas()
+    assert set(topk["source"].unique()) <= set(FLT_SOURCES)
+    assert (topk.groupby("q_id").size() <= TOP_K).all()
+    assert topk["q_id"].nunique() == N_QUERY_VECS
+
+    rec = (
+        ann_filtered_recall_at_k(spark, sf_dir)
+        .toPandas()
+        .set_index("variant")
+    )
+    pre = rec.loc["prefilter"]
+    p1 = rec.loc["postfilter_of1"]
+    p4 = rec.loc[f"postfilter_of{FLT_OVERFETCH}"]
+    assert pre["n_results"] == N_QUERY_VECS * TOP_K, (
+        "prefilter must always fill k (eligible candidates exist in the "
+        "probed cells at every test SF)"
+    )
+    assert p1["n_results"] < pre["n_results"], "of1 starvation not visible"
+    assert pre["recall"] >= p4["recall"] >= p1["recall"]
