@@ -4703,14 +4703,27 @@ GS_FLOOR = 0.7  # pinned mean recall@KNN_K floor vs brute truth — the
                 # which is the whole point of serving from a graph.
 
 
-def _gs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _gs_visited(
+    spark: SparkSession,
+    sf_dir: str,
+    beam: int | None = None,
+    vecs: DataFrame | None = None,
+    graph: DataFrame | None = None,
+) -> DataFrame:
     """(node, nbr, cos6): every (query, candidate) pair the beam search
-    scored, after GS_ROUNDS hops — the frame both outputs cut from."""
+    scored, after GS_ROUNDS hops — the frame both outputs cut from.
+    ``beam``/``vecs``/``graph`` default to the committed serving config
+    over a fresh build; the beam-curve and pruned-graph exhibits pass a
+    shared build and alternative adjacencies."""
     from parallel_mapreduce_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
-    vecs = _knn_vecs(spark, sf_dir)
-    graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    if beam is None:
+        beam = GS_BEAM
+    if vecs is None:
+        vecs = _knn_vecs(spark, sf_dir)
+    if graph is None:
+        graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     und = bounded_persist(
         graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
@@ -4739,9 +4752,9 @@ def _gs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     visited = _knn_score(entry, vecs).checkpoint(eager=True)
     for _ in range(GS_ROUNDS):
-        beam = _knn_topk(visited, k=GS_BEAM)
+        front = _knn_topk(visited, k=beam)
         expand = (
-            beam.select("node", F.col("nbr").alias("a"))
+            front.select("node", F.col("nbr").alias("a"))
             .join(und, "a")
             .where(F.col("b") != F.col("node"))
             .select("node", F.col("b").alias("nbr"))
@@ -4762,50 +4775,59 @@ def _gs_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited
 
 
-def _gs_oracle_ctes() -> str:
+def _gs_oracle_ctes(
+    beam: int = None, tag: str = "gs", edges: str = None
+) -> str:
     """Appended after _knn_oracle_ctes(): unrolled entry + GS_ROUNDS beam
-    hops. gsv{t} is the visited set after hop t (set-UNION dedup)."""
+    hops. {tag}v{t} is the visited set after hop t (set-UNION dedup).
+    ``edges`` overrides the adjacency source (default: the final
+    NN-Descent round b{KNN_ITERS}); ``tag`` namespaces the CTEs so one
+    oracle can carry several traversals."""
+    if beam is None:
+        beam = GS_BEAM
+    if edges is None:
+        edges = f"b{KNN_ITERS}"
     ctes = f""",
-    gsund AS MATERIALIZED (
-      SELECT node AS a, nbr AS b FROM b{KNN_ITERS}
+    {tag}und AS MATERIALIZED (
+      SELECT node AS a, nbr AS b FROM {edges}
       UNION
-      SELECT nbr AS a, node AS b FROM b{KNN_ITERS}
+      SELECT nbr AS a, node AS b FROM {edges}
     ),
-    gse0 AS (
+    {tag}e0 AS (
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM knnlshb q
       JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
       WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id <> q.vec_id
     ),
-    gsv0 AS MATERIALIZED (
-      SELECT gse0.node, gse0.nbr,
+    {tag}v0 AS MATERIALIZED (
+      SELECT {tag}e0.node, {tag}e0.nbr,
              ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos6
-      FROM gse0 JOIN knnv a ON a.vec_id = gse0.node
-                JOIN knnv c ON c.vec_id = gse0.nbr
+      FROM {tag}e0 JOIN knnv a ON a.vec_id = {tag}e0.node
+                JOIN knnv c ON c.vec_id = {tag}e0.nbr
     )"""
     for t in range(1, GS_ROUNDS + 1):
         p = t - 1
         ctes += f""",
-    gsbeam{t} AS (
+    {tag}beam{t} AS (
       SELECT node, nbr FROM (
         SELECT node, nbr,
                ROW_NUMBER() OVER (PARTITION BY node
                                   ORDER BY cos6 DESC, nbr) AS rk
-        FROM gsv{p}
-      ) WHERE rk <= {GS_BEAM}
+        FROM {tag}v{p}
+      ) WHERE rk <= {beam}
     ),
-    gscand{t} AS (
+    {tag}cand{t} AS (
       SELECT DISTINCT gb.node, u.b AS nbr
-      FROM gsbeam{t} gb JOIN gsund u ON gb.nbr = u.a
+      FROM {tag}beam{t} gb JOIN {tag}und u ON gb.nbr = u.a
       WHERE u.b <> gb.node
     ),
-    gsv{t} AS MATERIALIZED (
-      SELECT node, nbr, cos6 FROM gsv{p}
+    {tag}v{t} AS MATERIALIZED (
+      SELECT node, nbr, cos6 FROM {tag}v{p}
       UNION
-      SELECT gscand{t}.node, gscand{t}.nbr,
+      SELECT {tag}cand{t}.node, {tag}cand{t}.nbr,
              ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos6
-      FROM gscand{t} JOIN knnv a ON a.vec_id = gscand{t}.node
-                     JOIN knnv c ON c.vec_id = gscand{t}.nbr
+      FROM {tag}cand{t} JOIN knnv a ON a.vec_id = {tag}cand{t}.node
+                     JOIN knnv c ON c.vec_id = {tag}cand{t}.nbr
     )"""
     return ctes
 
@@ -4928,6 +4950,275 @@ def ann_graph_search_recall_at_k(
             "beats_floor",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Beam-budget recall curve (round 11) — the serving-tuning table for the
+# graph index, the graph twin of ann_pq_shortlist_recall_curve's
+# overfetch lever: recall@KNN_K and total scored candidates at beam
+# widths 6/12/24/48, all four traversals over ONE shared graph build.
+# This is the committed form of the measurement that picked GS_BEAM=24
+# (beam = HNSW's ef: width buys the diversity extra hops can't).
+# --------------------------------------------------------------------------
+GS_BEAM_CURVE = (6, 12, 24, 48)
+
+
+def _gs_curve_oracle() -> str:
+    chains = "".join(
+        _gs_oracle_ctes(beam=b, tag=f"gb{b}") for b in GS_BEAM_CURVE
+    )
+    legs = []
+    for b in GS_BEAM_CURVE:
+        legs.append(
+            f"""SELECT CAST({b} AS BIGINT) AS beam,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gb{b}v{GS_ROUNDS})
+             AS n_scored
+    FROM (
+      SELECT CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM gstruth t
+      LEFT JOIN (
+        SELECT node, nbr FROM (
+          SELECT node, nbr,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY cos6 DESC, nbr) AS rk
+          FROM gb{b}v{GS_ROUNDS}
+        ) WHERE rk <= {KNN_K}
+      ) a ON t.node = a.node AND t.nbr = a.nbr
+    )"""
+        )
+    return f"""
+    WITH {_knn_oracle_ctes()}{chains},
+    gstruth AS ({_KNN_TRUTH_SQL})
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("ann_graph_search_beam_curve", oracle=_gs_curve_oracle())
+def ann_graph_search_beam_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(beam, n_true, n_hit, recall, n_scored): the graph index's
+    quality/budget frontier — what a serving tier reads to pick its ef.
+    One graph build feeds all four traversals."""
+    vecs = _knn_vecs(spark, sf_dir)
+    graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    truth = bounded_persist(_knn_truth(spark, sf_dir, vecs))
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    legs = []
+    for b in GS_BEAM_CURVE:
+        visited = _gs_visited(spark, sf_dir, beam=b, vecs=vecs, graph=graph)
+        approx = (
+            visited.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= KNN_K)
+            .select("node", "nbr")
+            .withColumn("hit", F.lit(1))
+        )
+        ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
+        j = truth.join(approx, ["node", "nbr"], "left")
+        hit = F.coalesce(F.col("hit"), F.lit(0))
+        legs.append(
+            j.agg(
+                F.lit(b).cast("long").alias("beam"),
+                F.count("*").cast("long").alias("n_true"),
+                F.sum(hit).cast("long").alias("n_hit"),
+                F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+            ).crossJoin(F.broadcast(ns))
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
+
+
+# --------------------------------------------------------------------------
+# RNG-rule graph pruning (round 11) — the edge-DIVERSIFICATION step
+# between build and serve (the Vamana/NSG "robust prune" idea in its
+# non-iterative relative-neighborhood form): drop neighbor j from node
+# n's list when some better-ranked neighbor i is closer to j than n is
+# (cos(i, j) > cos(n, j)) — i already routes to j, so the (n, j) edge
+# spends degree on a direction the graph covers. The rule is a pure
+# join predicate over ranked neighbor pairs (no per-node sequential
+# state), so both engines replay it exactly: cost is <= N * K(K-1)/2
+# scored neighbor-neighbor pairs, one bounded pass.
+#
+# ann_graph_search_pruned_recall then serves the SAME beam search over
+# full vs pruned adjacency and commits the trade: edges dropped vs
+# recall kept — the measured case that diversity, not raw degree, is
+# what navigation needs.
+# --------------------------------------------------------------------------
+def _rng_prune_ctes() -> str:
+    """rgadj: the pruned adjacency over b{KNN_ITERS}."""
+    return f""",
+    rgrk AS (
+      SELECT node, nbr, cos6,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cos6 DESC, nbr) AS rk
+      FROM b{KNN_ITERS}
+    ),
+    rgviol AS (
+      SELECT DISTINCT p.node, p.j FROM (
+        SELECT a.node, a.nbr AS i, b.nbr AS j, b.cos6 AS cnj
+        FROM rgrk a JOIN rgrk b ON a.node = b.node AND a.rk < b.rk
+      ) p
+      JOIN knnv x ON x.vec_id = p.i
+      JOIN knnv y ON y.vec_id = p.j
+      WHERE ROUND(list_cosine_similarity(x.e, y.e), 6) > p.cnj
+    ),
+    rgadj AS MATERIALIZED (
+      SELECT r.node, r.nbr, r.cos6
+      FROM rgrk r
+      LEFT JOIN rgviol v ON v.node = r.node AND v.j = r.nbr
+      WHERE v.node IS NULL
+    )"""
+
+
+def _rng_pruned_graph(graph: DataFrame, vecs: DataFrame) -> DataFrame:
+    """(node, nbr, cos6): the RNG-pruned adjacency, engine side."""
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    ranked = graph.withColumn("rk", F.row_number().over(w))
+    a = ranked.select("node", F.col("nbr").alias("i"), F.col("rk").alias("ri"))
+    b = ranked.select(
+        "node",
+        F.col("nbr").alias("j"),
+        F.col("cos6").alias("cnj"),
+        F.col("rk").alias("rj"),
+    )
+    pairs = a.join(b, "node").where(F.col("ri") < F.col("rj"))
+    ij = bounded_persist(
+        _knn_score(
+            pairs.select(
+                F.col("i").alias("node"), F.col("j").alias("nbr")
+            ).dropDuplicates(["node", "nbr"]),
+            vecs,
+        ).select(
+            F.col("node").alias("i"),
+            F.col("nbr").alias("j"),
+            F.col("cos6").alias("cij"),
+        )
+    )
+    viol = (
+        pairs.join(ij, ["i", "j"])
+        .where(F.col("cij") > F.col("cnj"))
+        .select("node", "j")
+        .distinct()
+    )
+    return ranked.join(
+        viol.withColumnRenamed("j", "nbr"), ["node", "nbr"], "left_anti"
+    ).select("node", "nbr", "cos6")
+
+
+@query(
+    "knn_graph_rng_prune",
+    oracle=f"""
+    WITH {_knn_oracle_ctes()}{_rng_prune_ctes()}
+    SELECT node, CAST(rk AS BIGINT) AS rk, nbr, cos6 + 0.0 AS cosine
+    FROM (
+      SELECT node, nbr, cos6,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cos6 DESC, nbr) AS rk
+      FROM rgadj WHERE node < {KNN_EVAL_N}
+    )
+    """,
+)
+def knn_graph_rng_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, rk, nbr, cosine): eval-node slice of the RNG-pruned
+    adjacency — each node's surviving (diverse) neighbor list,
+    re-ranked."""
+    vecs = _knn_vecs(spark, sf_dir)
+    graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    pruned = _rng_pruned_graph(graph, vecs).where(F.col("node") < KNN_EVAL_N)
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    return pruned.select(
+        "node",
+        F.row_number().over(w).cast("long").alias("rk"),
+        "nbr",
+        (F.col("cos6") + F.lit(0.0)).alias("cosine"),
+    )
+
+
+def _gs_pruned_oracle() -> str:
+    legs = []
+    for kind, tag, edges_cte in (
+        ("full", "gpf", f"b{KNN_ITERS}"),
+        ("rng_pruned", "gpp", "rgadj"),
+    ):
+        legs.append(
+            f"""SELECT '{kind}' AS graph_kind,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {edges_cte}) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {tag}v{GS_ROUNDS})
+             AS n_scored
+    FROM (
+      SELECT CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM gstruth t
+      LEFT JOIN (
+        SELECT node, nbr FROM (
+          SELECT node, nbr,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY cos6 DESC, nbr) AS rk
+          FROM {tag}v{GS_ROUNDS}
+        ) WHERE rk <= {KNN_K}
+      ) a ON t.node = a.node AND t.nbr = a.nbr
+    )"""
+        )
+    return f"""
+    WITH {_knn_oracle_ctes()}{_rng_prune_ctes()}{
+        _gs_oracle_ctes(tag="gpf")}{
+        _gs_oracle_ctes(tag="gpp", edges="rgadj")},
+    gstruth AS ({_KNN_TRUTH_SQL})
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("ann_graph_search_pruned_recall", oracle=_gs_pruned_oracle())
+def ann_graph_search_pruned_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(graph_kind, n_edges, n_true, n_hit, recall, n_scored): the same
+    GS_BEAM traversal over the full vs RNG-pruned graph — the committed
+    edges-dropped / recall-kept trade."""
+    vecs = _knn_vecs(spark, sf_dir)
+    graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    truth = bounded_persist(_knn_truth(spark, sf_dir, vecs))
+    pruned = bounded_persist(_rng_pruned_graph(graph, vecs))
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    legs = []
+    for kind, g in (("full", graph), ("rng_pruned", pruned)):
+        visited = _gs_visited(spark, sf_dir, vecs=vecs, graph=g)
+        approx = (
+            visited.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= KNN_K)
+            .select("node", "nbr")
+            .withColumn("hit", F.lit(1))
+        )
+        ne = g.agg(F.count("*").cast("long").alias("n_edges"))
+        ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
+        j = truth.join(approx, ["node", "nbr"], "left")
+        hit = F.coalesce(F.col("hit"), F.lit(0))
+        legs.append(
+            j.agg(
+                F.lit(kind).alias("graph_kind"),
+                F.count("*").cast("long").alias("n_true"),
+                F.sum(hit).cast("long").alias("n_hit"),
+                F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+            )
+            .crossJoin(F.broadcast(ne))
+            .crossJoin(F.broadcast(ns))
+            .select(
+                "graph_kind",
+                "n_edges",
+                "n_true",
+                "n_hit",
+                "recall",
+                "n_scored",
+            )
+        )
+    return legs[0].unionAll(legs[1])
 
 
 # --------------------------------------------------------------------------

@@ -116,6 +116,9 @@ DRIVER_PRIORITY: list[str] = [
     "knn_graph_incremental_recall",
     "ann_filtered_topk",
     "ann_filtered_recall_at_k",
+    "ann_graph_search_beam_curve",
+    "knn_graph_rng_prune",
+    "ann_graph_search_pruned_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -223,3 +223,49 @@ def test_incremental_recall_batch_leg_uplift(spark, sf_dir):
         rec.loc["with_batch_leg", "recall"]
         >= rec.loc["base_only", "recall"]
     )
+
+
+def test_beam_curve_monotone_in_budget(spark, sf_dir):
+    """Wider beams may only add recall (the visited set at beam b is a
+    superset of beam b' < b's under identical entry and hop count), and
+    the scored-candidate budget must grow with the beam."""
+    curve = (
+        S.ann_graph_search_beam_curve(spark, sf_dir)
+        .toPandas()
+        .sort_values("beam")
+        .reset_index(drop=True)
+    )
+    assert curve["beam"].tolist() == list(S.GS_BEAM_CURVE)
+    rec = curve["recall"].tolist()
+    assert rec == sorted(rec), f"recall not monotone in beam: {rec}"
+    ns = curve["n_scored"].tolist()
+    assert ns == sorted(ns), f"budget not monotone in beam: {ns}"
+
+
+def test_rng_prune_drops_edges_keeps_navigability(spark, sf_dir):
+    """The pruned adjacency must be a strict subset of the graph, drop a
+    meaningful fraction of edges, and the same-beam search over it must
+    keep most of the full graph's recall — the diversity argument."""
+    vecs = S._knn_vecs(spark, sf_dir)
+    graph = S._knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    full = graph.toPandas()
+    pruned = S._rng_pruned_graph(graph, vecs).toPandas()
+    fset = set(zip(full["node"], full["nbr"]))
+    pset = set(zip(pruned["node"], pruned["nbr"]))
+    assert pset < fset, "pruned graph must be a strict edge subset"
+    # every node keeps its rank-1 neighbor (never dominated: no i < j)
+    top1 = full.sort_values(["node", "cos6", "nbr"], ascending=[True, False, True]).groupby("node").head(1)
+    assert set(zip(top1["node"], top1["nbr"])) <= pset
+
+    rec = (
+        S.ann_graph_search_pruned_recall(spark, sf_dir)
+        .toPandas()
+        .set_index("graph_kind")
+    )
+    assert rec.loc["rng_pruned", "n_edges"] < rec.loc["full", "n_edges"]
+    assert rec.loc["rng_pruned", "n_scored"] <= rec.loc["full", "n_scored"]
+    # recall kept within 15% of the full graph's despite the edge cut
+    assert (
+        rec.loc["rng_pruned", "recall"]
+        >= rec.loc["full", "recall"] - 0.15
+    )
