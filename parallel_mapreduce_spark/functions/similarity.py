@@ -5457,3 +5457,333 @@ def ann_filtered_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+# --------------------------------------------------------------------------
+# OUT-OF-CORPUS graph serving (round 11) — every other ANN query in this
+# module serves corpus members as queries (the recall-harness shape);
+# production serves vectors the index has NEVER seen. This section
+# closes that asterisk: 10 held-out queries, each a corpus vector
+# (vec_id GS_OOV_BASE..+9) plus an md5-derived per-dimension
+# perturbation in [-0.05, 0.05) — computed IN BOTH ENGINES from the
+# same expression (the _rag_emb md5->int convention), so the queries
+# are deterministic, replayable, and genuinely absent from the index.
+# Serving path: bucket the query with the SAME hyperplanes the index
+# used (query-side state is just p sign bits — nothing about the query
+# was ever indexed), then the standard GS_BEAM beam traversal.
+#
+# The recall row carries src_top1_hits beside recall: a query's source
+# vector should be its rank-1 result under a small perturbation, so the
+# count of queries whose top-1 IS vec GS_OOV_BASE + q_id is a sharp
+# end-to-end serving check the hash pins (10/10 measured at every SF).
+# --------------------------------------------------------------------------
+GS_OOV_N = 10
+GS_OOV_BASE = 100  # perturb corpus vectors 100..109 (disjoint from the
+                   # eval nodes and the IVF seed range)
+
+
+def _gs_oov_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, qe, qn): the held-out query vectors, engine side."""
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").where(
+        (F.col("vec_id") >= GS_OOV_BASE)
+        & (F.col("vec_id") < GS_OOV_BASE + GS_OOV_N)
+    )
+    qid = F.col("vec_id") - GS_OOV_BASE
+
+    def delta(i):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.lit("oov"),
+                            qid.cast("string"),
+                            i.cast("string"),
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        ) / F.lit(1000.0) - F.lit(0.05)
+
+    e = F.transform(as_double(F.col("embedding")), lambda x, i: x + delta(i))
+    return emb.select(
+        qid.alias("node"), e.alias("qe"), l2_norm(e).alias("qn")
+    )
+
+
+_OOV_Q_SQL = f"""knnq AS (
+      SELECT vec_id - {GS_OOV_BASE} AS vec_id,
+             list_transform(range(0, {EMB_DIM}), i ->
+               CAST(embedding[i + 1] AS DOUBLE)
+               + (('0x' || substr(md5('oov:' || (vec_id - {GS_OOV_BASE})
+                                       || ':' || i), 1, 15))::BIGINT
+                  % 100) / 1000.0 - 0.05) AS e
+      FROM embeddings
+      WHERE vec_id >= {GS_OOV_BASE} AND vec_id < {GS_OOV_BASE + GS_OOV_N}
+    )"""
+
+
+def _gs_score_oov(
+    pairs: DataFrame, qvecs: DataFrame, vecs: DataFrame
+) -> DataFrame:
+    """Score (node, nbr) where the node side is a HELD-OUT query: query
+    vectors broadcast (query-batch-sized), candidate side streams with
+    the family's shuffled-hash discipline."""
+    n_parts = max(pairs.sparkSession.sparkContext.defaultParallelism, 8)
+    c = vecs.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    return (
+        pairs.repartition(n_parts, "node", "nbr")
+        .join(F.broadcast(qvecs), "node")
+        .join(c.hint("shuffle_hash"), "nbr")
+        .select(
+            "node",
+            "nbr",
+            F.round(
+                dot(F.col("qe"), F.col("eb")) / (F.col("qn") * F.col("nb")),
+                6,
+            ).alias("cos6"),
+        )
+    )
+
+
+def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, nbr, cos6): the OOV beam search's scored set after
+    GS_ROUNDS hops (node = held-out q_id, disjoint id space)."""
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    vecs = _knn_vecs(spark, sf_dir)
+    graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    und = bounded_persist(
+        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
+        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
+        .repartition(n_parts, "a")
+        .dropDuplicates(["a", "b"])
+    )
+    prow = _knn_prow(vecs)
+    bkts = _knn_buckets(vecs, prow)
+    qvecs = bounded_persist(_gs_oov_queries(spark, sf_dir))
+    qb = _knn_buckets(
+        qvecs.select(F.col("node").alias("vec_id"), F.col("qe").alias("e")),
+        prow,
+    )
+    entry = (
+        qb.select(F.col("vec_id").alias("node"), "tbl", "bucket")
+        .join(
+            _knn_capped_buckets(bkts).select(
+                F.col("vec_id").alias("nbr"), "tbl", "bucket"
+            ),
+            ["tbl", "bucket"],
+        )
+        .select("node", "nbr")
+        .dropDuplicates(["node", "nbr"])
+    )
+    visited = _gs_score_oov(entry, qvecs, vecs).checkpoint(eager=True)
+    for _ in range(GS_ROUNDS):
+        front = _knn_topk(visited, k=GS_BEAM)
+        expand = (
+            front.select("node", F.col("nbr").alias("a"))
+            .join(und, "a")
+            .select("node", F.col("b").alias("nbr"))
+            .dropDuplicates(["node", "nbr"])
+            .join(visited.select("node", "nbr"), ["node", "nbr"], "left_anti")
+        )
+        visited = visited.unionAll(
+            _gs_score_oov(expand, qvecs, vecs)
+        ).checkpoint(eager=True)
+    return visited
+
+
+def _gs_oov_oracle_ctes() -> str:
+    """knnq + query buckets + the unrolled OOV traversal chain (tag
+    go); gov{t} = visited after hop t. No self-exclusion: query ids are
+    a disjoint space and the query's source vector is a legitimate
+    candidate."""
+    ctes = f""",
+    {_OOV_Q_SQL},
+    goqb AS MATERIALIZED (
+{_knn_buckets_cte(src="knnq")}
+    ),
+    gound AS MATERIALIZED (
+      SELECT node AS a, nbr AS b FROM b{KNN_ITERS}
+      UNION
+      SELECT nbr AS a, node AS b FROM b{KNN_ITERS}
+    ),
+    goe0 AS (
+      SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
+      FROM goqb q
+      JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    ),
+    gov0 AS MATERIALIZED (
+      SELECT goe0.node, goe0.nbr,
+             ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos6
+      FROM goe0 JOIN knnq a ON a.vec_id = goe0.node
+                JOIN knnv c ON c.vec_id = goe0.nbr
+    )"""
+    for t in range(1, GS_ROUNDS + 1):
+        p = t - 1
+        ctes += f""",
+    gobeam{t} AS (
+      SELECT node, nbr FROM (
+        SELECT node, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cos6 DESC, nbr) AS rk
+        FROM gov{p}
+      ) WHERE rk <= {GS_BEAM}
+    ),
+    gocand{t} AS (
+      SELECT DISTINCT gb.node, u.b AS nbr
+      FROM gobeam{t} gb JOIN gound u ON gb.nbr = u.a
+    ),
+    gov{t} AS MATERIALIZED (
+      SELECT node, nbr, cos6 FROM gov{p}
+      UNION
+      SELECT gocand{t}.node, gocand{t}.nbr,
+             ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos6
+      FROM gocand{t} JOIN knnq a ON a.vec_id = gocand{t}.node
+                     JOIN knnv c ON c.vec_id = gocand{t}.nbr
+    )"""
+    return ctes
+
+
+@query(
+    "ann_graph_search_oov_topk",
+    oracle=f"""
+    WITH {_knn_oracle_ctes()}{_gs_oov_oracle_ctes()}
+    SELECT node AS q_id, CAST(rk AS BIGINT) AS rk, nbr AS c_id,
+           cos6 + 0.0 AS cosine
+    FROM (
+      SELECT node, nbr, cos6,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cos6 DESC, nbr) AS rk
+      FROM gov{GS_ROUNDS}
+    )
+    WHERE rk <= {KNN_K}
+    """,
+)
+def ann_graph_search_oov_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(q_id, rk, c_id, cosine): graph serving for HELD-OUT queries —
+    vectors the index never saw, entered via their own LSH buckets."""
+    visited = _gs_oov_visited(spark, sf_dir)
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    return (
+        visited.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= KNN_K)
+        .select(
+            F.col("node").alias("q_id"),
+            "rk",
+            F.col("nbr").alias("c_id"),
+            (F.col("cos6") + F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
+@query(
+    "ann_graph_search_oov_recall",
+    oracle=f"""
+    WITH {_knn_oracle_ctes()}{_gs_oov_oracle_ctes()},
+    gotruth AS (
+      SELECT node, nbr FROM (
+        SELECT q.vec_id AS node, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC,
+                          c.vec_id) AS rk
+        FROM knnq q CROSS JOIN knnv c
+      ) WHERE rk <= {KNN_K}
+    ),
+    goapprox AS (
+      SELECT node, nbr, rk FROM (
+        SELECT node, nbr, cos6,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cos6 DESC, nbr) AS rk
+        FROM gov{GS_ROUNDS}
+      ) WHERE rk <= {KNN_K}
+    )
+    SELECT CAST({KNN_K} AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM gov{GS_ROUNDS})
+             AS n_scored,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM goapprox
+            WHERE rk = 1 AND nbr = node + {GS_OOV_BASE})
+             AS src_top1_hits
+    FROM (
+      SELECT CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM gotruth t
+      LEFT JOIN goapprox a ON t.node = a.node AND t.nbr = a.nbr
+    )
+    """,
+)
+def ann_graph_search_oov_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(k, n_true, n_hit, recall, n_scored, src_top1_hits): OOV serving
+    quality vs brute truth, plus the sharp end-to-end check — each
+    query's rank-1 result should be its (perturbed-from) source
+    vector."""
+    vecs = _knn_vecs(spark, sf_dir)
+    qvecs = _gs_oov_queries(spark, sf_dir)
+    visited = _gs_oov_visited(spark, sf_dir)
+    c = vecs.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    wt = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    truth = (
+        c.crossJoin(F.broadcast(qvecs))
+        .select(
+            "node",
+            "nbr",
+            F.round(
+                dot(F.col("qe"), F.col("eb")) / (F.col("qn") * F.col("nb")),
+                6,
+            ).alias("cos6"),
+        )
+        .withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= KNN_K)
+        .select("node", "nbr")
+    )
+    approx = (
+        visited.withColumn("rk", F.row_number().over(wt))
+        .where(F.col("rk") <= KNN_K)
+        .select("node", "nbr", "rk")
+    )
+    approx = bounded_persist(approx)
+    src_hits = approx.where(
+        (F.col("rk") == 1) & (F.col("nbr") == F.col("node") + GS_OOV_BASE)
+    ).agg(F.count("*").cast("long").alias("src_top1_hits"))
+    ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
+    j = truth.join(
+        approx.select("node", "nbr").withColumn("hit", F.lit(1)),
+        ["node", "nbr"],
+        "left",
+    )
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    return (
+        j.agg(
+            F.lit(KNN_K).cast("long").alias("k"),
+            F.count("*").cast("long").alias("n_true"),
+            F.sum(hit).cast("long").alias("n_hit"),
+            F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+        )
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(src_hits))
+        .select("k", "n_true", "n_hit", "recall", "n_scored", "src_top1_hits")
+    )

@@ -119,6 +119,8 @@ DRIVER_PRIORITY: list[str] = [
     "ann_graph_search_beam_curve",
     "knn_graph_rng_prune",
     "ann_graph_search_pruned_recall",
+    "ann_graph_search_oov_topk",
+    "ann_graph_search_oov_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

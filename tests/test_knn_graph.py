@@ -269,3 +269,20 @@ def test_rng_prune_drops_edges_keeps_navigability(spark, sf_dir):
         rec.loc["rng_pruned", "recall"]
         >= rec.loc["full", "recall"] - 0.15
     )
+
+
+def test_oov_serving_finds_sources(spark, sf_dir):
+    """Held-out queries: full k returned per query, the source vector is
+    every query's rank-1 result, and the query vectors are genuinely
+    distinct from their sources (the perturbation is nonzero)."""
+    topk = S.ann_graph_search_oov_topk(spark, sf_dir).toPandas()
+    assert sorted(topk["q_id"].unique()) == list(range(S.GS_OOV_N))
+    assert (topk.groupby("q_id").size() == S.KNN_K).all()
+    top1 = topk[topk["rk"] == 1]
+    assert (top1["c_id"] == top1["q_id"] + S.GS_OOV_BASE).all()
+    # the query is not its source: perturbed cosine to the source < 1
+    assert (top1["cosine"] < 1.0).all()
+
+    rec = S.ann_graph_search_oov_recall(spark, sf_dir).toPandas()
+    assert rec["src_top1_hits"].iloc[0] == S.GS_OOV_N
+    assert rec["recall"].iloc[0] >= 0.8
