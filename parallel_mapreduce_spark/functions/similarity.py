@@ -4709,12 +4709,16 @@ def _gs_visited(
     beam: int | None = None,
     vecs: DataFrame | None = None,
     graph: DataFrame | None = None,
+    cand_allowed: DataFrame | None = None,
 ) -> DataFrame:
     """(node, nbr, cos6): every (query, candidate) pair the beam search
     scored, after GS_ROUNDS hops — the frame both outputs cut from.
     ``beam``/``vecs``/``graph`` default to the committed serving config
     over a fresh build; the beam-curve and pruned-graph exhibits pass a
-    shared build and alternative adjacencies."""
+    shared build and alternative adjacencies. ``cand_allowed`` (a
+    one-column ``vec_id`` frame) restricts ENTRY candidates — the
+    subgraph-only filtered variant; expansion reach is governed by the
+    passed adjacency."""
     from parallel_mapreduce_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
@@ -4750,6 +4754,12 @@ def _gs_visited(
         .repartition(n_parts, "node", "nbr")
         .dropDuplicates(["node", "nbr"])
     )
+    if cand_allowed is not None:
+        entry = entry.join(
+            F.broadcast(cand_allowed.select(F.col("vec_id").alias("nbr"))),
+            "nbr",
+            "left_semi",
+        )
     visited = _knn_score(entry, vecs).checkpoint(eager=True)
     for _ in range(GS_ROUNDS):
         front = _knn_topk(visited, k=beam)
@@ -4776,13 +4786,17 @@ def _gs_visited(
 
 
 def _gs_oracle_ctes(
-    beam: int = None, tag: str = "gs", edges: str = None
+    beam: int = None,
+    tag: str = "gs",
+    edges: str = None,
+    entry_filter: str = "",
 ) -> str:
     """Appended after _knn_oracle_ctes(): unrolled entry + GS_ROUNDS beam
     hops. {tag}v{t} is the visited set after hop t (set-UNION dedup).
     ``edges`` overrides the adjacency source (default: the final
     NN-Descent round b{KNN_ITERS}); ``tag`` namespaces the CTEs so one
-    oracle can carry several traversals."""
+    oracle can carry several traversals; ``entry_filter`` is an extra
+    AND-clause on the entry candidate (c.vec_id)."""
     if beam is None:
         beam = GS_BEAM
     if edges is None:
@@ -4797,7 +4811,7 @@ def _gs_oracle_ctes(
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM knnlshb q
       JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
-      WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id <> q.vec_id{entry_filter}
     ),
     {tag}v0 AS MATERIALIZED (
       SELECT {tag}e0.node, {tag}e0.nbr,
@@ -5787,3 +5801,177 @@ def ann_graph_search_oov_recall(
         .crossJoin(F.broadcast(src_hits))
         .select("k", "n_true", "n_hit", "recall", "n_scored", "src_top1_hits")
     )
+
+
+# --------------------------------------------------------------------------
+# FILTERED graph search (round 11) — the capstone composing the two
+# round-11 families: serve the FLT_SOURCES predicate from the GRAPH
+# index (the ACORN question, Patel et al. 2024: what does a navigating
+# index do with a filter?). Two strategies, both committed:
+#
+# - traverse_all: walk the FULL graph (ineligible nodes remain routing
+#   waypoints), apply the predicate only to the result cut — the
+#   ACORN-style answer; costs the unfiltered traversal budget.
+# - subgraph_only: restrict entry candidates AND edges to the eligible
+#   subgraph — the naive answer; at 20% selectivity the eligible
+#   subgraph keeps only ~selectivity^2 of the edges (both endpoints
+#   must pass), fragmenting the navigable structure.
+#
+# The recall rows price the decision vs exact filtered truth; the
+# committed claim is that routing THROUGH ineligible nodes is what
+# keeps a filtered graph search navigable.
+# --------------------------------------------------------------------------
+def _gs_filtered_oracle() -> str:
+    entry_f = " AND c.vec_id IN (SELECT vec_id FROM gfal)"
+    legs = []
+    for kind, cut in (
+        (
+            "traverse_all",
+            f"""
+      SELECT node, nbr FROM (
+        SELECT v.node, v.nbr,
+               ROW_NUMBER() OVER (PARTITION BY v.node
+                                  ORDER BY v.cos6 DESC, v.nbr) AS rk
+        FROM gfav{GS_ROUNDS} v JOIN gfal ON gfal.vec_id = v.nbr
+      ) WHERE rk <= {KNN_K}""",
+        ),
+        (
+            "subgraph_only",
+            f"""
+      SELECT node, nbr FROM (
+        SELECT node, nbr,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY cos6 DESC, nbr) AS rk
+        FROM gfbv{GS_ROUNDS}
+      ) WHERE rk <= {KNN_K}""",
+        ),
+    ):
+        legs.append(
+            f"""SELECT '{kind}' AS variant,
+           CAST((SELECT COUNT(*) FROM gftruth) AS BIGINT) AS n_true,
+           CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(SUM(hit), 0) * 1.0
+                 / (SELECT COUNT(*) FROM gftruth), 4) AS recall,
+           CAST(COUNT(a.nbr) AS BIGINT) AS n_results
+    FROM (
+      SELECT a.nbr,
+             CASE WHEN t.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM ({cut}) a
+      LEFT JOIN gftruth t ON t.node = a.node AND t.nbr = a.nbr
+    ) a"""
+        )
+    return f"""
+    WITH {_knn_oracle_ctes()},
+    gfal AS (
+      SELECT doc_id AS vec_id FROM documents
+      WHERE source IN ({_FLT_IN})
+    ),
+    gfedges AS MATERIALIZED (
+      SELECT g.node, g.nbr, g.cos6 FROM b{KNN_ITERS} g
+      JOIN gfal x ON x.vec_id = g.node
+      JOIN gfal y ON y.vec_id = g.nbr
+    ){_gs_oracle_ctes(tag="gfa")}{
+        _gs_oracle_ctes(tag="gfb", edges="gfedges", entry_filter=entry_f)},
+    gftruth AS (
+      SELECT node, nbr FROM (
+        SELECT q.vec_id AS node, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC,
+                          c.vec_id) AS rk
+        FROM knnv q
+        JOIN gfal ON gfal.vec_id <> q.vec_id
+        JOIN knnv c ON c.vec_id = gfal.vec_id
+        WHERE q.vec_id < {KNN_EVAL_N}
+      ) WHERE rk <= {KNN_K}
+    )
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("ann_graph_search_filtered_recall", oracle=_gs_filtered_oracle())
+def ann_graph_search_filtered_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(variant, n_true, n_hit, recall, n_results): predicate-filtered
+    graph serving, traverse-the-full-graph vs eligible-subgraph-only,
+    against exact filtered truth — the committed case for routing
+    through ineligible nodes."""
+    register_views(spark, sf_dir)
+    vecs = _knn_vecs(spark, sf_dir)
+    graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    allowed = bounded_persist(
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("source").isin(*FLT_SOURCES))
+        .select(F.col("doc_id").alias("vec_id"))
+    )
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    # exact filtered truth for the eval queries
+    q = vecs.where(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("node"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = vecs.join(allowed, "vec_id", "left_semi").select(
+        F.col("vec_id").alias("nbr"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    truth = bounded_persist(
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("node") != F.col("nbr"))
+        .select(
+            "node",
+            "nbr",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos6"),
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= KNN_K)
+        .select("node", "nbr")
+    )
+    n_true = truth.count()
+    g_f = graph.join(allowed.select(F.col("vec_id").alias("node")), "node", "left_semi").join(
+        allowed.select(F.col("vec_id").alias("nbr")), "nbr", "left_semi"
+    ).select("node", "nbr", "cos6")
+    legs = []
+    for kind, visited, post_filter in (
+        ("traverse_all", _gs_visited(spark, sf_dir, vecs=vecs, graph=graph), True),
+        (
+            "subgraph_only",
+            _gs_visited(
+                spark, sf_dir, vecs=vecs, graph=g_f, cand_allowed=allowed
+            ),
+            False,
+        ),
+    ):
+        cut = visited
+        if post_filter:
+            cut = cut.join(
+                F.broadcast(allowed.select(F.col("vec_id").alias("nbr"))),
+                "nbr",
+                "left_semi",
+            )
+        approx = (
+            cut.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= KNN_K)
+            .select("node", "nbr")
+        )
+        j = approx.join(
+            truth.withColumn("hit", F.lit(1)), ["node", "nbr"], "left"
+        )
+        hit = F.coalesce(F.col("hit"), F.lit(0))
+        legs.append(
+            j.agg(
+                F.lit(kind).alias("variant"),
+                F.lit(n_true).cast("long").alias("n_true"),
+                F.coalesce(F.sum(hit), F.lit(0)).cast("long").alias("n_hit"),
+                F.round(
+                    F.coalesce(F.sum(hit), F.lit(0)) * 1.0 / F.lit(n_true), 4
+                ).alias("recall"),
+                F.count("nbr").cast("long").alias("n_results"),
+            )
+        )
+    return legs[0].unionAll(legs[1])

@@ -121,6 +121,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_graph_search_pruned_recall",
     "ann_graph_search_oov_topk",
     "ann_graph_search_oov_recall",
+    "ann_graph_search_filtered_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -286,3 +286,24 @@ def test_oov_serving_finds_sources(spark, sf_dir):
     rec = S.ann_graph_search_oov_recall(spark, sf_dir).toPandas()
     assert rec["src_top1_hits"].iloc[0] == S.GS_OOV_N
     assert rec["recall"].iloc[0] >= 0.8
+
+
+def test_filtered_graph_search_routes_through_ineligible(spark, sf_dir):
+    """The committed ACORN claim: traversing the full graph and cutting
+    at the end must beat the eligible-subgraph traversal, and every
+    returned candidate must satisfy the predicate in both variants."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        ann_graph_search_filtered_recall,
+    )
+
+    rec = (
+        ann_graph_search_filtered_recall(spark, sf_dir)
+        .toPandas()
+        .set_index("variant")
+    )
+    assert set(rec.index) == {"traverse_all", "subgraph_only"}
+    assert (
+        rec.loc["traverse_all", "recall"]
+        >= rec.loc["subgraph_only", "recall"]
+    )
+    assert rec.loc["traverse_all", "n_hit"] <= rec.loc["traverse_all", "n_true"]
