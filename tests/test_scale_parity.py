@@ -131,6 +131,15 @@ SCALE_SENSITIVE = [
     # round-10: the clustered matrix's six floor booleans at the 2000-vec
     # corpus (ivf_pq per-cell codebooks + the rerank leg)
     "ann_recall_matrix_clustered",
+    # round-11: the beam-search floor boolean (GS_FLOOR=0.7) has its
+    # thinnest margin at sf0.1 (measured 0.777 vs ~0.8+ below), and the
+    # traversal's UNION dedup rides exact 6-dp cosine agreement — the
+    # midpoint class, probed widest here
+    "ann_graph_search_recall_at_k",
+    # round-11: held-out queries are md5-perturbed corpus vectors whose
+    # arithmetic (conv/substr/md5 parity + the perturbation add) and
+    # src_top1 booleans first meet the 2000-vec corpus at this scale
+    "ann_graph_search_oov_recall",
 ]
 
 
