@@ -5975,3 +5975,194 @@ def ann_graph_search_filtered_recall(
             )
         )
     return legs[0].unionAll(legs[1])
+
+
+# --------------------------------------------------------------------------
+# kNN-graph ANALYTICS (round 11) — two reads of the built graph that a
+# pipeline owner wants before trusting it:
+#
+# - HUBNESS (Radovanovic et al. JMLR 2010): in high dimensions some
+#   points appear in MANY kNN lists (hubs) while others appear in none
+#   (antihubs) — a skewed in-degree histogram degrades both search
+#   quality and any graph-derived dedup. The report is the full
+#   in-degree histogram, antihubs included via the corpus left join;
+#   out-degree is K by construction, so in-degree is the whole story.
+#
+# - SEMANTIC DEDUP FROM THE INDEX: edges above the embedding-dedup
+#   cosine threshold ARE near-dup candidate pairs — the serving index
+#   yields dedup candidates at zero extra build cost (the kNN-graph
+#   route to SemDeDup-style semantic dedup). Clusters = connected
+#   components over the thresholded edges (the dedup.py CC machinery,
+#   min-label propagation, recursive-CTE oracle); the recall leg prices
+#   what the K-bounded graph catches of the exact >= threshold pair set
+#   on the bounded slice emb_neardup_pairs already oracles.
+# --------------------------------------------------------------------------
+@query(
+    "knn_graph_hubness_report",
+    oracle=f"""
+    WITH {_knn_oracle_ctes()},
+    indeg AS (
+      SELECT v.vec_id,
+             COALESCE(g.n, 0) AS in_degree
+      FROM knnv v
+      LEFT JOIN (
+        SELECT nbr, CAST(COUNT(*) AS BIGINT) AS n
+        FROM b{KNN_ITERS} GROUP BY nbr
+      ) g ON g.nbr = v.vec_id
+    )
+    SELECT CAST(in_degree AS BIGINT) AS in_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM indeg GROUP BY in_degree
+    """,
+)
+def knn_graph_hubness_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(in_degree, n_nodes): the kNN graph's in-degree histogram —
+    antihubs are the in_degree=0 row, hubs the long tail. Out-degree is
+    K everywhere, so this is the graph's full degree story."""
+    vecs = _knn_vecs(spark, sf_dir)
+    graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    indeg = vecs.select("vec_id").join(
+        graph.groupBy(F.col("nbr").alias("vec_id")).agg(
+            F.count("*").cast("long").alias("in_degree")
+        ),
+        "vec_id",
+        "left",
+    ).select(F.coalesce(F.col("in_degree"), F.lit(0)).alias("in_degree"))
+    return indeg.groupBy("in_degree").agg(
+        F.count("*").cast("long").alias("n_nodes")
+    )
+
+
+@query(
+    "knn_graph_semantic_clusters",
+    # The kNN CTE chain must live in its OWN nested WITH scope inside a
+    # derived table: putting it directly in a WITH RECURSIVE list
+    # changes its results in DuckDB (measured: 6 of 62 thresholded
+    # edges silently vanish at sf0.001 — the RECURSIVE modifier alters
+    # how the windowed/MATERIALIZED chain is evaluated). The nested
+    # scope evaluates the chain under plain WITH semantics and hands
+    # the recursion a clean materialized edge list.
+    oracle=f"""
+    WITH RECURSIVE sedges AS MATERIALIZED (
+      SELECT * FROM (
+        WITH {_knn_oracle_ctes()}
+        SELECT LEAST(node, nbr) AS doc_a, GREATEST(node, nbr) AS doc_b
+        FROM b{KNN_ITERS}
+        WHERE cos6 >= {EMB_DEDUP_THRESHOLD}
+        GROUP BY 1, 2
+      )
+    ),
+    snodes AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_a AS doc_id FROM sedges
+        UNION ALL SELECT doc_b FROM sedges
+      )
+    ),
+    bedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM sedges
+      UNION ALL SELECT doc_b, doc_a FROM sedges
+    ),
+    reach(doc_id, label) AS (
+      SELECT doc_id, doc_id FROM snodes
+      UNION
+      SELECT e.dst, r.label FROM reach r JOIN bedges e ON e.src = r.doc_id
+    )
+    SELECT doc_id, MIN(label) AS cluster_id
+    FROM reach GROUP BY doc_id
+    """,
+)
+def knn_graph_semantic_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components over the graph's
+    >= EMB_DEDUP_THRESHOLD edges — semantic near-dup clusters read
+    straight off the serving index, no extra candidate generation."""
+    from parallel_mapreduce_spark.functions.dedup import (
+        connected_components,
+    )
+
+    graph = _knn_rounds(spark, sf_dir)[-1]
+    pairs = (
+        graph.where(F.col("cos6") >= EMB_DEDUP_THRESHOLD)
+        .select(
+            F.least("node", "nbr").alias("doc_a"),
+            F.greatest("node", "nbr").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return connected_components(pairs)
+
+
+@query(
+    "knn_graph_neardup_recall",
+    oracle=f"""
+    WITH {_knn_oracle_ctes()},
+    exactp AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM knnv a JOIN knnv b
+        ON a.vec_id < b.vec_id AND b.vec_id < {EMB_DEDUP_MAX_ID}
+      WHERE ROUND(list_cosine_similarity(a.e, b.e), 6)
+              >= {EMB_DEDUP_THRESHOLD}
+    ),
+    graphp AS (
+      SELECT LEAST(node, nbr) AS id_a, GREATEST(node, nbr) AS id_b
+      FROM b{KNN_ITERS}
+      WHERE cos6 >= {EMB_DEDUP_THRESHOLD}
+      GROUP BY 1, 2
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_caught,
+           ROUND(SUM(CASE WHEN g.id_a IS NOT NULL THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 4) AS recall
+    FROM exactp
+    LEFT JOIN graphp g ON g.id_a = exactp.id_a AND g.id_b = exactp.id_b
+    """,
+)
+def knn_graph_neardup_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_true, n_caught, recall): how much of the EXACT >= threshold
+    pair set (on the emb_neardup_pairs id slice) the K-bounded graph
+    carries as edges — the committed price of reading dedup candidates
+    off the serving index instead of running a dedicated pair join."""
+    vecs = _knn_vecs(spark, sf_dir)
+    graph = _knn_rounds(spark, sf_dir, vecs=vecs)[-1]
+    # exact leg: bounded slice, a < b, b < MAX_ID — the emb_neardup grain
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = vecs.where(F.col("vec_id") < EMB_DEDUP_MAX_ID).select(
+        F.col("vec_id").alias("id_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    exact = (
+        a.join(F.broadcast(b), F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos6"),
+        )
+        .where(F.col("cos6") >= EMB_DEDUP_THRESHOLD)
+        .select("id_a", "id_b")
+    )
+    gp = (
+        graph.where(F.col("cos6") >= EMB_DEDUP_THRESHOLD)
+        .select(
+            F.least("node", "nbr").alias("id_a"),
+            F.greatest("node", "nbr").alias("id_b"),
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    j = exact.join(gp, ["id_a", "id_b"], "left")
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    return j.agg(
+        F.count("*").cast("long").alias("n_true"),
+        F.sum(hit).cast("long").alias("n_caught"),
+        F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+    )

@@ -122,6 +122,9 @@ DRIVER_PRIORITY: list[str] = [
     "ann_graph_search_oov_topk",
     "ann_graph_search_oov_recall",
     "ann_graph_search_filtered_recall",
+    "knn_graph_hubness_report",
+    "knn_graph_semantic_clusters",
+    "knn_graph_neardup_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -307,3 +307,40 @@ def test_filtered_graph_search_routes_through_ineligible(spark, sf_dir):
         >= rec.loc["subgraph_only", "recall"]
     )
     assert rec.loc["traverse_all", "n_hit"] <= rec.loc["traverse_all", "n_true"]
+
+
+def test_duckdb_recursive_scope_hazard_pinned(sf_dir):
+    """DuckDB regression pin (round 11): placing the kNN oracle chain
+    directly in a WITH RECURSIVE list silently changes its results (6 of
+    62 thresholded edges vanished at sf0.001) — windowed/MATERIALIZED
+    CTEs evaluate differently under the RECURSIVE modifier. The shipped
+    knn_graph_semantic_clusters oracle therefore nests the chain in its
+    own WITH scope inside a derived table; this test asserts the nested
+    scope matches the plain-WITH evaluation, so the workaround's
+    load-bearing assumption is checked on every run."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" '{sf_dir}/embeddings.parquet'"
+    )
+    inner = f"""WITH {S._knn_oracle_ctes()}
+      SELECT LEAST(node, nbr) AS doc_a, GREATEST(node, nbr) AS doc_b
+      FROM b{S.KNN_ITERS}
+      WHERE cos6 >= {S.EMB_DEDUP_THRESHOLD}
+      GROUP BY 1, 2"""
+    plain = sorted(map(tuple, con.sql(inner).fetchall()))
+    nested = sorted(
+        map(
+            tuple,
+            con.sql(
+                "WITH RECURSIVE sedges AS MATERIALIZED ("
+                f"SELECT * FROM ({inner})) SELECT * FROM sedges"
+            ).fetchall(),
+        )
+    )
+    assert plain == nested, (
+        "nested-scope evaluation diverged from plain WITH — the "
+        "semantic-clusters oracle workaround no longer holds"
+    )
