@@ -118,14 +118,12 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Seed at the MINIMUM vec_id rather than assuming id 0 exists — a
     # corpus without vec_id 0 crashed with an opaque TypeError on the
     # unchecked head() (round-11 advice fix; pipeline_diverse_sample
-    # already seeded this way). Identical output on contiguous-id data.
-    # Fast path first: a vec_id == 0 FILTER prunes at the scan, while
-    # the general min-id pick is a corpus TakeOrdered (measured +0.5 s
-    # at sf0.1 when it ran unconditionally) — only pay it when id 0 is
-    # actually absent.
-    seed = vecs.where(F.col("vec_id") == 0).select("vec_id", "e").head()
-    if seed is None:
-        seed = vecs.orderBy("vec_id").select("vec_id", "e").head()
+    # already seeded this way). No vec_id == 0 fast path: it would
+    # mis-seed any corpus where 0 exists but is not the minimum (the
+    # oracle seeds at MIN(vec_id) unconditionally), and the TakeOrdered
+    # over the persisted narrow frame is milliseconds at any corpus
+    # this query's sequential-k design is sane for.
+    seed = vecs.orderBy("vec_id").select("vec_id", "e").head()
     if seed is None:
         raise ValueError("kcenter_coreset_select: empty embedding corpus")
     md = vecs.select("vec_id", "e", _dist6_to(seed["e"]).alias("md"))

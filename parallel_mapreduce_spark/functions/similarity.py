@@ -2620,6 +2620,28 @@ def _recall_frame(exact: DataFrame, approx: DataFrame) -> DataFrame:
     )
 
 
+def _truth_recall_agg(truth: DataFrame, approx: DataFrame, lead=()) -> DataFrame:
+    """One-row (``lead``..., n_true, n_hit, recall) over a TRUTH-DRIVEN
+    membership join: every (node, nbr) truth pair is checked against
+    ``approx``. Truth-driven means the aggregate's COUNT(*) is |truth|
+    (never zero on a non-empty truth set), so the hit sum cannot
+    degenerate to NULL — the shared shape behind every graph-family
+    recall exhibit (a round-11 review found the hand-rolled copies had
+    already drifted on exactly that guard)."""
+    j = truth.join(
+        approx.select("node", "nbr").withColumn("hit", F.lit(1)),
+        ["node", "nbr"],
+        "left",
+    )
+    hit = F.coalesce(F.col("hit"), F.lit(0))
+    return j.agg(
+        *lead,
+        F.count("*").cast("long").alias("n_true"),
+        F.sum(hit).cast("long").alias("n_hit"),
+        F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+    )
+
+
 @query(
     "ann_sq_recall_at_k",
     oracle=_recall_oracle(
@@ -4315,18 +4337,9 @@ def knn_graph_incremental_recall(
         nb = l1.where(
             F.col("nbr") % KNN_BATCH_MOD == KNN_BATCH_RES
         ).agg(F.count("*").cast("long").alias("n_batch_nbrs"))
-        j = truth.join(
-            l1.select("node", "nbr").withColumn("hit", F.lit(1)),
-            ["node", "nbr"],
-            "left",
-        )
-        hit = F.coalesce(F.col("hit"), F.lit(0))
         legs.append(
-            j.agg(
-                F.lit(variant).alias("variant"),
-                F.count("*").cast("long").alias("n_true"),
-                F.sum(hit).cast("long").alias("n_hit"),
-                F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+            _truth_recall_agg(
+                truth, l1, lead=(F.lit(variant).alias("variant"),)
             ).crossJoin(F.broadcast(nb))
         )
     return legs[0].unionAll(legs[1])
@@ -4671,10 +4684,14 @@ def ann_multiprobe_recall_at_k(
 # adjacency lookup; traversal is what reaches the query's neighborhood.
 #
 # Everything is a bounded join: entry <= tables * bucket-cap rows/query,
-# each hop <= GS_BEAM * 2*KNN_K rows/query (degree-bounded by the graph),
-# so the frontier never exceeds Q * GS_BEAM * 2*KNN_K per round and total
-# scored candidates per query stay within a small multiple of the
-# 4-table LSH leg's budget. At 100 TB the graph and buckets are
+# each hop <= GS_BEAM * max-undirected-degree rows/query. Undirected
+# degree is K out-edges PLUS the node's in-degree — K + 2K in
+# expectation, but hub-skewed in the in-degree tail (exactly what
+# knn_graph_hubness_report measures), so the per-hop bound is
+# data-dependent, not the structural 2K a first draft claimed. The
+# frontier stays Q * GS_BEAM * max-degree per round and total scored
+# candidates per query stay within a small multiple of the 4-table LSH
+# leg's budget on any corpus whose hubness is sane. At 100 TB the graph and buckets are
 # corpus-scale distributed state; the per-round work is query-batch x
 # bounded fan-out — the serving shape a production tier wants (batch the
 # query stream, one wave of joins per hop).
@@ -4716,9 +4733,12 @@ def _gs_visited(
     ``beam``/``vecs``/``graph`` default to the committed serving config
     over a fresh build; the beam-curve and pruned-graph exhibits pass a
     shared build and alternative adjacencies. ``cand_allowed`` (a
-    one-column ``vec_id`` frame) restricts ENTRY candidates — the
-    subgraph-only filtered variant; expansion reach is governed by the
-    passed adjacency."""
+    one-column ``vec_id`` frame) restricts ENTRY candidates BEFORE the
+    per-bucket cap (filter-then-cap, the within-batch ingest leg's
+    discipline — capping first and filtering after starves buckets
+    whose cap survivors happen to be ineligible and would handicap the
+    subgraph-only baseline); expansion reach is governed by the passed
+    adjacency."""
     from parallel_mapreduce_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
@@ -4740,11 +4760,16 @@ def _gs_visited(
     # candidate side capped exactly like the build's seed join.
     prow = _knn_prow(vecs)
     bkts = _knn_buckets(vecs, prow)
+    cand_src = bkts
+    if cand_allowed is not None:
+        cand_src = bkts.join(
+            F.broadcast(cand_allowed.select("vec_id")), "vec_id", "left_semi"
+        )
     entry = (
         bkts.where(F.col("vec_id") < KNN_EVAL_N)
         .select(F.col("vec_id").alias("node"), "tbl", "bucket")
         .join(
-            _knn_capped_buckets(bkts).select(
+            _knn_capped_buckets(cand_src).select(
                 F.col("vec_id").alias("nbr"), "tbl", "bucket"
             ),
             ["tbl", "bucket"],
@@ -4754,34 +4779,43 @@ def _gs_visited(
         .repartition(n_parts, "node", "nbr")
         .dropDuplicates(["node", "nbr"])
     )
-    if cand_allowed is not None:
-        entry = entry.join(
-            F.broadcast(cand_allowed.select(F.col("vec_id").alias("nbr"))),
-            "nbr",
-            "left_semi",
-        )
-    visited = _knn_score(entry, vecs).checkpoint(eager=True)
+    return _gs_traverse(
+        _knn_score(entry, vecs), und, lambda p: _knn_score(p, vecs), beam
+    )
+
+
+def _gs_traverse(
+    entry_scored: DataFrame,
+    und: DataFrame,
+    score,
+    beam: int,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """The shared beam loop every traversal exhibit runs: keep-best
+    top-``beam`` frontier, one-hop expand through ``und``, score only
+    NEW pairs (the anti-join; the oracle instead rescores and
+    set-UNIONs — equivalent because cos6 is a pure function of the
+    pair), checkpoint per hop (round t references round t-1 three times
+    — the _knn_rounds 5^t lineage lesson at 3^t; the visited frame is
+    query-bounded, so the write is tiny). ``exclude_self`` drops
+    b == node expansions; OOV queries keep them because their id space
+    is disjoint from the corpus's and a numeric collision is not a
+    self-pair."""
+    spark = entry_scored.sparkSession
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    visited = entry_scored.checkpoint(eager=True)
     for _ in range(GS_ROUNDS):
         front = _knn_topk(visited, k=beam)
+        expand = front.select("node", F.col("nbr").alias("a")).join(und, "a")
+        if exclude_self:
+            expand = expand.where(F.col("b") != F.col("node"))
         expand = (
-            front.select("node", F.col("nbr").alias("a"))
-            .join(und, "a")
-            .where(F.col("b") != F.col("node"))
-            .select("node", F.col("b").alias("nbr"))
+            expand.select("node", F.col("b").alias("nbr"))
             .repartition(n_parts, "node", "nbr")
             .dropDuplicates(["node", "nbr"])
-            # score each pair ONCE: pairs already visited are dropped
-            # here; the oracle instead rescores and set-UNIONs, which is
-            # equivalent because cos6 is a pure function of the pair.
             .join(visited.select("node", "nbr"), ["node", "nbr"], "left_anti")
         )
-        # Checkpoint per hop: round t references round t-1 three times
-        # (beam cut, anti-join, union), the _knn_rounds 5^t lineage
-        # lesson at 3^t. The visited frame is query-bounded (<= Q x
-        # budget rows), so the checkpoint write is tiny.
-        visited = visited.unionAll(_knn_score(expand, vecs)).checkpoint(
-            eager=True
-        )
+        visited = visited.unionAll(score(expand)).checkpoint(eager=True)
     return visited
 
 
@@ -4789,14 +4823,15 @@ def _gs_oracle_ctes(
     beam: int = None,
     tag: str = "gs",
     edges: str = None,
-    entry_filter: str = "",
+    cand: str = "knnlshc",
 ) -> str:
     """Appended after _knn_oracle_ctes(): unrolled entry + GS_ROUNDS beam
     hops. {tag}v{t} is the visited set after hop t (set-UNION dedup).
     ``edges`` overrides the adjacency source (default: the final
     NN-Descent round b{KNN_ITERS}); ``tag`` namespaces the CTEs so one
-    oracle can carry several traversals; ``entry_filter`` is an extra
-    AND-clause on the entry candidate (c.vec_id)."""
+    oracle can carry several traversals; ``cand`` overrides the capped
+    entry-candidate bucket CTE (a restricted variant must filter BEFORE
+    its cap — the engine's filter-then-cap discipline)."""
     if beam is None:
         beam = GS_BEAM
     if edges is None:
@@ -4810,8 +4845,8 @@ def _gs_oracle_ctes(
     {tag}e0 AS (
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM knnlshb q
-      JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
-      WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id <> q.vec_id{entry_filter}
+      JOIN {cand} c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id <> q.vec_id
     ),
     {tag}v0 AS MATERIALIZED (
       SELECT {tag}e0.node, {tag}e0.nbr,
@@ -4927,31 +4962,13 @@ def ann_graph_search_recall_at_k(
         visited.withColumn("rk", F.row_number().over(w))
         .where(F.col("rk") <= KNN_K)
         .select("node", "nbr")
-        .withColumn("hit", F.lit(1))
     )
     n_scored = visited.agg(
         F.count("*").cast("long").alias("n_scored")
     )
-    j = truth.join(approx, ["node", "nbr"], "left")
     return (
-        j.agg(
-            F.lit(KNN_K).cast("long").alias("k"),
-            F.count("*").cast("long").alias("n_true"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("long")
-            .alias("n_hit"),
-            F.round(
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                * 1.0
-                / F.count("*"),
-                4,
-            ).alias("recall"),
-            (
-                F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-                * 1.0
-                / F.count("*")
-                >= F.lit(float(GS_FLOOR))
-            ).alias("beats_floor"),
+        _truth_recall_agg(
+            truth, approx, lead=(F.lit(KNN_K).cast("long").alias("k"),)
         )
         .crossJoin(F.broadcast(n_scored))
         .select(
@@ -4961,7 +4978,10 @@ def ann_graph_search_recall_at_k(
             "recall",
             "n_scored",
             F.lit(float(GS_FLOOR)).alias("floor_recall"),
-            "beats_floor",
+            (
+                F.col("n_hit") * 1.0 / F.col("n_true")
+                >= F.lit(float(GS_FLOOR))
+            ).alias("beats_floor"),
         )
     )
 
@@ -5028,17 +5048,11 @@ def ann_graph_search_beam_curve(
             visited.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= KNN_K)
             .select("node", "nbr")
-            .withColumn("hit", F.lit(1))
         )
         ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
-        j = truth.join(approx, ["node", "nbr"], "left")
-        hit = F.coalesce(F.col("hit"), F.lit(0))
         legs.append(
-            j.agg(
-                F.lit(b).cast("long").alias("beam"),
-                F.count("*").cast("long").alias("n_true"),
-                F.sum(hit).cast("long").alias("n_hit"),
-                F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+            _truth_recall_agg(
+                truth, approx, lead=(F.lit(b).cast("long").alias("beam"),)
             ).crossJoin(F.broadcast(ns))
         )
     out = legs[0]
@@ -5101,15 +5115,28 @@ def _rng_pruned_graph(graph: DataFrame, vecs: DataFrame) -> DataFrame:
         F.col("rk").alias("rj"),
     )
     pairs = a.join(b, "node").where(F.col("ri") < F.col("rj"))
-    ij = bounded_persist(
+    # Score each UNORDERED neighbor pair once (cosine is symmetric; the
+    # ordered frame would otherwise score both orientations whenever x
+    # ranks above y under one node and below under another — up to 2x
+    # the dominant cost), then serve both orientations from the one
+    # scored frame.
+    half = bounded_persist(
         _knn_score(
             pairs.select(
-                F.col("i").alias("node"), F.col("j").alias("nbr")
+                F.least("i", "j").alias("node"),
+                F.greatest("i", "j").alias("nbr"),
             ).dropDuplicates(["node", "nbr"]),
             vecs,
-        ).select(
-            F.col("node").alias("i"),
-            F.col("nbr").alias("j"),
+        )
+    )
+    ij = half.select(
+        F.col("node").alias("i"),
+        F.col("nbr").alias("j"),
+        F.col("cos6").alias("cij"),
+    ).unionAll(
+        half.select(
+            F.col("nbr").alias("i"),
+            F.col("node").alias("j"),
             F.col("cos6").alias("cij"),
         )
     )
@@ -5208,18 +5235,12 @@ def ann_graph_search_pruned_recall(
             visited.withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") <= KNN_K)
             .select("node", "nbr")
-            .withColumn("hit", F.lit(1))
         )
         ne = g.agg(F.count("*").cast("long").alias("n_edges"))
         ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
-        j = truth.join(approx, ["node", "nbr"], "left")
-        hit = F.coalesce(F.col("hit"), F.lit(0))
         legs.append(
-            j.agg(
-                F.lit(kind).alias("graph_kind"),
-                F.count("*").cast("long").alias("n_true"),
-                F.sum(hit).cast("long").alias("n_hit"),
-                F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+            _truth_recall_agg(
+                truth, approx, lead=(F.lit(kind).alias("graph_kind"),)
             )
             .crossJoin(F.broadcast(ne))
             .crossJoin(F.broadcast(ns))
@@ -5604,20 +5625,13 @@ def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", "nbr")
         .dropDuplicates(["node", "nbr"])
     )
-    visited = _gs_score_oov(entry, qvecs, vecs).checkpoint(eager=True)
-    for _ in range(GS_ROUNDS):
-        front = _knn_topk(visited, k=GS_BEAM)
-        expand = (
-            front.select("node", F.col("nbr").alias("a"))
-            .join(und, "a")
-            .select("node", F.col("b").alias("nbr"))
-            .dropDuplicates(["node", "nbr"])
-            .join(visited.select("node", "nbr"), ["node", "nbr"], "left_anti")
-        )
-        visited = visited.unionAll(
-            _gs_score_oov(expand, qvecs, vecs)
-        ).checkpoint(eager=True)
-    return visited
+    return _gs_traverse(
+        _gs_score_oov(entry, qvecs, vecs),
+        und,
+        lambda p: _gs_score_oov(p, qvecs, vecs),
+        GS_BEAM,
+        exclude_self=False,
+    )
 
 
 def _gs_oov_oracle_ctes() -> str:
@@ -5784,18 +5798,9 @@ def ann_graph_search_oov_recall(
         (F.col("rk") == 1) & (F.col("nbr") == F.col("node") + GS_OOV_BASE)
     ).agg(F.count("*").cast("long").alias("src_top1_hits"))
     ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
-    j = truth.join(
-        approx.select("node", "nbr").withColumn("hit", F.lit(1)),
-        ["node", "nbr"],
-        "left",
-    )
-    hit = F.coalesce(F.col("hit"), F.lit(0))
     return (
-        j.agg(
-            F.lit(KNN_K).cast("long").alias("k"),
-            F.count("*").cast("long").alias("n_true"),
-            F.sum(hit).cast("long").alias("n_hit"),
-            F.round(F.sum(hit) * 1.0 / F.count("*"), 4).alias("recall"),
+        _truth_recall_agg(
+            truth, approx, lead=(F.lit(KNN_K).cast("long").alias("k"),)
         )
         .crossJoin(F.broadcast(ns))
         .crossJoin(F.broadcast(src_hits))
@@ -5822,7 +5827,6 @@ def ann_graph_search_oov_recall(
 # keeps a filtered graph search navigable.
 # --------------------------------------------------------------------------
 def _gs_filtered_oracle() -> str:
-    entry_f = " AND c.vec_id IN (SELECT vec_id FROM gfal)"
     legs = []
     for kind, cut in (
         (
@@ -5870,8 +5874,19 @@ def _gs_filtered_oracle() -> str:
       SELECT g.node, g.nbr, g.cos6 FROM b{KNN_ITERS} g
       JOIN gfal x ON x.vec_id = g.node
       JOIN gfal y ON y.vec_id = g.nbr
+    ),
+    gfblshc AS MATERIALIZED (
+      SELECT vec_id, tbl, bucket FROM (
+        SELECT vec_id, tbl, bucket,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tbl, bucket
+                 ORDER BY (vec_id * {KNN_CAP_MIX}) % {KNN_CAP_MOD}, vec_id
+               ) AS rn
+        FROM knnlshb
+        WHERE vec_id IN (SELECT vec_id FROM gfal)
+      ) WHERE rn <= {KNN_BUCKET_CAP}
     ){_gs_oracle_ctes(tag="gfa")}{
-        _gs_oracle_ctes(tag="gfb", edges="gfedges", entry_filter=entry_f)},
+        _gs_oracle_ctes(tag="gfb", edges="gfedges", cand="gfblshc")},
     gftruth AS (
       SELECT node, nbr FROM (
         SELECT q.vec_id AS node, c.vec_id AS nbr,
