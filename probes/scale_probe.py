@@ -157,6 +157,19 @@ DISJOINT_QUERIES = (
     # growing edge list; expect ~ the minhash_lsh_candidates exponent,
     # rows ~ 1 (memberships per replica).
     "kcore_neardup_graph",
+    # round 11 (first measured in probes/results/probe30_r11.json at
+    # 10x/30x, slopes 0.22-0.62): the graph-serving stack — build
+    # dominates, traversal is query-bounded (fixed eval set => rows 0);
+    # the ingest pair re-probed after the within-batch seed leg (slope
+    # unchanged at 0.49: the leg is batch-bucket-bounded); multipass SN
+    # is pass-linear (3 rank passes, N*(W-1) windows each, rows ~1);
+    # filtered IVF adds only a broadcast predicate semi-join.
+    "ann_graph_search_topk",
+    "ann_graph_search_recall_at_k",
+    "knn_graph_rng_prune",
+    "knn_graph_incremental_recall",
+    "sorted_neighborhood_multipass_pairs",
+    "ann_filtered_topk",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 
