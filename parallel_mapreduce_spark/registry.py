@@ -125,6 +125,11 @@ DRIVER_PRIORITY: list[str] = [
     "knn_graph_hubness_report",
     "knn_graph_semantic_clusters",
     "knn_graph_neardup_recall",
+    # round-12 additions (never rowed): vector-deletion serving
+    # (tombstone waypoints + compaction) and the quantized traversal.
+    "ann_graph_delete_serve",
+    "ann_graph_delete_recall",
+    "ann_graph_search_quantized_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

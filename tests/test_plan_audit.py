@@ -292,11 +292,12 @@ HEADLINE_EXCHANGE_CEILING = {
     # only (earlier rounds are eager reliable checkpoints, executed
     # during fn() and read back as scans): undirected-view dedup +
     # neighbor-of-neighbor self-join + candidate dedup + two
-    # shuffled-hash scoring joins + the keep-best window + the eval
-    # output window, each with an EXPLICIT-N repartition because thin
-    # pair rows lz4-compress below AQE's planning resolution — measured
-    # 21.
-    "knn_graph_nn_descent": 23,
+    # round 12: the query now IS the build->serve split — first touch
+    # runs NN-Descent and writes the index snapshot (the round-10/11
+    # build plan with its explicit-N repartitions executes inside
+    # _knn_index); the RETURNED plan is a parquet scan of the snapshot's
+    # final round + the eval window — measured 1.
+    "knn_graph_nn_descent": 2,
     # Gonzalez runs eagerly (one distributed top-1 job per pick); the
     # returned frame is the assembled 12-row local table — 0 exchanges
     # by construction. The pin still catches a refactor that turns the
