@@ -291,9 +291,9 @@ def kcore_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_prev = n
         else:
             raise RuntimeError(
-                f"kcore_neardup_graph: {k}-core not stable after "
-                f"{KCORE_ROUNDS} peels; raise KCORE_ROUNDS rather than "
-                "returning a non-fixpoint"
+                f"kcore_neardup_graph: {k}-core not stable within "
+                f"{KCORE_ROUNDS} productive peels (+1 detection round); "
+                "raise KCORE_ROUNDS rather than returning a non-fixpoint"
             )
         members = e.select("u").distinct().select(
             F.lit(k).cast("long").alias("k_core"),
