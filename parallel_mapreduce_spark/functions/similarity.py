@@ -3702,8 +3702,13 @@ _KNN_SNAP_VER = 1  # bump whenever _knn_vecs/_knn_buckets/_knn_capped_buckets/
                    # snapshot built by older code.
 
 
-def _knn_snap_dir(sf_dir: str) -> str:
-    """Content-keyed snapshot directory for one (corpus, build config)."""
+def _knn_snap_dir(sf_dir: str, variant: str = "full") -> str:
+    """Content-keyed snapshot directory for one (corpus, build config,
+    variant). Variants are distinct index VERSIONS over the same corpus:
+    'full' = the standard all-vectors build; 'ingest_base' = the
+    incremental-ingest fixture's base index (batch residues excluded
+    from the build; bucket frame covers the FULL corpus at the base
+    index's plane count — the index that exists decides granularity)."""
     root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
         tempfile.gettempdir(), "pmr_spark_knn_index"
     )
@@ -3718,6 +3723,9 @@ def _knn_snap_dir(sf_dir: str) -> str:
         sig.append((os.path.basename(emb), st.st_size, st.st_mtime_ns))
     cfg = (
         _KNN_SNAP_VER,
+        variant,
+        KNN_BATCH_MOD,
+        KNN_BATCH_RES,
         KNN_K,
         KNN_ITERS,
         KNN_PLANES_MIN,
@@ -3736,7 +3744,9 @@ def _knn_snap_dir(sf_dir: str) -> str:
     return os.path.join(root, f"knn_{key}")
 
 
-def _knn_index(spark: SparkSession, sf_dir: str) -> str:
+def _knn_index(
+    spark: SparkSession, sf_dir: str, variant: str = "full"
+) -> str:
     """Ensure the snapshot exists for this corpus; return its directory.
 
     First touch runs the standard build (`_knn_rounds`) and writes
@@ -3745,13 +3755,28 @@ def _knn_index(spark: SparkSession, sf_dir: str) -> str:
     builder (a parallel test worker) either wins the rename or discards
     its identical copy; a partially written directory is never visible
     under the final name."""
-    d = _knn_snap_dir(sf_dir)
+    d = _knn_snap_dir(sf_dir, variant)
     if os.path.isdir(d):
         return d
-    vecs = _knn_vecs(spark, sf_dir)
-    prow = _knn_prow(vecs)
-    buckets = bounded_persist(_knn_buckets(vecs, prow))
-    rounds = _knn_rounds(spark, sf_dir, vecs=vecs, buckets=buckets)
+    if variant == "ingest_base":
+        allv = _knn_vecs(spark, sf_dir)
+        vecs = bounded_persist(
+            allv.where(F.col("vec_id") % KNN_BATCH_MOD != KNN_BATCH_RES)
+        )
+        prow = _knn_prow(vecs)
+        # bucket frame over the FULL corpus at the BASE plane count (the
+        # ingest contract: arrivals bucket with the index that exists);
+        # the build itself seeds from the base-id subset of these rows.
+        buckets = bounded_persist(_knn_buckets(allv, prow))
+        build_buckets = buckets.join(
+            vecs.select("vec_id"), "vec_id", "left_semi"
+        )
+    else:
+        vecs = _knn_vecs(spark, sf_dir)
+        prow = _knn_prow(vecs)
+        buckets = bounded_persist(_knn_buckets(vecs, prow))
+        build_buckets = buckets
+    rounds = _knn_rounds(spark, sf_dir, vecs=vecs, buckets=build_buckets)
     tmp = f"{d}.build-{os.getpid()}"
     prow.write.mode("overwrite").parquet(os.path.join(tmp, "prow"))
     buckets.write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
@@ -4238,21 +4263,22 @@ def _knn_ingest_oracle() -> str:
 
 
 def _knn_ingest_ctx(spark: SparkSession, sf_dir: str) -> dict:
-    """Shared ingest state: full/base vectors, base graph (checkpointed),
-    one bucket frame over the full corpus at the BASE index's plane
-    count, and the symmetrized base adjacency."""
+    """Shared ingest state: full vectors, the base graph and the
+    full-corpus bucket frame at the BASE index's plane count — both read
+    from the 'ingest_base' snapshot variant (round 12: the ingest
+    fixture's base index is a second index VERSION over the same corpus,
+    built once and scanned by both ingest queries instead of rebuilt per
+    query), and the symmetrized base adjacency."""
     from parallel_mapreduce_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
     allv = _knn_vecs(spark, sf_dir)
     is_batch = F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_RES
-    base = bounded_persist(allv.where(~is_batch))
-    bgraph = _knn_rounds(spark, sf_dir, vecs=base)[-1].checkpoint(eager=True)
-    prow = _knn_prow(base)
-    # ONE bucket frame over the full corpus, filtered per side — the
-    # 12-plane bucket expression tree is ~3k literals, and building it
-    # once instead of twice measurably cuts plan-construction time.
-    bkts = bounded_persist(_knn_buckets(allv, prow))
+    d = _knn_index(spark, sf_dir, variant="ingest_base")
+    bgraph = spark.read.parquet(os.path.join(d, f"round{KNN_ITERS}"))
+    bkts = bounded_persist(
+        spark.read.parquet(os.path.join(d, "buckets"))
+    )
     undb = (
         bgraph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
         .union(bgraph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
@@ -6492,6 +6518,166 @@ def ann_graph_delete_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Deletion-fraction curve (round 12) — the COMPACTION-THRESHOLD table,
+# the deletion twin of the beam-budget curve: serve-through-tombstones
+# recall as the deleted fraction grows (nested hash-mixed sets at
+# 10/20/40%), all cuts from ONE shared traversal. A serving tier reads
+# this to decide when routing-through-tombstones has degraded enough to
+# pay for a compaction; the n_results column shows result starvation
+# (queries whose visited survivors run short of K) arriving before
+# recall collapse.
+# --------------------------------------------------------------------------
+GS_DEL_CURVE_PCTS = (10, 20, 40)
+
+
+def _gs_del_mix100_sql() -> str:
+    return f"(vec_id * {KNN_CAP_MIX}) % {KNN_CAP_MOD} % 100"
+
+
+def _gs_del_curve_oracle() -> str:
+    mix = _gs_del_mix100_sql()
+    ctes = ""
+    legs = []
+    for pct in GS_DEL_CURVE_PCTS:
+        ctes += f""",
+    gdcsv{pct} AS (SELECT vec_id FROM knnv WHERE {mix} >= {pct}),
+    gdctruth{pct} AS (
+      SELECT node, nbr FROM (
+        SELECT q.vec_id AS node, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC,
+                          c.vec_id) AS rk
+        FROM knnv q
+        JOIN gdcsv{pct} s ON s.vec_id <> q.vec_id
+        JOIN knnv c ON c.vec_id = s.vec_id
+        WHERE q.vec_id < {KNN_EVAL_N}
+      ) WHERE rk <= {KNN_K}
+    )"""
+        legs.append(
+            f"""SELECT CAST({pct} AS BIGINT) AS frac_pct,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM knnv
+            WHERE {mix} < {pct}) AS n_tombstones,
+           CAST((SELECT COUNT(*) FROM gdctruth{pct}) AS BIGINT) AS n_true,
+           CAST(COALESCE(SUM(hit), 0) AS BIGINT) AS n_hit,
+           ROUND(COALESCE(SUM(hit), 0) * 1.0
+                 / (SELECT COUNT(*) FROM gdctruth{pct}), 4) AS recall,
+           CAST(COUNT(a.nbr) AS BIGINT) AS n_results
+    FROM (
+      SELECT a.nbr,
+             CASE WHEN t.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM (
+        SELECT node, nbr FROM (
+          SELECT v.node, v.nbr,
+                 ROW_NUMBER() OVER (PARTITION BY v.node
+                                    ORDER BY v.cos6 DESC, v.nbr) AS rk
+          FROM gdcv{GS_ROUNDS} v
+          JOIN gdcsv{pct} s ON s.vec_id = v.nbr
+        ) WHERE rk <= {KNN_K}
+      ) a
+      LEFT JOIN gdctruth{pct} t ON t.node = a.node AND t.nbr = a.nbr
+    ) a"""
+        )
+    return f"""
+    WITH {_knn_oracle_ctes()}{_gs_oracle_ctes(tag="gdc")}{ctes}
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("ann_graph_delete_fraction_curve", oracle=_gs_del_curve_oracle())
+def ann_graph_delete_fraction_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(frac_pct, n_tombstones, n_true, n_hit, recall, n_results):
+    tombstone-waypoint serving quality at 10/20/40% deleted (nested
+    hash-mixed sets), every cut from one shared traversal — the table
+    that picks the compaction threshold."""
+    vecs = _knn_vecs(spark, sf_dir)
+    visited = _gs_visited(spark, sf_dir, vecs=vecs)
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    mix100 = (
+        F.pmod(F.col("vec_id") * F.lit(KNN_CAP_MIX), F.lit(KNN_CAP_MOD))
+        % 100
+    )
+    q = vecs.where(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("node"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    # ONE scored eval x corpus pass feeds all three truths (the nested
+    # sets differ only in the survivor filter, applied to the scored
+    # frame before each top-K window) — three cross joins would re-pay
+    # the dominant cosine cost for identical pairs.
+    c_all = vecs.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    scored = bounded_persist(
+        c_all.crossJoin(F.broadcast(q))
+        .where(F.col("node") != F.col("nbr"))
+        .select(
+            "node",
+            "nbr",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("cos6"),
+            (
+                F.pmod(
+                    F.col("nbr") * F.lit(KNN_CAP_MIX), F.lit(KNN_CAP_MOD)
+                )
+                % 100
+            ).alias("m100"),
+        )
+    )
+    legs = []
+    for pct in GS_DEL_CURVE_PCTS:
+        tomb = bounded_persist(
+            vecs.select("vec_id").where(mix100 < pct)
+        )
+        truth = (
+            scored.where(F.col("m100") >= pct)
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= KNN_K)
+            .select("node", "nbr")
+        )
+        approx = bounded_persist(
+            visited.join(
+                F.broadcast(tomb.select(F.col("vec_id").alias("nbr"))),
+                "nbr",
+                "left_anti",
+            )
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= KNN_K)
+            .select("node", "nbr")
+        )
+        nt = tomb.agg(F.count("*").cast("long").alias("n_tombstones"))
+        nr = approx.agg(F.count("*").cast("long").alias("n_results"))
+        legs.append(
+            _truth_recall_agg(
+                truth,
+                approx,
+                lead=(F.lit(pct).cast("long").alias("frac_pct"),),
+            )
+            .crossJoin(F.broadcast(nt))
+            .crossJoin(F.broadcast(nr))
+            .select(
+                "frac_pct",
+                "n_tombstones",
+                "n_true",
+                "n_hit",
+                "recall",
+                "n_results",
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
+
+
+# --------------------------------------------------------------------------
 # QUANTIZED traversal (round 12) — SQ-int8 scoring inside the beam loop
 # with exact rerank of the final shortlist: the memory-bandwidth serving
 # trade every production graph index ships (FAISS/HNSW-SQ shape — hop
@@ -6693,6 +6879,65 @@ def ann_graph_search_quantized_recall(
             ).crossJoin(F.broadcast(ns))
         )
     return legs[0].unionAll(legs[1])
+
+
+# --------------------------------------------------------------------------
+# Index MANIFEST (round 12) — the observability read of the physical
+# snapshot: row counts of every persisted artifact plus the plane count
+# the index was built at, value-checked against a from-scratch oracle
+# rebuild. This is the first thing an operator checks after a build
+# cadence runs (did every artifact land, at the expected sizes?) and a
+# standing proof that the snapshot's contents equal a fresh build.
+# --------------------------------------------------------------------------
+@query(
+    "knn_index_manifest",
+    oracle=f"""
+    WITH {_knn_oracle_ctes()}
+    SELECT 'vectors' AS artifact, CAST(COUNT(*) AS BIGINT) AS n FROM knnv
+    UNION ALL
+    SELECT 'planes', CAST(p AS BIGINT) FROM knnp
+    UNION ALL
+    SELECT 'buckets', CAST(COUNT(*) AS BIGINT) FROM knnlshb
+    {"".join(
+        f'''UNION ALL
+    SELECT 'round{r}', CAST(COUNT(*) AS BIGINT) FROM b{r}
+    ''' for r in range(KNN_ITERS + 1)
+    )}
+    """,
+)
+def knn_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(artifact, n): sizes of the materialized index's parquet
+    artifacts (bucket rows, per-round edge counts) plus the corpus
+    vector count and the adaptive plane count — every value read from
+    the SNAPSHOT while the oracle recomputes it from scratch, so a
+    stale or truncated snapshot fails the value hash."""
+    vecs = _knn_vecs(spark, sf_dir)
+    d = _knn_index(spark, sf_dir)
+    legs = [
+        vecs.agg(
+            F.lit("vectors").alias("artifact"),
+            F.count("*").cast("long").alias("n"),
+        ),
+        spark.read.parquet(os.path.join(d, "prow")).select(
+            F.lit("planes").alias("artifact"),
+            F.col("p").cast("long").alias("n"),
+        ),
+        spark.read.parquet(os.path.join(d, "buckets")).agg(
+            F.lit("buckets").alias("artifact"),
+            F.count("*").cast("long").alias("n"),
+        ),
+    ]
+    for r in range(KNN_ITERS + 1):
+        legs.append(
+            spark.read.parquet(os.path.join(d, f"round{r}")).agg(
+                F.lit(f"round{r}").alias("artifact"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
 
 
 # --------------------------------------------------------------------------

@@ -130,6 +130,8 @@ DRIVER_PRIORITY: list[str] = [
     "ann_graph_delete_serve",
     "ann_graph_delete_recall",
     "ann_graph_search_quantized_recall",
+    "ann_graph_delete_fraction_curve",
+    "knn_index_manifest",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -170,6 +170,17 @@ DISJOINT_QUERIES = (
     "knn_graph_incremental_recall",
     "sorted_neighborhood_multipass_pairs",
     "ann_filtered_topk",
+    # round 12 (first measured in probes/results/probe30_r12.json, which
+    # also splits the one-time snapshot BUILD wall from per-query serving
+    # wall): deletion serving = the standard traversal + a broadcast
+    # anti-join cut (waypoints) or a tombstone-degree-bounded re-home
+    # join + capped re-rank (compacted); quantized serving = the same
+    # traversal with int8 scoring + a 2x-shortlist exact rerank. All
+    # query-bounded after the shared build; rows constant (eval-set
+    # sized).
+    "ann_graph_delete_serve",
+    "ann_graph_delete_recall",
+    "ann_graph_search_quantized_recall",
 )
 NEARDUP_QUERIES = ("neardup_jaccard_pairs", "neardup_jaccard_pairs_capped")
 

@@ -472,3 +472,59 @@ def test_quantized_rerank_tracks_float_recall(spark, sf_dir):
     # must stay within a few points of float steering at the same beam
     assert gap <= 0.1, f"quantized serving lost {gap:.3f} recall vs float"
     assert rec.loc["sq_int8_rerank", "recall"] >= 0.6
+
+
+def test_delete_fraction_curve_monotone(spark, sf_dir):
+    cur = (
+        S.ann_graph_delete_fraction_curve(spark, sf_dir)
+        .toPandas()
+        .sort_values("frac_pct")
+        .reset_index(drop=True)
+    )
+    assert list(cur["frac_pct"]) == list(S.GS_DEL_CURVE_PCTS)
+    # nested tombstone sets => tombstone counts strictly grow
+    assert cur["n_tombstones"].is_monotonic_increasing
+    assert (cur["n_true"] > 0).all()
+    # serving an eval query never returns MORE than k per query
+    assert (cur["n_results"] <= S.KNN_EVAL_N * S.KNN_K).all()
+
+
+def test_index_manifest_matches_snapshot_files(spark, sf_dir):
+    man = (
+        S.knn_index_manifest(spark, sf_dir)
+        .toPandas()
+        .set_index("artifact")["n"]
+    )
+    vecs = S._knn_vecs(spark, sf_dir)
+    assert man["vectors"] == vecs.count()
+    assert man["buckets"] == man["vectors"] * S.N_TABLES
+    for r in range(S.KNN_ITERS + 1):
+        assert man[f"round{r}"] == S._knn_graph_snap(spark, sf_dir, r).count()
+    assert S.KNN_PLANES_MIN <= man["planes"] <= S.KNN_PLANES_MAX
+
+
+def test_ingest_base_snapshot_matches_fresh_base_build(spark, sf_dir):
+    """The 'ingest_base' snapshot variant must equal a from-scratch base
+    build — same determinism contract as the full variant."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    d = S._knn_index(spark, sf_dir, variant="ingest_base")
+    snap = (
+        spark.read.parquet(os.path.join(d, f"round{S.KNN_ITERS}"))
+        .toPandas()
+        .sort_values(["node", "nbr"])
+        .reset_index(drop=True)
+    )
+    allv = S._knn_vecs(spark, sf_dir)
+    base = allv.where(
+        F.col("vec_id") % S.KNN_BATCH_MOD != S.KNN_BATCH_RES
+    )
+    fresh = (
+        S._knn_rounds(spark, sf_dir, vecs=base)[-1]
+        .toPandas()
+        .sort_values(["node", "nbr"])
+        .reset_index(drop=True)
+    )
+    assert snap.equals(fresh), "ingest_base snapshot diverged from rebuild"
