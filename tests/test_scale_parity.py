@@ -140,6 +140,20 @@ SCALE_SENSITIVE = [
     # arithmetic (conv/substr/md5 parity + the perturbation add) and
     # src_top1 booleans first meet the 2000-vec corpus at this scale
     "ann_graph_search_oov_recall",
+    # round-12: deletion serving reads the SNAPSHOT and its recall
+    # values ride the same 6-dp cosine agreement; the 2000-vec corpus
+    # is where survivor-truth margins are thinnest (0.77/0.80 vs
+    # 0.95/0.97 below), and the compacted leg's re-home join first sees
+    # real tombstone-adjacent fan-out here
+    "ann_graph_delete_recall",
+    # round-12: the int8-steered beam's quantized-vs-float tie (0.7800
+    # vs 0.7767) is a knife-edge value at this scale — a quantization
+    # or rescale drift on either engine splits here first
+    "ann_graph_search_quantized_recall",
+    # round-12: snapshot-freshness check over the largest corpus the
+    # suite builds — a stale or truncated snapshot shows up as count
+    # drift here before any serving query notices
+    "knn_index_manifest",
 ]
 
 
