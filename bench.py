@@ -171,9 +171,19 @@ def main() -> None:
                     ("samples_interleaved", interleaved),
                     ("samples_consecutive", consecutive),
                 ):
+                    # prior samples first, run order preserved within
+                    # each provenance (the lists are burst-shape
+                    # diagnostics; only the MIN is a contract)
                     for n, runs in prior.get(sect, {}).items():
                         if n in cur:
-                            cur[n] = sorted(cur[n] + list(runs))
+                            cur[n] = list(runs) + cur[n]
+                # Keep the per-sample load diagnostics the same length
+                # as the merged sample lists (prior loads first — they
+                # are unordered diagnostics, not aligned to the sorted
+                # sample values).
+                for n, loads in prior.get("load_1m_per_sample", {}).items():
+                    if n in per_query_load:
+                        per_query_load[n] = list(loads) + per_query_load[n]
                 merged_prior = True
         except (OSError, ValueError, TypeError):
             pass  # unreadable prior side file: proceed with this run only
