@@ -4200,11 +4200,12 @@ def _knn_ingest_head_ctes() -> str:
     )"""
 
 
-def _knn_ingest_oracle() -> str:
+def _knn_ingest_chain_ctes() -> str:
+    """The ingest computation as CTEs (seed -> l0 -> icand -> l1 ->
+    merged), appended after _knn_ingest_head_ctes(); shared by the
+    ingest oracle and the round-12 refresh-recall oracle."""
     rk = "ROW_NUMBER() OVER (PARTITION BY node ORDER BY cos6 DESC, nbr)"
-    return f"""
-    WITH {_knn_ingest_head_ctes()},
-    seed AS (
+    return f"""seed AS (
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM newlshb q
       JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
@@ -4249,7 +4250,14 @@ def _knn_ingest_oracle() -> str:
         UNION ALL
         SELECT nbr AS node, node AS nbr, cos6 FROM l1
       )
-    )
+    )"""
+
+
+def _knn_ingest_oracle() -> str:
+    rk = "ROW_NUMBER() OVER (PARTITION BY node ORDER BY cos6 DESC, nbr)"
+    return f"""
+    WITH {_knn_ingest_head_ctes()},
+    {_knn_ingest_chain_ctes()}
     SELECT 'new' AS kind, node, CAST(rk AS BIGINT) AS rk, nbr, cos6 + 0.0
              AS cos6
     FROM (SELECT node, nbr, cos6, {rk} AS rk FROM l1)
@@ -4507,6 +4515,144 @@ def knn_graph_incremental_recall(
             _truth_recall_agg(
                 truth, l1, lead=(F.lit(variant).alias("variant"),)
             ).crossJoin(F.broadcast(nb))
+        )
+    return legs[0].unionAll(legs[1])
+
+
+# --------------------------------------------------------------------------
+# Incremental REFRESH vs full rebuild (round 12) — the index-lifecycle
+# capstone: after an ingest, the serving tier has a MERGED index (base
+# lists re-ranked with back-link edges + the arrivals' lists). The
+# production question is whether that incrementally-refreshed index is
+# good enough to publish as the next snapshot version, or whether the
+# cadence must pay a full rebuild. This query commits the answer: eval
+# recall of the merged index vs the from-scratch full-corpus build vs
+# the same brute truth, side by side. The full-rebuild leg reads the
+# 'full' snapshot; the refresh leg composes the ingest machinery over
+# the 'ingest_base' snapshot — so the exhibit also exercises both index
+# versions in one plan.
+#
+# Oracle note: the full-corpus build chain and the base-corpus chain
+# share CTE names (_knn_oracle_ctes is name-fixed) and DuckDB rejects
+# shadowing a sibling CTE name from a nested scope in this position, so
+# the rebuild leg splices a NAMESPACED copy of the chain (every CTE
+# name \b-renamed with an 'fr' prefix) at the top level instead.
+# --------------------------------------------------------------------------
+def _knn_oracle_ctes_ns(prefix: str, where: str = "") -> str:
+    """_knn_oracle_ctes with every CTE name prefixed — lets one oracle
+    carry the build chain over two different corpus filters without
+    name collisions."""
+    import re
+
+    sql = _knn_oracle_ctes(where=where)
+    names = (
+        ["knnlshb", "knnlshc", "knninit", "knnv", "knnn", "knnp"]
+        + [f"b{i}" for i in range(KNN_ITERS + 1)]
+        + [f"u{i}" for i in range(1, KNN_ITERS + 1)]
+        + [f"cand{i}" for i in range(1, KNN_ITERS + 1)]
+    )
+    for name in names:
+        sql = re.sub(rf"\b{name}\b", f"{prefix}{name}", sql)
+    return sql
+
+
+def _knn_refresh_oracle() -> str:
+    rk = "ROW_NUMBER() OVER (PARTITION BY node ORDER BY cos6 DESC, nbr)"
+    legs = []
+    for kind, approx in (
+        ("incremental_refresh", "refreshed"),
+        ("full_rebuild", "fullb"),
+    ):
+        legs.append(
+            f"""SELECT '{kind}' AS variant,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall
+    FROM (
+      SELECT CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM rtruth t
+      LEFT JOIN {approx} a ON t.node = a.node AND t.nbr = a.nbr
+    )"""
+        )
+    return f"""
+    WITH {_knn_ingest_head_ctes()},
+    {_knn_ingest_chain_ctes()},
+    refreshed AS (
+      SELECT node, nbr FROM (
+        SELECT node, nbr, cos6, {rk} AS rk FROM l1
+      ) WHERE rk <= {KNN_K} AND node < {KNN_EVAL_N}
+      UNION ALL
+      SELECT node, nbr FROM merged
+      WHERE rk <= {KNN_K} AND node < {KNN_EVAL_N}
+        AND node % {KNN_BATCH_MOD} <> {KNN_BATCH_RES}
+    ),
+    {_knn_oracle_ctes_ns("fr").lstrip().lstrip(",")},
+    fullb AS MATERIALIZED (
+      SELECT node, nbr FROM frb{KNN_ITERS}
+      WHERE node < {KNN_EVAL_N}
+    ),
+    rtruth AS (
+      SELECT node, nbr FROM (
+        SELECT q.vec_id AS node, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY ROUND(list_cosine_similarity(q.e, c.e), 6) DESC,
+                          c.vec_id) AS rk
+        FROM allv q JOIN allv c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < {KNN_EVAL_N}
+      ) WHERE rk <= {KNN_K}
+    )
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("knn_index_refresh_recall", oracle=_knn_refresh_oracle())
+def knn_index_refresh_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(variant, n_true, n_hit, recall): eval-node recall@KNN_K of the
+    post-ingest MERGED index (base lists re-ranked with back-link edges;
+    batch nodes serve their ingested lists) vs the from-scratch full
+    rebuild, both against brute truth over the full corpus — the number
+    that decides whether an ingest cadence can publish the refreshed
+    snapshot or must pay a rebuild."""
+    ctx = _knn_ingest_ctx(spark, sf_dir)
+    is_batch = ctx["is_batch"]
+    l1 = _knn_ingest_lists(ctx, batch_leg=True)
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    merged = ctx["bgraph"].select("node", "nbr", "cos6").unionAll(
+        l1.select(
+            F.col("nbr").alias("node"), F.col("node").alias("nbr"), "cos6"
+        )
+    )
+    refreshed = (
+        l1.where(F.col("node") < KNN_EVAL_N)
+        .select("node", "nbr")
+        .unionAll(
+            merged.withColumn("rk", F.row_number().over(w))
+            .where(
+                (F.col("rk") <= KNN_K)
+                & (F.col("node") < KNN_EVAL_N)
+                & (F.col("node") % KNN_BATCH_MOD != KNN_BATCH_RES)
+            )
+            .select("node", "nbr")
+        )
+    )
+    rebuilt = (
+        _knn_graph_snap(spark, sf_dir)
+        .where(F.col("node") < KNN_EVAL_N)
+        .select("node", "nbr")
+    )
+    truth = bounded_persist(_knn_truth(spark, sf_dir, ctx["allv"]))
+    legs = []
+    for variant, approx in (
+        ("incremental_refresh", refreshed),
+        ("full_rebuild", rebuilt),
+    ):
+        legs.append(
+            _truth_recall_agg(
+                truth, approx, lead=(F.lit(variant).alias("variant"),)
+            )
         )
     return legs[0].unionAll(legs[1])
 
@@ -6343,6 +6489,7 @@ def _gs_del_oracle_ctes() -> str:
 
 @query(
     "ann_graph_delete_serve",
+    headline=True,
     oracle=f"""
     WITH {_knn_oracle_ctes()}{_gs_del_oracle_ctes()}{
         _gs_oracle_ctes(tag="gda")}

@@ -132,6 +132,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_graph_search_quantized_recall",
     "ann_graph_delete_fraction_curve",
     "knn_index_manifest",
+    "knn_index_refresh_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

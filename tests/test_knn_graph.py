@@ -528,3 +528,21 @@ def test_ingest_base_snapshot_matches_fresh_base_build(spark, sf_dir):
         .reset_index(drop=True)
     )
     assert snap.equals(fresh), "ingest_base snapshot diverged from rebuild"
+
+
+def test_refresh_tracks_rebuild_recall(spark, sf_dir):
+    rec = (
+        S.knn_index_refresh_recall(spark, sf_dir)
+        .toPandas()
+        .set_index("variant")
+    )
+    assert set(rec.index) == {"incremental_refresh", "full_rebuild"}
+    gap = (
+        rec.loc["full_rebuild", "recall"]
+        - rec.loc["incremental_refresh", "recall"]
+    )
+    # measured gap 0.017 (sf0.001) / 0.042 (sf0.01): the batch-bounded
+    # refresh gives up a few points vs a corpus-scale rebuild — the gap
+    # widening past 0.15 means back-link/merge broke, not noise
+    assert gap <= 0.15, f"refresh lost {gap:.3f} recall vs rebuild"
+    assert rec.loc["incremental_refresh", "recall"] >= 0.6
