@@ -311,6 +311,11 @@ HEADLINE_EXCHANGE_CEILING = {
     # assignment + probes) + the broadcast predicate semi-join + the
     # ranking window — measured 21; persisted/cache-state slack.
     "ann_filtered_topk": 30,
+    # round 12: tombstone serving = the traversal's visited-checkpoint
+    # scan + the broadcast tombstone anti-join + the ranking window (the
+    # tombstone frame derivation prints its own small exchanges) —
+    # measured 6.
+    "ann_graph_delete_serve": 8,
 }
 
 
