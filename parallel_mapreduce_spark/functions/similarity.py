@@ -7036,51 +7036,83 @@ def ann_graph_search_quantized_recall(
 # cadence runs (did every artifact land, at the expected sizes?) and a
 # standing proof that the snapshot's contents equal a fresh build.
 # --------------------------------------------------------------------------
-@query(
-    "knn_index_manifest",
-    oracle=f"""
-    WITH {_knn_oracle_ctes()}
-    SELECT 'vectors' AS artifact, CAST(COUNT(*) AS BIGINT) AS n FROM knnv
+def _knn_manifest_oracle() -> str:
+    base_where = f"WHERE vec_id % {KNN_BATCH_MOD} <> {KNN_BATCH_RES}"
+    full_rounds = "".join(
+        f"""UNION ALL
+    SELECT 'full/round{r}', CAST(COUNT(*) AS BIGINT) FROM b{r}
+    """
+        for r in range(KNN_ITERS + 1)
+    )
+    ib_rounds = "".join(
+        f"""UNION ALL
+    SELECT 'ingest_base/round{r}', CAST(COUNT(*) AS BIGINT) FROM ibb{r}
+    """
+        for r in range(KNN_ITERS + 1)
+    )
+    return f"""
+    WITH {_knn_oracle_ctes()},
+    {_knn_oracle_ctes_ns("ib", where=base_where).lstrip().lstrip(",")}
+    SELECT 'full/vectors' AS artifact, CAST(COUNT(*) AS BIGINT) AS n
+    FROM knnv
     UNION ALL
-    SELECT 'planes', CAST(p AS BIGINT) FROM knnp
+    SELECT 'full/planes', CAST(p AS BIGINT) FROM knnp
     UNION ALL
-    SELECT 'buckets', CAST(COUNT(*) AS BIGINT) FROM knnlshb
-    {"".join(
-        f'''UNION ALL
-    SELECT 'round{r}', CAST(COUNT(*) AS BIGINT) FROM b{r}
-    ''' for r in range(KNN_ITERS + 1)
-    )}
-    """,
-)
+    SELECT 'full/buckets', CAST(COUNT(*) AS BIGINT) FROM knnlshb
+    {full_rounds}
+    UNION ALL
+    SELECT 'ingest_base/vectors', CAST(COUNT(*) AS BIGINT) FROM ibknnv
+    UNION ALL
+    SELECT 'ingest_base/planes', CAST(p AS BIGINT) FROM ibknnp
+    UNION ALL
+    -- the variant's bucket frame covers the FULL corpus at the base
+    -- plane count: one row per (vector, table) regardless of p
+    SELECT 'ingest_base/buckets',
+           CAST((SELECT COUNT(*) FROM embeddings) * {N_TABLES} AS BIGINT)
+    {ib_rounds}
+    """
+
+
+@query("knn_index_manifest", oracle=_knn_manifest_oracle())
 def knn_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(artifact, n): sizes of the materialized index's parquet
-    artifacts (bucket rows, per-round edge counts) plus the corpus
-    vector count and the adaptive plane count — every value read from
-    the SNAPSHOT while the oracle recomputes it from scratch, so a
-    stale or truncated snapshot fails the value hash."""
+    """(artifact, n): sizes of BOTH snapshot variants' parquet artifacts
+    (bucket rows, per-round edge counts) plus corpus vector counts and
+    the adaptive plane count each variant was built at — every value
+    read from the SNAPSHOTS while the oracle recomputes them from
+    scratch, so a stale or truncated snapshot of either variant fails
+    the value hash."""
     vecs = _knn_vecs(spark, sf_dir)
-    d = _knn_index(spark, sf_dir)
-    legs = [
-        vecs.agg(
-            F.lit("vectors").alias("artifact"),
-            F.count("*").cast("long").alias("n"),
-        ),
-        spark.read.parquet(os.path.join(d, "prow")).select(
-            F.lit("planes").alias("artifact"),
-            F.col("p").cast("long").alias("n"),
-        ),
-        spark.read.parquet(os.path.join(d, "buckets")).agg(
-            F.lit("buckets").alias("artifact"),
-            F.count("*").cast("long").alias("n"),
-        ),
-    ]
-    for r in range(KNN_ITERS + 1):
+    base_n = vecs.where(
+        F.col("vec_id") % KNN_BATCH_MOD != KNN_BATCH_RES
+    )
+    legs = []
+    for variant, vec_frame in (("full", vecs), ("ingest_base", base_n)):
+        d = _knn_index(spark, sf_dir, variant=variant)
         legs.append(
-            spark.read.parquet(os.path.join(d, f"round{r}")).agg(
-                F.lit(f"round{r}").alias("artifact"),
+            vec_frame.agg(
+                F.lit(f"{variant}/vectors").alias("artifact"),
                 F.count("*").cast("long").alias("n"),
             )
         )
+        legs.append(
+            spark.read.parquet(os.path.join(d, "prow")).select(
+                F.lit(f"{variant}/planes").alias("artifact"),
+                F.col("p").cast("long").alias("n"),
+            )
+        )
+        legs.append(
+            spark.read.parquet(os.path.join(d, "buckets")).agg(
+                F.lit(f"{variant}/buckets").alias("artifact"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
+        for r in range(KNN_ITERS + 1):
+            legs.append(
+                spark.read.parquet(os.path.join(d, f"round{r}")).agg(
+                    F.lit(f"{variant}/round{r}").alias("artifact"),
+                    F.count("*").cast("long").alias("n"),
+                )
+            )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionAll(leg)

@@ -496,11 +496,23 @@ def test_index_manifest_matches_snapshot_files(spark, sf_dir):
         .set_index("artifact")["n"]
     )
     vecs = S._knn_vecs(spark, sf_dir)
-    assert man["vectors"] == vecs.count()
-    assert man["buckets"] == man["vectors"] * S.N_TABLES
+    n_all = vecs.count()
+    assert man["full/vectors"] == n_all
+    assert man["full/buckets"] == n_all * S.N_TABLES
     for r in range(S.KNN_ITERS + 1):
-        assert man[f"round{r}"] == S._knn_graph_snap(spark, sf_dir, r).count()
-    assert S.KNN_PLANES_MIN <= man["planes"] <= S.KNN_PLANES_MAX
+        assert (
+            man[f"full/round{r}"]
+            == S._knn_graph_snap(spark, sf_dir, r).count()
+        )
+    assert S.KNN_PLANES_MIN <= man["full/planes"] <= S.KNN_PLANES_MAX
+    # ingest_base variant: fewer vectors built, FULL corpus bucketed at
+    # the base plane count
+    assert man["ingest_base/vectors"] < n_all
+    assert man["ingest_base/buckets"] == n_all * S.N_TABLES
+    assert (
+        man["ingest_base/round0"]
+        <= man["ingest_base/vectors"] * S.KNN_K
+    )
 
 
 def test_ingest_base_snapshot_matches_fresh_base_build(spark, sf_dir):
