@@ -3697,9 +3697,92 @@ def _knn_rounds(
 # on a cluster: the object store / lakehouse table the serving tier
 # scans), and each query is entry + bounded hops against that state.
 # --------------------------------------------------------------------------
-_KNN_SNAP_VER = 1  # bump whenever _knn_vecs/_knn_buckets/_knn_capped_buckets/
-                   # _knn_rounds semantics change: the key must not serve a
-                   # snapshot built by older code.
+_KNN_SNAP_VER = 2  # manual escape hatch only: since round 13 the content
+                   # key also carries a digest of the build functions'
+                   # SOURCE (_knn_build_digest), so any edit to the build
+                   # code invalidates old snapshots structurally — no human
+                   # has to remember the bump (round-12 advisor finding).
+
+
+def _knn_build_digest() -> str:
+    """sha256 over the SOURCE of every function whose semantics shape the
+    snapshot's bytes. A code edit changes the digest, the digest changes
+    the content key, and a warm tempdir can no longer serve values built
+    by older code — staleness is structural, not convention-enforced."""
+    global _KNN_BUILD_DIGEST
+    if _KNN_BUILD_DIGEST is None:
+        import inspect
+
+        fns = (
+            as_double,
+            l2_norm,
+            dot,
+            lsh_table_buckets,
+            _knn_vecs,
+            _knn_prow,
+            _knn_buckets,
+            _knn_capped_buckets,
+            _knn_score,
+            _knn_topk,
+            _knn_rounds,
+            _knn_index,
+        )
+        src = "\n".join(inspect.getsource(f) for f in fns)
+        _KNN_BUILD_DIGEST = hashlib.sha256(src.encode()).hexdigest()[:16]
+    return _KNN_BUILD_DIGEST
+
+
+_KNN_BUILD_DIGEST: str | None = None
+
+
+def _knn_snap_root() -> str:
+    """Snapshot root. Scoped PER USER by default: a world-shared /tmp
+    path would let another local user pre-create a content-keyed
+    directory and have this engine serve their bytes (round-12 advisor
+    finding) — the uid suffix puts each user's snapshots under their own
+    tempdir namespace."""
+    return os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
+        tempfile.gettempdir(), f"pmr_spark_knn_index_{os.getuid()}"
+    )
+
+
+_KNN_SNAP_KEEP = 24  # LRU bound on snapshot dirs kept under the root
+
+
+def _knn_snap_gc(root: str, keep_dir: str) -> None:
+    """Bound the snapshot root: every config or data change orphans a
+    content-keyed directory forever (two index variants plus the truth
+    snapshot, times every SF touched), so long-lived boxes accumulate
+    dead parquet. Keep the most-recently USED `_KNN_SNAP_KEEP` entries
+    (use = os.utime touch on every serve) plus the one just ensured;
+    also sweep `.build-*` temp dirs older than an hour (a crashed
+    builder's leftovers — live builds finish in minutes)."""
+    import time
+
+    keep = int(os.environ.get("SPARK_GRAFT_INDEX_KEEP", _KNN_SNAP_KEEP))
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    now = time.time()
+    aged = []
+    for name in entries:
+        p = os.path.join(root, name)
+        if not os.path.isdir(p):
+            continue
+        try:
+            mt = os.stat(p).st_mtime
+        except OSError:
+            continue
+        if ".build-" in name:
+            if now - mt > 3600:
+                shutil.rmtree(p, ignore_errors=True)
+            continue
+        if name.startswith(("knn_", "knntruth_")) and p != keep_dir:
+            aged.append((mt, p))
+    aged.sort(reverse=True)
+    for _, p in aged[max(keep - 1, 0):]:
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def _knn_snap_dir(sf_dir: str, variant: str = "full") -> str:
@@ -3709,9 +3792,7 @@ def _knn_snap_dir(sf_dir: str, variant: str = "full") -> str:
     incremental-ingest fixture's base index (batch residues excluded
     from the build; bucket frame covers the FULL corpus at the base
     index's plane count — the index that exists decides granularity)."""
-    root = os.environ.get("SPARK_GRAFT_INDEX_DIR") or os.path.join(
-        tempfile.gettempdir(), "pmr_spark_knn_index"
-    )
+    root = _knn_snap_root()
     emb = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
     sig: list[tuple[str, int, int]] = []
     if os.path.isdir(emb):
@@ -3723,6 +3804,7 @@ def _knn_snap_dir(sf_dir: str, variant: str = "full") -> str:
         sig.append((os.path.basename(emb), st.st_size, st.st_mtime_ns))
     cfg = (
         _KNN_SNAP_VER,
+        _knn_build_digest(),
         variant,
         KNN_BATCH_MOD,
         KNN_BATCH_RES,
@@ -3757,6 +3839,7 @@ def _knn_index(
     under the final name."""
     d = _knn_snap_dir(sf_dir, variant)
     if os.path.isdir(d):
+        _knn_snap_touch(d)
         return d
     if variant == "ingest_base":
         allv = _knn_vecs(spark, sf_dir)
@@ -3771,6 +3854,30 @@ def _knn_index(
         build_buckets = buckets.join(
             vecs.select("vec_id"), "vec_id", "left_semi"
         )
+    elif variant.startswith("sharded"):
+        # Sharded variant (round 13): shard = vec_id % S; the bucket id
+        # becomes the COMPOSITE (bucket * S + shard), which confines
+        # seeding within a shard — and NN-Descent's neighbor-of-neighbor
+        # closure preserves the shard of every edge, so the ONE standard
+        # build pass computes S independent per-shard graphs (the
+        # reference's own execution model: a partitioned KV store with
+        # per-partition reducers, mapreduce.h:35-36, mapreduce.c:259-285).
+        # LSH config (plane count) stays GLOBAL: shards share hash
+        # functions so one query bucketing serves every shard.
+        s_count = int(variant[len("sharded"):])
+        vecs = _knn_vecs(spark, sf_dir)
+        prow = _knn_prow(vecs)
+        buckets = bounded_persist(
+            _knn_buckets(vecs, prow).select(
+                "vec_id",
+                "tbl",
+                (
+                    F.col("bucket") * s_count
+                    + F.pmod(F.col("vec_id"), F.lit(s_count))
+                ).alias("bucket"),
+            )
+        )
+        build_buckets = buckets
     else:
         vecs = _knn_vecs(spark, sf_dir)
         prow = _knn_prow(vecs)
@@ -3778,17 +3885,32 @@ def _knn_index(
         build_buckets = buckets
     rounds = _knn_rounds(spark, sf_dir, vecs=vecs, buckets=build_buckets)
     tmp = f"{d}.build-{os.getpid()}"
-    prow.write.mode("overwrite").parquet(os.path.join(tmp, "prow"))
-    buckets.write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
-    for r, b in enumerate(rounds):
-        b.write.mode("overwrite").parquet(os.path.join(tmp, f"round{r}"))
+    try:
+        prow.write.mode("overwrite").parquet(os.path.join(tmp, "prow"))
+        buckets.write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
+        for r, b in enumerate(rounds):
+            b.write.mode("overwrite").parquet(os.path.join(tmp, f"round{r}"))
+    except BaseException:
+        # A failed build must not leak its partial temp dir into the
+        # snapshot root (round-12 advisor finding).
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
     try:
         os.rename(tmp, d)
     except OSError:
         # Lost the race to a concurrent builder. The build is
         # deterministic, so the winner's copy is identical — keep theirs.
         shutil.rmtree(tmp, ignore_errors=True)
+    _knn_snap_gc(os.path.dirname(d), d)
     return d
+
+
+def _knn_snap_touch(d: str) -> None:
+    """Record use for the GC's LRU ordering; never fail a serve on it."""
+    try:
+        os.utime(d)
+    except OSError:
+        pass
 
 
 def _knn_graph_snap(
@@ -3817,6 +3939,154 @@ def _knn_prow_snap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(os.path.join(_knn_index(spark, sf_dir), "prow"))
 
 
+# --------------------------------------------------------------------------
+# Materialized EVAL-TRUTH snapshot (round 13) — the round-12 verdict's #1:
+# the recall exhibits each re-ran the same brute-force eval x corpus scan
+# (~8 copies per gate pass: full truth, survivor truths, per-fraction
+# truths, filtered truth, the OOV truth). The truth is deterministic per
+# (corpus, eval config) exactly as the graph is, so it gets the same
+# build-once-probe-many split (`main.c:49` builds once, `main.c:56-61`
+# probes many): ONE scored frame per corpus —
+#
+#   eval_scored: (node, nbr, cos6) for EVERY eval-node x corpus pair
+#                (eval nodes = the recall-family union: vec_id < KNN_EVAL_N
+#                plus the ingest-eval batch nodes < KNN_INGEST_EVAL_MAX),
+#   oov_scored:  (node, nbr, cos6) for the held-out OOV queries x corpus
+#
+# written UNCUT (no top-K): every truth variant — full, survivor,
+# per-deletion-fraction, predicate-filtered — is a filter + re-rank over
+# the scan, so the K-cut and any eligibility filter stay query-side and
+# the artifact serves them all. Values are the exact expressions the
+# inline truths computed (same dot/round(…,6)); parquet round-trips
+# float64 exactly, so every driver hash is unchanged.
+# --------------------------------------------------------------------------
+_TRUTH_SNAP_VER = 1
+_TRUTH_DIGEST: str | None = None
+
+
+def _knn_truth_digest() -> str:
+    """Source digest of every function shaping the truth artifact's bytes
+    (same structural-staleness contract as _knn_build_digest)."""
+    global _TRUTH_DIGEST
+    if _TRUTH_DIGEST is None:
+        import inspect
+
+        fns = (
+            as_double,
+            l2_norm,
+            dot,
+            _knn_vecs,
+            _gs_oov_queries,
+            _knn_truth_index,
+        )
+        src = "\n".join(inspect.getsource(f) for f in fns)
+        _TRUTH_DIGEST = hashlib.sha256(src.encode()).hexdigest()[:16]
+    return _TRUTH_DIGEST
+
+
+def _knn_truth_dir(sf_dir: str) -> str:
+    emb = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    sig: list[tuple[str, int, int]] = []
+    if os.path.isdir(emb):
+        for f in sorted(os.listdir(emb)):
+            st = os.stat(os.path.join(emb, f))
+            sig.append((f, st.st_size, st.st_mtime_ns))
+    elif os.path.exists(emb):
+        st = os.stat(emb)
+        sig.append((os.path.basename(emb), st.st_size, st.st_mtime_ns))
+    cfg = (
+        _TRUTH_SNAP_VER,
+        _knn_truth_digest(),
+        KNN_EVAL_N,
+        KNN_BATCH_MOD,
+        KNN_BATCH_RES,
+        KNN_INGEST_EVAL_MAX,
+        GS_OOV_BASE,
+        GS_OOV_N,
+        EMB_DIM,
+    )
+    key = hashlib.sha256(
+        repr((os.path.abspath(sf_dir), tuple(sig), cfg)).encode()
+    ).hexdigest()[:16]
+    return os.path.join(_knn_snap_root(), f"knntruth_{key}")
+
+
+def _knn_truth_index(spark: SparkSession, sf_dir: str) -> str:
+    """Ensure the eval-truth snapshot exists for this corpus; return its
+    directory. Same atomic temp-dir + rename commit protocol as
+    _knn_index (race loser discards its identical copy)."""
+    d = _knn_truth_dir(sf_dir)
+    if os.path.isdir(d):
+        _knn_snap_touch(d)
+        return d
+    vecs = _knn_vecs(spark, sf_dir)
+    eval_pred = (F.col("vec_id") < KNN_EVAL_N) | (
+        (F.col("vec_id") % KNN_BATCH_MOD == KNN_BATCH_RES)
+        & (F.col("vec_id") < KNN_INGEST_EVAL_MAX)
+    )
+    q = vecs.where(eval_pred).select(
+        F.col("vec_id").alias("node"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    c = vecs.select(
+        F.col("vec_id").alias("nbr"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    eval_scored = (
+        c.crossJoin(F.broadcast(q))
+        .where(F.col("node") != F.col("nbr"))
+        .select(
+            "node",
+            "nbr",
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+            ).alias("cos6"),
+        )
+    )
+    qv = _gs_oov_queries(spark, sf_dir)
+    oov_scored = c.crossJoin(F.broadcast(qv)).select(
+        "node",
+        "nbr",
+        F.round(
+            dot(F.col("qe"), F.col("eb")) / (F.col("qn") * F.col("nb")), 6
+        ).alias("cos6"),
+    )
+    tmp = f"{d}.build-{os.getpid()}"
+    try:
+        eval_scored.write.mode("overwrite").parquet(
+            os.path.join(tmp, "eval_scored")
+        )
+        oov_scored.write.mode("overwrite").parquet(
+            os.path.join(tmp, "oov_scored")
+        )
+    except BaseException:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)
+    _knn_snap_gc(os.path.dirname(d), d)
+    return d
+
+
+def _knn_truth_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, nbr, cos6): the UNCUT scored eval x corpus frame from the
+    truth snapshot (built on first touch)."""
+    return spark.read.parquet(
+        os.path.join(_knn_truth_index(spark, sf_dir), "eval_scored")
+    )
+
+
+def _knn_oov_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(node, nbr, cos6): the UNCUT scored OOV-query x corpus frame."""
+    return spark.read.parquet(
+        os.path.join(_knn_truth_index(spark, sf_dir), "oov_scored")
+    )
+
+
 def _knn_buckets_cte(src: str = "knnv") -> str:
     """Seed-LSH bucket rows (vec_id, tbl, bucket) over ``src`` — the same
     plane constants as the engine's
@@ -3836,9 +4106,20 @@ def _knn_buckets_cte(src: str = "knnv") -> str:
       ) knnb12 CROSS JOIN knnp"""
 
 
-def _knn_oracle_ctes(where: str = "") -> str:
+def _knn_oracle_ctes(where: str = "", shard_mod: int | None = None) -> str:
     """Shared CTE chain b0..b{KNN_ITERS}: init + unrolled refinement over
-    the (optionally filtered) corpus."""
+    the (optionally filtered) corpus. ``shard_mod`` = S builds the
+    SHARDED index instead: candidates cap per (tbl, bucket, vec_id % S)
+    and seeding stays within a shard — and because NN-Descent's
+    neighbor-of-neighbor closure preserves the shard of every edge, the
+    refinement CTEs need no change at all: S independent per-shard
+    graphs fall out of the one chain."""
+    shard_part = f", vec_id % {shard_mod}" if shard_mod else ""
+    shard_join = (
+        f" AND q.vec_id % {shard_mod} = c.vec_id % {shard_mod}"
+        if shard_mod
+        else ""
+    )
     ctes = f"""
     knnv AS (
       SELECT vec_id,
@@ -3856,7 +4137,7 @@ def _knn_oracle_ctes(where: str = "") -> str:
       SELECT vec_id, tbl, bucket FROM (
         SELECT vec_id, tbl, bucket,
                ROW_NUMBER() OVER (
-                 PARTITION BY tbl, bucket
+                 PARTITION BY tbl, bucket{shard_part}
                  ORDER BY (vec_id * {KNN_CAP_MIX}) % {KNN_CAP_MOD}, vec_id
                ) AS rn
         FROM knnlshb
@@ -3864,7 +4145,7 @@ def _knn_oracle_ctes(where: str = "") -> str:
     ), knninit AS (
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM knnlshb q
-      JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
+      JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket{shard_join}
       WHERE q.vec_id <> c.vec_id
     ), b0 AS MATERIALIZED (
       SELECT node, nbr, cos6 FROM (
@@ -3947,36 +4228,38 @@ def knn_graph_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _knn_truth(
     spark: SparkSession,
     sf_dir: str,
-    vecs: DataFrame,
     qpred: Column | None = None,
+    nbr_semi: DataFrame | None = None,
+    nbr_anti: DataFrame | None = None,
 ) -> DataFrame:
-    """Brute-force top-K truth for the eval nodes: EVAL_N x N, never N^2.
-    Eval side broadcasts; the corpus streams. ``qpred`` overrides the
-    default eval-node predicate (vec_id < KNN_EVAL_N)."""
+    """Brute-force top-K truth for the eval nodes, served as a filter +
+    re-rank over the materialized truth snapshot (round 13 — the scored
+    eval x corpus frame is written once per corpus, every truth variant
+    cuts from it). ``qpred`` (over ``vec_id``) overrides the default
+    eval-node predicate (vec_id < KNN_EVAL_N); ``nbr_semi``/``nbr_anti``
+    (one-column ``vec_id`` frames) restrict the candidate side BEFORE the
+    top-K cut — the survivor- and predicate-filtered truths' shape."""
     if qpred is None:
         qpred = F.col("vec_id") < KNN_EVAL_N
-    q = vecs.where(qpred).select(
-        F.col("vec_id").alias("node"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
+    s = (
+        _knn_truth_scored(spark, sf_dir)
+        .select(F.col("node").alias("vec_id"), "nbr", "cos6")
+        .where(qpred)
+        .select(F.col("vec_id").alias("node"), "nbr", "cos6")
     )
-    c = vecs.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("node") != F.col("nbr"))
-        .select(
-            "node",
+    if nbr_semi is not None:
+        s = s.join(
+            F.broadcast(nbr_semi.select(F.col("vec_id").alias("nbr"))),
             "nbr",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos6"),
+            "left_semi",
         )
-    )
-    return _knn_topk(scored).select("node", "nbr")
+    if nbr_anti is not None:
+        s = s.join(
+            F.broadcast(nbr_anti.select(F.col("vec_id").alias("nbr"))),
+            "nbr",
+            "left_anti",
+        )
+    return _knn_topk(s).select("node", "nbr")
 
 
 _KNN_TRUTH_SQL = f"""
@@ -4051,8 +4334,7 @@ def knn_graph_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal (final round only) crosses the driver hash, making graph
     convergence an implementation-quality gate like the clustered ANN
     matrix."""
-    vecs = _knn_vecs(spark, sf_dir)
-    truth = bounded_persist(_knn_truth(spark, sf_dir, vecs))
+    truth = bounded_persist(_knn_truth(spark, sf_dir))
     rounds = [
         _knn_graph_snap(spark, sf_dir, r) for r in range(KNN_ITERS + 1)
     ]
@@ -4502,7 +4784,7 @@ def knn_graph_incremental_recall(
     pred = F.col("vec_id") < KNN_INGEST_EVAL_MAX
     truth = bounded_persist(
         _knn_truth(
-            spark, sf_dir, ctx["allv"], qpred=ctx["is_batch"] & pred
+            spark, sf_dir, qpred=ctx["is_batch"] & pred
         )
     )
     legs = []
@@ -4538,13 +4820,15 @@ def knn_graph_incremental_recall(
 # the rebuild leg splices a NAMESPACED copy of the chain (every CTE
 # name \b-renamed with an 'fr' prefix) at the top level instead.
 # --------------------------------------------------------------------------
-def _knn_oracle_ctes_ns(prefix: str, where: str = "") -> str:
+def _knn_oracle_ctes_ns(
+    prefix: str, where: str = "", shard_mod: int | None = None
+) -> str:
     """_knn_oracle_ctes with every CTE name prefixed — lets one oracle
-    carry the build chain over two different corpus filters without
-    name collisions."""
+    carry the build chain over two different corpus filters (or shard
+    configs) without name collisions."""
     import re
 
-    sql = _knn_oracle_ctes(where=where)
+    sql = _knn_oracle_ctes(where=where, shard_mod=shard_mod)
     names = (
         ["knnlshb", "knnlshc", "knninit", "knnv", "knnn", "knnp"]
         + [f"b{i}" for i in range(KNN_ITERS + 1)]
@@ -4617,7 +4901,6 @@ def knn_index_refresh_recall(
     that decides whether an ingest cadence can publish the refreshed
     snapshot or must pay a rebuild."""
     ctx = _knn_ingest_ctx(spark, sf_dir)
-    is_batch = ctx["is_batch"]
     l1 = _knn_ingest_lists(ctx, batch_leg=True)
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
     merged = ctx["bgraph"].select("node", "nbr", "cos6").unionAll(
@@ -4643,7 +4926,7 @@ def knn_index_refresh_recall(
         .where(F.col("node") < KNN_EVAL_N)
         .select("node", "nbr")
     )
-    truth = bounded_persist(_knn_truth(spark, sf_dir, ctx["allv"]))
+    truth = bounded_persist(_knn_truth(spark, sf_dir))
     legs = []
     for variant, approx in (
         ("incremental_refresh", refreshed),
@@ -5116,6 +5399,7 @@ def _gs_traverse(
     score,
     beam: int,
     exclude_self: bool = True,
+    beam_by: Column | None = None,
 ) -> DataFrame:
     """The shared beam loop every traversal exhibit runs: keep-best
     top-``beam`` frontier, one-hop expand through ``und``, score only
@@ -5126,12 +5410,26 @@ def _gs_traverse(
     query-bounded, so the write is tiny). ``exclude_self`` drops
     b == node expansions; OOV queries keep them because their id space
     is disjoint from the corpus's and a numeric collision is not a
-    self-pair."""
+    self-pair. ``beam_by`` adds a partition column to the FRONTIER
+    window — the sharded-serving shape, where each shard runs its own
+    top-``beam`` frontier per query (partition (node, shard-of-nbr))
+    and the cross-shard merge happens only at the final cut."""
     spark = entry_scored.sparkSession
     n_parts = max(spark.sparkContext.defaultParallelism, 8)
     visited = entry_scored.checkpoint(eager=True)
     for _ in range(GS_ROUNDS):
-        front = _knn_topk(visited, k=beam)
+        if beam_by is None:
+            front = _knn_topk(visited, k=beam)
+        else:
+            wb = W.partitionBy(F.col("node"), beam_by).orderBy(
+                F.desc("cos6"), "nbr"
+            )
+            front = (
+                visited.repartition(n_parts, "node")
+                .withColumn("rk", F.row_number().over(wb))
+                .where(F.col("rk") <= beam)
+                .select("node", "nbr", "cos6")
+            )
         expand = front.select("node", F.col("nbr").alias("a")).join(und, "a")
         if exclude_self:
             expand = expand.where(F.col("b") != F.col("node"))
@@ -5156,6 +5454,7 @@ def _gs_oracle_ctes(
     und: str = None,
     vtab: str = "knnv",
     score: str = _GS_COS_SQL,
+    beam_part: str = "node",
 ) -> str:
     """Appended after _knn_oracle_ctes(): unrolled entry + GS_ROUNDS beam
     hops. {tag}v{t} is the visited set after hop t (set-UNION dedup).
@@ -5171,7 +5470,9 @@ def _gs_oracle_ctes(
     pass its name). ``vtab``/``score`` parameterize the vector relation
     and the pair-score expression (over aliases a = node side, c =
     candidate side) — the quantized-serving leg scores with the int8
-    dot, everything else with exact cosine."""
+    dot, everything else with exact cosine. ``beam_part`` extends the
+    frontier window's partition (sharded serving: 'node, nbr % S' = a
+    per-shard beam per query)."""
     if beam is None:
         beam = GS_BEAM
     if edges is None:
@@ -5202,7 +5503,7 @@ def _gs_oracle_ctes(
     {tag}beam{t} AS (
       SELECT node, nbr FROM (
         SELECT node, nbr,
-               ROW_NUMBER() OVER (PARTITION BY node
+               ROW_NUMBER() OVER (PARTITION BY {beam_part}
                                   ORDER BY cos6 DESC, nbr) AS rk
         FROM {tag}v{p}
       ) WHERE rk <= {beam}
@@ -5304,9 +5605,8 @@ def ann_graph_search_recall_at_k(
     eval nodes, with the total scored-candidate count (the search's
     actual budget) crossing the driver hash beside it, and the GS_FLOOR
     quality gate value-checked like the clustered IVF-PQ floor."""
-    vecs = _knn_vecs(spark, sf_dir)
     visited = _gs_visited(spark, sf_dir)
-    truth = _knn_truth(spark, sf_dir, vecs)
+    truth = _knn_truth(spark, sf_dir)
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
     approx = (
         visited.withColumn("rk", F.row_number().over(w))
@@ -5396,7 +5696,7 @@ def ann_graph_search_beam_curve(
     One snapshot scan feeds all four traversals."""
     vecs = _knn_vecs(spark, sf_dir)
     graph = _knn_graph_snap(spark, sf_dir)
-    truth = bounded_persist(_knn_truth(spark, sf_dir, vecs))
+    truth = bounded_persist(_knn_truth(spark, sf_dir))
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
     legs = []
     for b in GS_BEAM_CURVE:
@@ -5582,7 +5882,7 @@ def ann_graph_search_pruned_recall(
     edges-dropped / recall-kept trade."""
     vecs = _knn_vecs(spark, sf_dir)
     graph = _knn_graph_snap(spark, sf_dir)
-    truth = bounded_persist(_knn_truth(spark, sf_dir, vecs))
+    truth = bounded_persist(_knn_truth(spark, sf_dir))
     pruned = bounded_persist(_rng_pruned_graph(graph, vecs))
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
     legs = []
@@ -6122,25 +6422,11 @@ def ann_graph_search_oov_recall(
     quality vs brute truth, plus the sharp end-to-end check — each
     query's rank-1 result should be its (perturbed-from) source
     vector."""
-    vecs = _knn_vecs(spark, sf_dir)
-    qvecs = _gs_oov_queries(spark, sf_dir)
     visited = _gs_oov_visited(spark, sf_dir)
-    c = vecs.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
     wt = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    # OOV truth: re-rank over the materialized oov_scored frame (round 13)
     truth = (
-        c.crossJoin(F.broadcast(qvecs))
-        .select(
-            "node",
-            "nbr",
-            F.round(
-                dot(F.col("qe"), F.col("eb")) / (F.col("qn") * F.col("nb")),
-                6,
-            ).alias("cos6"),
-        )
+        _knn_oov_scored(spark, sf_dir)
         .withColumn("rk", F.row_number().over(wt))
         .where(F.col("rk") <= KNN_K)
         .select("node", "nbr")
@@ -6278,32 +6564,9 @@ def ann_graph_search_filtered_recall(
         .select(F.col("doc_id").alias("vec_id"))
     )
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
-    # exact filtered truth for the eval queries
-    q = vecs.where(F.col("vec_id") < KNN_EVAL_N).select(
-        F.col("vec_id").alias("node"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    c = vecs.join(allowed, "vec_id", "left_semi").select(
-        F.col("vec_id").alias("nbr"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    truth = bounded_persist(
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("node") != F.col("nbr"))
-        .select(
-            "node",
-            "nbr",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("cos6"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= KNN_K)
-        .select("node", "nbr")
-    )
+    # exact filtered truth for the eval queries: an eligibility filter +
+    # re-rank over the materialized truth snapshot (round 13)
+    truth = bounded_persist(_knn_truth(spark, sf_dir, nbr_semi=allowed))
     n_true = truth.count()
     g_f = graph.join(allowed.select(F.col("vec_id").alias("node")), "node", "left_semi").join(
         allowed.select(F.col("vec_id").alias("nbr")), "nbr", "left_semi"
@@ -6591,35 +6854,12 @@ def ann_graph_delete_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold)."""
     vecs = _knn_vecs(spark, sf_dir)
     graph = _knn_graph_snap(spark, sf_dir)
-    tomb, surv = _gs_del_frames(vecs)
+    tomb, _ = _gs_del_frames(vecs)
     tomb = bounded_persist(tomb)
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
-    # exact truth over survivors for the eval queries
-    q = vecs.where(F.col("vec_id") < KNN_EVAL_N).select(
-        F.col("vec_id").alias("node"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    c = vecs.join(F.broadcast(tomb), "vec_id", "left_anti").select(
-        F.col("vec_id").alias("nbr"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    truth = bounded_persist(
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("node") != F.col("nbr"))
-        .select(
-            "node",
-            "nbr",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("cos6"),
-        )
-        .withColumn("rk", F.row_number().over(w))
-        .where(F.col("rk") <= KNN_K)
-        .select("node", "nbr")
-    )
+    # exact truth over survivors for the eval queries: a survivor filter +
+    # re-rank over the materialized truth snapshot (round 13)
+    truth = bounded_persist(_knn_truth(spark, sf_dir, nbr_anti=tomb))
     nt = tomb.agg(F.count("*").cast("long").alias("n_tombstones"))
     compacted = _gs_compacted_graph(graph, vecs, tomb)
     legs = []
@@ -6738,7 +6978,15 @@ def ann_graph_delete_fraction_curve(
     """(frac_pct, n_tombstones, n_true, n_hit, recall, n_results):
     tombstone-waypoint serving quality at 10/20/40% deleted (nested
     hash-mixed sets), every cut from one shared traversal — the table
-    that picks the compaction threshold."""
+    that picks the compaction threshold.
+
+    NOTE (round-12 advisor): the curve's tombstone tiers are
+    ``mix % 100 < pct`` (nested by construction, so the three rows are
+    mutually comparable), which at 10% is a DIFFERENT hash-mixed set
+    from ann_graph_delete_serve/_recall's ``mix % GS_DEL_MOD ==
+    GS_DEL_RES`` — the curve prices the recall-vs-fraction SLOPE, the
+    headline pair prices one committed operating point; their absolute
+    recalls are not directly comparable row-to-row."""
     vecs = _knn_vecs(spark, sf_dir)
     visited = _gs_visited(spark, sf_dir, vecs=vecs)
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
@@ -6746,36 +6994,18 @@ def ann_graph_delete_fraction_curve(
         F.pmod(F.col("vec_id") * F.lit(KNN_CAP_MIX), F.lit(KNN_CAP_MOD))
         % 100
     )
-    q = vecs.where(F.col("vec_id") < KNN_EVAL_N).select(
-        F.col("vec_id").alias("node"),
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    # ONE scored eval x corpus pass feeds all three truths (the nested
+    # ONE scored eval x corpus frame feeds all three truths (the nested
     # sets differ only in the survivor filter, applied to the scored
-    # frame before each top-K window) — three cross joins would re-pay
-    # the dominant cosine cost for identical pairs.
-    c_all = vecs.select(
-        F.col("vec_id").alias("nbr"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
+    # frame before each top-K window) — and since round 13 that frame is
+    # the materialized truth snapshot, so the cosine pass isn't re-paid
+    # at all: each truth is a filter + re-rank over the scan.
     scored = bounded_persist(
-        c_all.crossJoin(F.broadcast(q))
-        .where(F.col("node") != F.col("nbr"))
-        .select(
-            "node",
-            "nbr",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("cos6"),
-            (
-                F.pmod(
-                    F.col("nbr") * F.lit(KNN_CAP_MIX), F.lit(KNN_CAP_MOD)
-                )
-                % 100
-            ).alias("m100"),
+        _knn_truth_scored(spark, sf_dir)
+        .where(F.col("node") < KNN_EVAL_N)
+        .withColumn(
+            "m100",
+            F.pmod(F.col("nbr") * F.lit(KNN_CAP_MIX), F.lit(KNN_CAP_MOD))
+            % 100,
         )
     )
     legs = []
@@ -6997,7 +7227,7 @@ def ann_graph_search_quantized_recall(
     vecs = _knn_vecs(spark, sf_dir)
     vq = _knn_vecs_q(spark, sf_dir)
     graph = _knn_graph_snap(spark, sf_dir)
-    truth = bounded_persist(_knn_truth(spark, sf_dir, vecs))
+    truth = bounded_persist(_knn_truth(spark, sf_dir))
     vis_f = _gs_visited(spark, sf_dir, vecs=vecs, graph=graph)
     vis_q = _gs_visited(
         spark,
@@ -7026,6 +7256,164 @@ def ann_graph_search_quantized_recall(
             ).crossJoin(F.broadcast(ns))
         )
     return legs[0].unionAll(legs[1])
+
+
+# --------------------------------------------------------------------------
+# SHARDED index serving (round 13) — the distribution design for the index
+# itself, committed as code instead of prose: at 100 TB the index shards
+# (the reference's own execution model is a PARTITIONED KV store with
+# per-partition reducers, mapreduce.h:35-36, mapreduce.c:259-285), queries
+# fan out to every shard, each shard runs its own bounded beam over its
+# own graph, and a cross-shard top-K merge produces the answer.
+#
+# Shard function: vec_id % S (deterministic, SQL-replayable). Build: ONE
+# standard NN-Descent pass with the COMPOSITE bucket id (bucket * S +
+# shard) — composite buckets confine seeding within a shard, and the
+# neighbor-of-neighbor closure preserves the shard of every edge, so the
+# one pass yields S independent per-shard graphs (pinned by
+# tests/test_knn_graph.py::test_sharded_build_equals_independent_shard_build,
+# which rebuilds one shard standalone and gets identical edges). LSH
+# config (plane count) stays GLOBAL so one query bucketing serves every
+# shard. Serving: entry joins the query's BASE bucket against candidates
+# capped PER SHARD (the fan-out: ~S x entry candidates), the frontier
+# window partitions by (node, shard-of-nbr) — a per-shard beam per query
+# — and the final KNN_K cut merges across shards. S=1 is the unsharded
+# path by construction (composite == base, per-shard beam == global
+# beam), which is the sharded/unsharded value check.
+#
+# The recall/cost table (recall + n_scored vs S) is what a deployment
+# reads to pick its shard count: per-shard graphs lose cross-shard edges
+# (recall pressure) but buy per-shard entry redundancy (n_scored cost).
+# --------------------------------------------------------------------------
+GS_SHARD_COUNTS = (1, 2, 4)
+
+
+def _gs_sharded_visited(
+    spark: SparkSession, sf_dir: str, s_count: int
+) -> DataFrame:
+    """(node, nbr, cos6): every pair any shard's beam scored, after
+    GS_ROUNDS hops with a per-(query, shard) frontier. ``s_count == 1``
+    IS the committed unsharded serving path."""
+    if s_count == 1:
+        return _gs_visited(spark, sf_dir)
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    vecs = _knn_vecs(spark, sf_dir)
+    d = _knn_index(spark, sf_dir, variant=f"sharded{s_count}")
+    graph = spark.read.parquet(os.path.join(d, f"round{KNN_ITERS}"))
+    sbkts = spark.read.parquet(os.path.join(d, "buckets"))
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    und = bounded_persist(
+        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
+        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
+        .repartition(n_parts, "a")
+        .dropDuplicates(["a", "b"])
+    )
+    base = F.floor(F.col("bucket") / s_count).alias("base")
+    # Entry fan-out: the query's BASE bucket matches every shard's capped
+    # members of that bucket (the composite id carries the shard, so the
+    # cap is per-shard by construction — each shard admits its own
+    # KNN_BUCKET_CAP members per bucket).
+    entry = (
+        sbkts.where(F.col("vec_id") < KNN_EVAL_N)
+        .select(F.col("vec_id").alias("node"), "tbl", base)
+        .join(
+            _knn_capped_buckets(sbkts).select(
+                F.col("vec_id").alias("nbr"), "tbl", base
+            ),
+            ["tbl", "base"],
+        )
+        .where(F.col("node") != F.col("nbr"))
+        .select("node", "nbr")
+        .repartition(n_parts, "node", "nbr")
+        .dropDuplicates(["node", "nbr"])
+    )
+
+    def score(p):
+        return _knn_score(p, vecs)
+
+    return _gs_traverse(
+        score(entry),
+        und,
+        score,
+        GS_BEAM,
+        beam_by=F.pmod(F.col("nbr"), F.lit(s_count)),
+    )
+
+
+def _gs_sharded_oracle() -> str:
+    parts = ""
+    legs = []
+    for s in GS_SHARD_COUNTS:
+        tag = f"s{s}t"
+        if s == 1:
+            parts += _gs_oracle_ctes(tag=tag)
+        else:
+            parts += (
+                ",\n    "
+                + _knn_oracle_ctes_ns(f"s{s}", shard_mod=s).lstrip()
+            )
+            parts += _gs_oracle_ctes(
+                tag=tag,
+                edges=f"s{s}b{KNN_ITERS}",
+                cand=f"s{s}knnlshc",
+                beam_part=f"node, nbr % {s}",
+            )
+        legs.append(
+            f"""SELECT CAST({s} AS BIGINT) AS n_shards,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {tag}v{GS_ROUNDS})
+             AS n_scored
+    FROM (
+      SELECT CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM gstruth t
+      LEFT JOIN (
+        SELECT node, nbr FROM (
+          SELECT node, nbr,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY cos6 DESC, nbr) AS rk
+          FROM {tag}v{GS_ROUNDS}
+        ) WHERE rk <= {KNN_K}
+      ) a ON t.node = a.node AND t.nbr = a.nbr
+    )"""
+        )
+    return f"""
+    WITH {_knn_oracle_ctes()}{parts},
+    gstruth AS ({_KNN_TRUTH_SQL})
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("ann_graph_search_sharded_recall", oracle=_gs_sharded_oracle())
+def ann_graph_search_sharded_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(n_shards, n_true, n_hit, recall, n_scored): serving quality and
+    scored-candidate cost of per-shard-graph serving at each shard
+    count, against the same brute truth — the table a deployment reads
+    to pick S. The S=1 row is the committed unsharded path (the
+    sharded/unsharded value check); S>1 rows pay entry fan-out
+    (n_scored grows) and lose cross-shard edges (recall pressure)."""
+    truth = bounded_persist(_knn_truth(spark, sf_dir))
+    legs = []
+    for s in GS_SHARD_COUNTS:
+        visited = _gs_sharded_visited(spark, sf_dir, s)
+        approx = _knn_topk(visited).select("node", "nbr")
+        ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
+        legs.append(
+            _truth_recall_agg(
+                truth,
+                approx,
+                lead=(F.lit(s).cast("long").alias("n_shards"),),
+            ).crossJoin(F.broadcast(ns))
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -7070,17 +7458,32 @@ def _knn_manifest_oracle() -> str:
     SELECT 'ingest_base/buckets',
            CAST((SELECT COUNT(*) FROM embeddings) * {N_TABLES} AS BIGINT)
     {ib_rounds}
+    UNION ALL
+    -- truth snapshot (round 13): every eval node pairs with the whole
+    -- corpus minus itself; every OOV query pairs with the whole corpus
+    SELECT 'truth/eval_scored',
+           CAST((SELECT COUNT(*) FROM knnv
+                 WHERE vec_id < {KNN_EVAL_N}
+                    OR (vec_id % {KNN_BATCH_MOD} = {KNN_BATCH_RES}
+                        AND vec_id < {KNN_INGEST_EVAL_MAX}))
+                * ((SELECT COUNT(*) FROM knnv) - 1) AS BIGINT)
+    UNION ALL
+    SELECT 'truth/oov_scored',
+           CAST({GS_OOV_N} * (SELECT COUNT(*) FROM knnv) AS BIGINT)
     """
 
 
 @query("knn_index_manifest", oracle=_knn_manifest_oracle())
 def knn_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(artifact, n): sizes of BOTH snapshot variants' parquet artifacts
-    (bucket rows, per-round edge counts) plus corpus vector counts and
-    the adaptive plane count each variant was built at — every value
-    read from the SNAPSHOTS while the oracle recomputes them from
-    scratch, so a stale or truncated snapshot of either variant fails
-    the value hash."""
+    (bucket rows, per-round edge counts) plus corpus vector counts, the
+    adaptive plane count each variant was built at, and (round 13) the
+    truth snapshot's two scored frames — every value read from the
+    SNAPSHOTS while the oracle recomputes them from scratch, so a stale
+    or truncated snapshot of any artifact fails the value hash. (The
+    truth frames' VALUES are independently value-checked by every recall
+    query's oracle, which recomputes its truth from scratch — the
+    manifest pins existence and size.)"""
     vecs = _knn_vecs(spark, sf_dir)
     base_n = vecs.where(
         F.col("vec_id") % KNN_BATCH_MOD != KNN_BATCH_RES
@@ -7113,6 +7516,16 @@ def knn_index_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.count("*").cast("long").alias("n"),
                 )
             )
+    for name, frame in (
+        ("truth/eval_scored", _knn_truth_scored(spark, sf_dir)),
+        ("truth/oov_scored", _knn_oov_scored(spark, sf_dir)),
+    ):
+        legs.append(
+            frame.agg(
+                F.lit(name).alias("artifact"),
+                F.count("*").cast("long").alias("n"),
+            )
+        )
     out = legs[0]
     for leg in legs[1:]:
         out = out.unionAll(leg)

@@ -133,6 +133,8 @@ DRIVER_PRIORITY: list[str] = [
     "ann_graph_delete_fraction_curve",
     "knn_index_manifest",
     "knn_index_refresh_recall",
+    # round-13 additions (never rowed): sharded index serving.
+    "ann_graph_search_sharded_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
@@ -187,6 +189,9 @@ VALUE_CHANGED: dict[str, int] = {
     # kind='new' lists can now carry same-batch neighbors, changing
     # output rows wherever a batch neighbor outranks a base one.
     "knn_graph_incremental_ingest": 11,
+    # round 13: the manifest gained the truth snapshot's two artifact
+    # rows (truth/eval_scored, truth/oov_scored).
+    "knn_index_manifest": 13,
 }
 
 

@@ -87,7 +87,7 @@ def test_truth_is_exact_topk(spark, sf_dir):
     import numpy as np
 
     vecs = S._knn_vecs(spark, sf_dir)
-    truth = S._knn_truth(spark, sf_dir, vecs).toPandas()
+    truth = S._knn_truth(spark, sf_dir).toPandas()
     assert (truth.groupby("node").size() == S.KNN_K).all()
     pdv = vecs.toPandas().sort_values("vec_id")
     e = np.array(pdv["e"].tolist())
@@ -191,7 +191,7 @@ def test_graph_search_beats_entry_only(spark, sf_dir):
     import pyspark.sql.functions as F
 
     vecs = S._knn_vecs(spark, sf_dir)
-    truth = S._knn_truth(spark, sf_dir, vecs).toPandas()
+    truth = S._knn_truth(spark, sf_dir).toPandas()
     tset = set(zip(truth["node"], truth["nbr"]))
 
     full = S._gs_visited(spark, sf_dir)
@@ -558,3 +558,133 @@ def test_refresh_tracks_rebuild_recall(spark, sf_dir):
     # widening past 0.15 means back-link/merge broke, not noise
     assert gap <= 0.15, f"refresh lost {gap:.3f} recall vs rebuild"
     assert rec.loc["incremental_refresh", "recall"] >= 0.6
+
+
+# ---------------------------------------------------------------------------
+# Round 13: truth snapshot + sharded build/serving + snapshot hygiene.
+# ---------------------------------------------------------------------------
+def test_truth_snapshot_matches_numpy_and_is_reused(spark, sf_dir):
+    """eval_scored must hold the EXACT inline scores (parquet float64
+    round-trip) for every eval x corpus pair, and a second touch must
+    not rebuild."""
+    import os
+
+    import numpy as np
+
+    d = S._knn_truth_index(spark, sf_dir)
+
+    def _mtimes():
+        out = {}
+        for root, _, files in os.walk(d):
+            for f in files:
+                p = os.path.join(root, f)
+                out[p] = os.stat(p).st_mtime_ns
+        return out
+
+    before = _mtimes()
+    scored = S._knn_truth_scored(spark, sf_dir).toPandas()
+    pdv = S._knn_vecs(spark, sf_dir).toPandas().sort_values("vec_id")
+    e = np.array(pdv["e"].tolist())
+    n = e / np.linalg.norm(e, axis=1, keepdims=True)
+    node0 = scored[scored["node"] == 0].sort_values("nbr")
+    assert len(node0) == len(pdv) - 1, "node 0 must pair with all others"
+    sims = np.round(n[0] @ n[node0["nbr"].to_numpy()].T, 6)
+    assert (node0["cos6"].to_numpy() == sims).all(), "scores drifted"
+    S._knn_truth_index(spark, sf_dir)
+    assert _mtimes() == before, "second touch rebuilt the truth snapshot"
+
+
+def test_sharded_build_equals_independent_shard_build(spark, sf_dir):
+    """The composite-bucket one-pass build must yield EXACTLY the graph
+    an independent per-shard build produces (restrict the sharded graph
+    to shard 0 vs _knn_rounds on the shard-0 corpus alone at the GLOBAL
+    plane count), and every sharded edge must stay in-shard."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    s_cnt = 2
+    d = S._knn_index(spark, sf_dir, variant=f"sharded{s_cnt}")
+    full = spark.read.parquet(
+        os.path.join(d, f"round{S.KNN_ITERS}")
+    ).toPandas()
+    assert ((full["node"] % s_cnt) == (full["nbr"] % s_cnt)).all(), (
+        "a sharded edge crossed shards — the composite-bucket closure "
+        "argument is broken"
+    )
+    sharded = (
+        full[full["node"] % s_cnt == 0]
+        .sort_values(["node", "nbr"])
+        .reset_index(drop=True)
+    )
+    vecs = S._knn_vecs(spark, sf_dir)
+    prow = S._knn_prow(vecs)
+    sv = vecs.where(F.col("vec_id") % s_cnt == 0)
+    sb = S._knn_buckets(sv, prow)
+    fresh = (
+        S._knn_rounds(spark, sf_dir, vecs=sv, buckets=sb)[-1]
+        .toPandas()
+        .sort_values(["node", "nbr"])
+        .reset_index(drop=True)
+    )
+    assert sharded.equals(fresh), (
+        "sharded-build shard 0 diverged from an independent shard build"
+    )
+
+
+def test_sharded_serving_s1_is_unsharded_path(spark, sf_dir):
+    """The S=1 row of the sharded table must be the committed unsharded
+    serving path bit-for-bit (the sharded/unsharded value check)."""
+    a = (
+        S._gs_sharded_visited(spark, sf_dir, 1)
+        .toPandas()
+        .sort_values(["node", "nbr"])
+        .reset_index(drop=True)
+    )
+    b = (
+        S._gs_visited(spark, sf_dir)
+        .toPandas()
+        .sort_values(["node", "nbr"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_snapshot_root_is_user_scoped(monkeypatch):
+    import os
+
+    monkeypatch.delenv("SPARK_GRAFT_INDEX_DIR", raising=False)
+    assert S._knn_snap_root().endswith(f"_{os.getuid()}")
+
+
+def test_snapshot_gc_bounds_root(tmp_path, monkeypatch):
+    """GC keeps the LRU bound + the in-use dir, sweeps stale .build-*
+    leftovers, and never touches foreign names."""
+    import os
+    import time
+
+    monkeypatch.setenv("SPARK_GRAFT_INDEX_KEEP", "3")
+    now = time.time()
+    dirs = []
+    for i in range(6):
+        d = tmp_path / f"knn_{i:016x}"
+        d.mkdir()
+        os.utime(d, (now - 1000 + i, now - 1000 + i))
+        dirs.append(d)
+    stale = tmp_path / "knn_x.build-999"
+    stale.mkdir()
+    os.utime(stale, (now - 7200, now - 7200))
+    fresh_build = tmp_path / "knn_y.build-123"
+    fresh_build.mkdir()
+    foreign = tmp_path / "unrelated_dir"
+    foreign.mkdir()
+    os.utime(foreign, (now - 9999, now - 9999))
+    current = dirs[0]  # oldest mtime, but in use: must survive
+    S._knn_snap_gc(str(tmp_path), str(current))
+    left = {p.name for p in tmp_path.iterdir()}
+    assert current.name in left, "the in-use dir was swept"
+    assert stale.name not in left, "stale .build tmp survived"
+    assert fresh_build.name in left, "recent .build tmp was swept"
+    assert foreign.name in left, "GC touched a foreign directory"
+    kept = [n for n in left if n.startswith("knn_") and ".build-" not in n]
+    assert len(kept) == 3, f"LRU bound not enforced: {sorted(kept)}"
