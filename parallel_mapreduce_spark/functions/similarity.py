@@ -5324,6 +5324,7 @@ def _gs_visited(
     cand_allowed: DataFrame | None = None,
     cand_blocked: DataFrame | None = None,
     score=None,
+    q_ids: DataFrame | None = None,
 ) -> DataFrame:
     """(node, nbr, cos6): every (query, candidate) pair the beam search
     scored, after GS_ROUNDS hops — the frame both outputs cut from.
@@ -5342,7 +5343,11 @@ def _gs_visited(
     bloom-prune. ``score`` overrides the pair-scoring callable
     ((node, nbr) -> (node, nbr, cos6); default exact cosine via
     _knn_score) — the quantized-serving leg scores hops with the int8
-    dot instead."""
+    dot instead. ``q_ids`` (a one-column ``vec_id`` frame) REPLACES the
+    default eval-node query predicate — the streaming-serving shape,
+    where each micro-batch of arriving queries traverses independently
+    (beams are per query, so a per-batch run unions to the full-set
+    run)."""
     from parallel_mapreduce_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
@@ -5373,9 +5378,15 @@ def _gs_visited(
         cand_src = cand_src.join(
             F.broadcast(cand_blocked.select("vec_id")), "vec_id", "left_anti"
         )
-    entry = (
+    q_src = (
         bkts.where(F.col("vec_id") < KNN_EVAL_N)
-        .select(F.col("vec_id").alias("node"), "tbl", "bucket")
+        if q_ids is None
+        else bkts.join(
+            F.broadcast(q_ids.select("vec_id")), "vec_id", "left_semi"
+        )
+    )
+    entry = (
+        q_src.select(F.col("vec_id").alias("node"), "tbl", "bucket")
         .join(
             _knn_capped_buckets(cand_src).select(
                 F.col("vec_id").alias("nbr"), "tbl", "bucket"

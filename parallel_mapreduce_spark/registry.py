@@ -133,8 +133,10 @@ DRIVER_PRIORITY: list[str] = [
     "ann_graph_delete_fraction_curve",
     "knn_index_manifest",
     "knn_index_refresh_recall",
-    # round-13 additions (never rowed): sharded index serving.
+    # round-13 additions (never rowed): sharded index serving and the
+    # streaming ANN serve.
     "ann_graph_search_sharded_recall",
+    "stream_ann_serve_topk",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row
@@ -320,6 +322,7 @@ def _load_all() -> None:
     import parallel_mapreduce_spark.operators.timeseries  # noqa: F401
     import parallel_mapreduce_spark.sources.pydatasource  # noqa: F401
     import parallel_mapreduce_spark.sources.roundtrip  # noqa: F401
+    import parallel_mapreduce_spark.streaming.ann_serve_stream  # noqa: F401
     import parallel_mapreduce_spark.streaming.dedup_stream  # noqa: F401
     import parallel_mapreduce_spark.streaming.events_stream  # noqa: F401
     import parallel_mapreduce_spark.streaming.joins_stream  # noqa: F401

@@ -1,0 +1,123 @@
+"""Streaming ANN serving: queries arrive as a micro-batch stream and are
+answered against the MATERIALIZED index snapshot (round 13).
+
+This connects the streaming surface to the vector-serving family the way
+`stream_segment_share` connected it to broadcast enrichment: the request
+stream is the unbounded side, the index snapshot is the static state every
+batch reads (on a cluster: the serving tier's shared object-store index).
+
+Shape: `foreachBatch`. The beam traversal needs a top-``beam`` window per
+hop, which a pure streaming plan cannot express (ranking windows are not
+supported on unbounded streams), so each micro-batch of query ids runs the
+COMMITTED batch serving path (`similarity._gs_visited` with ``q_ids`` =
+the batch) — the request/compute split every production vector store uses.
+Correctness composes because beams are per query: a per-batch run unions
+to the full-set run, so the one-shot drained stream equals the batch
+`ann_graph_search_topk` and shares its oracle
+(reference tie-in: main.c:56-61 probes the built index one key at a time;
+this is that probe loop at the vector grain, batched by arrival).
+
+Sink: per-batch parquet appends into a scratch dir (each batch writes its
+own subdirectory — no concurrent-append ambiguity), read back after the
+availableNow drain. A memory sink would also work, but foreachBatch output
+via DataFrame.write is the documented idempotent-sink pattern.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from parallel_mapreduce_spark.functions import similarity as sim
+from parallel_mapreduce_spark.registry import query
+from parallel_mapreduce_spark.session import apply_runtime_conf
+
+_RUN_SEQ = itertools.count(1)
+
+EMBEDDINGS_DDL = "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+
+def ann_serve_stream_run(
+    spark: SparkSession, sf_dir: str, out_dir: str
+) -> None:
+    """Drain the eval-query stream through foreachBatch graph serving
+    into ``out_dir`` (one parquet subdir per micro-batch)."""
+    apply_runtime_conf(spark)
+    # Ensure the snapshots exist BEFORE the stream starts: first-touch
+    # builds belong to the build cadence, not to a request batch.
+    sim._knn_index(spark, sf_dir)
+    src = (
+        spark.readStream.schema(EMBEDDINGS_DDL)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .parquet(sf_dir.rstrip("/"))
+        .where(F.col("vec_id") < sim.KNN_EVAL_N)
+        .select("vec_id")
+    )
+
+    def serve_batch(batch: DataFrame, batch_id: int) -> None:
+        ids = batch.select("vec_id").distinct()
+        visited = sim._gs_visited(spark, sf_dir, q_ids=ids)
+        w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+        out = (
+            visited.withColumn("rk", F.row_number().over(w).cast("long"))
+            .where(F.col("rk") <= sim.KNN_K)
+            .select(
+                F.col("node").alias("q_id"),
+                "rk",
+                F.col("nbr").alias("c_id"),
+                (F.col("cos6") + F.lit(0.0)).alias("cosine"),
+            )
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch-{batch_id}")
+        )
+
+    q = (
+        src.writeStream.foreachBatch(serve_batch)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            os.path.join(out_dir, "_stream_checkpoint"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+
+
+@query(
+    "stream_ann_serve_topk",
+    oracle=f"""
+    WITH {sim._knn_oracle_ctes()}{sim._gs_oracle_ctes()}
+    SELECT node AS q_id, CAST(rk AS BIGINT) AS rk, nbr AS c_id,
+           cos6 + 0.0 AS cosine
+    FROM (
+      SELECT node, nbr, cos6,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cos6 DESC, nbr) AS rk
+      FROM gsv{sim.GS_ROUNDS}
+    )
+    WHERE rk <= {sim.KNN_K}
+    """,
+)
+def stream_ann_serve_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(q_id, rk, c_id, cosine): the drained streaming ANN serve — every
+    arriving query answered per micro-batch from the index snapshot.
+    Equals the batch ann_graph_search_topk (same oracle): beams are per
+    query, so batch-at-a-time serving is exact, not approximate."""
+    out_dir = tempfile.mkdtemp(
+        prefix=f"pmr_ann_serve_{next(_RUN_SEQ)}_"
+    )
+    ann_serve_stream_run(spark, sf_dir, out_dir)
+    batches = sorted(
+        os.path.join(out_dir, d)
+        for d in os.listdir(out_dir)
+        if d.startswith("batch-")
+    )
+    # The scratch sink stays on disk for the session (KNN_EVAL_N * KNN_K
+    # rows of parquet — the returned plan scans it lazily, exactly like
+    # the memory-sink streaming queries read their sink table).
+    return spark.read.parquet(*batches)

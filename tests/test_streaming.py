@@ -523,3 +523,29 @@ def test_watermark_late_filter_arms_one_batch_later(spark, tmp_path):
     emitted2, dropped2 = _run_late_replay(spark, tmp_path / "d", [b, adv, a])
     assert dropped2 == 1
     assert "2024-01-01 00" not in emitted2
+
+
+def test_stream_ann_serve_equals_batch(spark, sf_dir):
+    """Round 13: the drained streaming ANN serve must equal the batch
+    serving path bit-for-bit — beams are per query, so micro-batch
+    serving is exact (the docstring's composition claim, pinned)."""
+    from parallel_mapreduce_spark.functions.similarity import (
+        ann_graph_search_topk,
+    )
+    from parallel_mapreduce_spark.streaming.ann_serve_stream import (
+        stream_ann_serve_topk,
+    )
+
+    a = (
+        stream_ann_serve_topk(spark, sf_dir)
+        .toPandas()
+        .sort_values(["q_id", "rk"])
+        .reset_index(drop=True)
+    )
+    b = (
+        ann_graph_search_topk(spark, sf_dir)
+        .toPandas()
+        .sort_values(["q_id", "rk"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
