@@ -7398,6 +7398,55 @@ def _gs_sharded_oracle() -> str:
     """
 
 
+GS_SHARD_SERVE = 4  # the committed shard count for the serving exhibit
+
+
+def _gs_sharded_topk_oracle() -> str:
+    s = GS_SHARD_SERVE
+    return f"""
+    WITH {_knn_oracle_ctes()},
+    {_knn_oracle_ctes_ns(f"s{s}", shard_mod=s).lstrip()}{_gs_oracle_ctes(
+        tag=f"s{s}t",
+        edges=f"s{s}b{KNN_ITERS}",
+        cand=f"s{s}knnlshc",
+        beam_part=f"node, nbr % {s}",
+    )}
+    SELECT node AS q_id, CAST(rk AS BIGINT) AS rk, nbr AS c_id,
+           cos6 + 0.0 AS cosine
+    FROM (
+      SELECT node, nbr, cos6,
+             ROW_NUMBER() OVER (PARTITION BY node
+                                ORDER BY cos6 DESC, nbr) AS rk
+      FROM s{s}tv{GS_ROUNDS}
+    )
+    WHERE rk <= {KNN_K}
+    """
+
+
+@query("ann_graph_search_sharded_topk", oracle=_gs_sharded_topk_oracle())
+def ann_graph_search_sharded_topk(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(q_id, rk, c_id, cosine): top-K per eval query served by the
+    GS_SHARD_SERVE-way sharded index — entry fan-out to every shard's
+    capped bucket members, a per-(query, shard) beam, and the
+    cross-shard merge at the final cut. The EXACT merged ranking crosses
+    the driver hash (the recall table checks membership; this pins the
+    merge order and scores row-by-row)."""
+    visited = _gs_sharded_visited(spark, sf_dir, GS_SHARD_SERVE)
+    w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
+    return (
+        visited.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= KNN_K)
+        .select(
+            F.col("node").alias("q_id"),
+            "rk",
+            F.col("nbr").alias("c_id"),
+            (F.col("cos6") + F.lit(0.0)).alias("cosine"),
+        )
+    )
+
+
 @query("ann_graph_search_sharded_recall", oracle=_gs_sharded_oracle())
 def ann_graph_search_sharded_recall(
     spark: SparkSession, sf_dir: str

@@ -136,6 +136,7 @@ DRIVER_PRIORITY: list[str] = [
     # round-13 additions (never rowed): sharded index serving and the
     # streaming ANN serve.
     "ann_graph_search_sharded_recall",
+    "ann_graph_search_sharded_topk",
     "stream_ann_serve_topk",
 ]
 

@@ -316,6 +316,13 @@ HEADLINE_EXCHANGE_CEILING = {
     # tombstone frame derivation prints its own small exchanges) —
     # measured 6.
     "ann_graph_delete_serve": 8,
+    # round 13: the streaming serve answers each micro-batch INSIDE
+    # foreachBatch during fn() (per-batch traversal + per-batch topk
+    # window, all bounded by the batch's query count); the RETURNED plan
+    # is a parquet scan of the drained sink — measured 0. The pin
+    # catches a refactor that turns the result into a lazy corpus-scale
+    # plan (the kcenter precedent).
+    "stream_ann_serve_topk": 1,
 }
 
 

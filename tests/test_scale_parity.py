@@ -154,6 +154,15 @@ SCALE_SENSITIVE = [
     # suite builds — a stale or truncated snapshot shows up as count
     # drift here before any serving query notices
     "knn_index_manifest",
+    # round-13: per-shard graphs first diverge meaningfully from the
+    # global graph at the 2000-vec corpus (500-vec shards at S=4), and
+    # the per-shard cap + per-shard beam arithmetic rides the same 6-dp
+    # agreement as the unsharded family
+    "ann_graph_search_sharded_recall",
+    "ann_graph_search_sharded_topk",
+    # round-13: the drained stream must equal the batch serving path at
+    # the scale where beam margins are thinnest
+    "stream_ann_serve_topk",
 ]
 
 
