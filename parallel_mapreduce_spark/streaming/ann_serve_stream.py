@@ -50,10 +50,18 @@ def ann_serve_stream_run(
     # Ensure the snapshots exist BEFORE the stream starts: first-touch
     # builds belong to the build cadence, not to a request batch.
     sim._knn_index(spark, sf_dir)
+    # The corpus table is a single file at the testdata SFs but a
+    # DIRECTORY of part files everywhere Spark wrote it (the scale-probe
+    # replicas; any production corpus) — stream the directory itself in
+    # that case, since a pathGlobFilter on the parent only matches FILES
+    # and would silently yield an empty stream (zero batches, no sink).
+    emb = os.path.join(sf_dir.rstrip("/"), "embeddings.parquet")
+    reader = spark.readStream.schema(EMBEDDINGS_DDL)
+    if not os.path.isdir(emb):
+        reader = reader.option("pathGlobFilter", "embeddings.parquet")
+        emb = sf_dir.rstrip("/")
     src = (
-        spark.readStream.schema(EMBEDDINGS_DDL)
-        .option("pathGlobFilter", "embeddings.parquet")
-        .parquet(sf_dir.rstrip("/"))
+        reader.parquet(emb)
         .where(F.col("vec_id") < sim.KNN_EVAL_N)
         .select("vec_id")
     )
