@@ -5466,6 +5466,7 @@ def _gs_oracle_ctes(
     vtab: str = "knnv",
     score: str = _GS_COS_SQL,
     beam_part: str = "node",
+    entry_where: str = "",
 ) -> str:
     """Appended after _knn_oracle_ctes(): unrolled entry + GS_ROUNDS beam
     hops. {tag}v{t} is the visited set after hop t (set-UNION dedup).
@@ -5483,7 +5484,10 @@ def _gs_oracle_ctes(
     candidate side) — the quantized-serving leg scores with the int8
     dot, everything else with exact cosine. ``beam_part`` extends the
     frontier window's partition (sharded serving: 'node, nbr % S' = a
-    per-shard beam per query)."""
+    per-shard beam per query). ``entry_where`` appends an extra entry
+    predicate over aliases q (query bucket row) / c (candidate row) —
+    the ROUTED-serving shape, where a query enters only its own home
+    shard's bucket members."""
     if beam is None:
         beam = GS_BEAM
     if edges is None:
@@ -5500,7 +5504,7 @@ def _gs_oracle_ctes(
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM knnlshb q
       JOIN {cand} c ON q.tbl = c.tbl AND q.bucket = c.bucket
-      WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {KNN_EVAL_N} AND c.vec_id <> q.vec_id{entry_where}
     ),
     {tag}v0 AS MATERIALIZED (
       SELECT {tag}e0.node, {tag}e0.nbr,
@@ -7474,6 +7478,130 @@ def ann_graph_search_sharded_recall(
     for leg in legs[1:]:
         out = out.unionAll(leg)
     return out
+
+
+def _gs_routed_visited(
+    spark: SparkSession, sf_dir: str, s_count: int
+) -> DataFrame:
+    """(node, nbr, cos6): every pair scored when a query is ROUTED to its
+    home shard only (`vec_id % s_count`) — entry joins the query's base
+    bucket against that ONE shard's capped members (no fan-out), and the
+    traversal stays in-shard automatically because every graph edge is
+    in-shard, so a single per-query beam IS a home-shard beam. The cheap
+    end of the sharded-serving cost spectrum: ~1/S the entry candidates
+    and 1/S the beam budget of the fan-out path."""
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    vecs = _knn_vecs(spark, sf_dir)
+    d = _knn_index(spark, sf_dir, variant=f"sharded{s_count}")
+    graph = spark.read.parquet(os.path.join(d, f"round{KNN_ITERS}"))
+    sbkts = spark.read.parquet(os.path.join(d, "buckets"))
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    und = bounded_persist(
+        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
+        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
+        .repartition(n_parts, "a")
+        .dropDuplicates(["a", "b"])
+    )
+    base = F.floor(F.col("bucket") / s_count).alias("base")
+    shard = F.pmod(F.col("vec_id"), F.lit(s_count)).alias("shard")
+    entry = (
+        sbkts.where(F.col("vec_id") < KNN_EVAL_N)
+        .select(F.col("vec_id").alias("node"), "tbl", base, shard)
+        .join(
+            _knn_capped_buckets(sbkts).select(
+                F.col("vec_id").alias("nbr"), "tbl", base, shard
+            ),
+            ["tbl", "base", "shard"],
+        )
+        .where(F.col("node") != F.col("nbr"))
+        .select("node", "nbr")
+        .repartition(n_parts, "node", "nbr")
+        .dropDuplicates(["node", "nbr"])
+    )
+
+    def score(p):
+        return _knn_score(p, vecs)
+
+    return _gs_traverse(score(entry), und, score, GS_BEAM)
+
+
+def _gs_routed_oracle() -> str:
+    s = GS_SHARD_SERVE
+    parts = (
+        ",\n    " + _knn_oracle_ctes_ns(f"s{s}", shard_mod=s).lstrip()
+    )
+    parts += _gs_oracle_ctes(
+        tag=f"rf{s}t",
+        edges=f"s{s}b{KNN_ITERS}",
+        cand=f"s{s}knnlshc",
+        beam_part=f"node, nbr % {s}",
+    )
+    parts += _gs_oracle_ctes(
+        tag=f"rt{s}t",
+        edges=f"s{s}b{KNN_ITERS}",
+        cand=f"s{s}knnlshc",
+        und=f"rf{s}tund",
+        entry_where=f" AND c.vec_id % {s} = q.vec_id % {s}",
+    )
+    legs = []
+    for mode, tag in (("fanout", f"rf{s}t"), ("routed", f"rt{s}t")):
+        legs.append(
+            f"""SELECT '{mode}' AS serve_mode,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {tag}v{GS_ROUNDS})
+             AS n_scored
+    FROM (
+      SELECT CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM gstruth t
+      LEFT JOIN (
+        SELECT node, nbr FROM (
+          SELECT node, nbr,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY cos6 DESC, nbr) AS rk
+          FROM {tag}v{GS_ROUNDS}
+        ) WHERE rk <= {KNN_K}
+      ) a ON t.node = a.node AND t.nbr = a.nbr
+    )"""
+        )
+    return f"""
+    WITH {_knn_oracle_ctes()}{parts},
+    gstruth AS ({_KNN_TRUTH_SQL})
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("ann_graph_search_routed_recall", oracle=_gs_routed_oracle())
+def ann_graph_search_routed_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(serve_mode, n_true, n_hit, recall, n_scored): routing a query to
+    its HOME shard only (vec_id % S — ~1/S the scored candidates and 1/S
+    the beam budget) vs the committed all-shard fan-out, against the same
+    brute truth. The committed finding: under a HASH shard key the true
+    neighbors of a query are spread uniformly across shards, so routed
+    recall collapses toward the in-shard fraction of the truth while
+    fan-out holds — the table that says routing requires a SEMANTIC
+    shard key (locality), and hash-sharded indexes must fan out."""
+    truth = bounded_persist(_knn_truth(spark, sf_dir))
+    legs = []
+    for mode, visited in (
+        ("fanout", _gs_sharded_visited(spark, sf_dir, GS_SHARD_SERVE)),
+        ("routed", _gs_routed_visited(spark, sf_dir, GS_SHARD_SERVE)),
+    ):
+        approx = _knn_topk(visited).select("node", "nbr")
+        ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
+        legs.append(
+            _truth_recall_agg(
+                truth,
+                approx,
+                lead=(F.lit(mode).alias("serve_mode"),),
+            ).crossJoin(F.broadcast(ns))
+        )
+    return legs[0].unionAll(legs[1])
 
 
 # --------------------------------------------------------------------------

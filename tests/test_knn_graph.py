@@ -650,6 +650,21 @@ def test_sharded_serving_s1_is_unsharded_path(spark, sf_dir):
     assert a.equals(b)
 
 
+def test_routed_serving_stays_in_home_shard(spark, sf_dir):
+    """Every pair the routed traversal scores must be in the query's home
+    shard — the entry is shard-confined and the graph's edges are
+    in-shard, so a cross-shard candidate means the routing leaked."""
+    from pyspark.sql import functions as F
+
+    s = S.GS_SHARD_SERVE
+    leaked = (
+        S._gs_routed_visited(spark, sf_dir, s)
+        .where(F.pmod(F.col("nbr"), F.lit(s)) != F.pmod(F.col("node"), F.lit(s)))
+        .count()
+    )
+    assert leaked == 0
+
+
 def test_snapshot_root_is_user_scoped(monkeypatch):
     import os
 

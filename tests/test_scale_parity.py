@@ -163,6 +163,9 @@ SCALE_SENSITIVE = [
     # round-13: the drained stream must equal the batch serving path at
     # the scale where beam margins are thinnest
     "stream_ann_serve_topk",
+    # round-13: routed-vs-fanout recall gap is widest (and the in-shard
+    # truth fraction smallest) at the largest corpus
+    "ann_graph_search_routed_recall",
 ]
 
 
