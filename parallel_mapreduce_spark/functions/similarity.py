@@ -3726,6 +3726,10 @@ def _knn_build_digest() -> str:
             _knn_topk,
             _knn_rounds,
             _knn_index,
+            # the cellrouted variant's shard map + centroid artifacts
+            _kmeans_assign,
+            _kmeans_cents_row,
+            _knn_cells,
         )
         src = "\n".join(inspect.getsource(f) for f in fns)
         _KNN_BUILD_DIGEST = hashlib.sha256(src.encode()).hexdigest()[:16]
@@ -3826,6 +3830,42 @@ def _knn_snap_dir(sf_dir: str, variant: str = "full") -> str:
     return os.path.join(root, f"knn_{key}")
 
 
+def _knn_cells(spark: SparkSession, sf_dir: str):
+    """(cells, cents_long): the SEMANTIC shard map — cell = the vector's
+    `kmeans_lloyd_2iter` assignment (frozen first-KMEANS_K init, one
+    Lloyd update, final assignment), and the (cid, pos, cval) centroids
+    that assignment used (6dp — serve-time probe ranking must reproduce
+    exactly this geometry). Unlike the hash shard key, cells have
+    LOCALITY: a vector's near neighbors mostly share its cell, which is
+    what makes routed serving work (`ann_graph_search_cell_routed_recall`
+    vs the hash-routed collapse in `ann_graph_search_routed_recall`)."""
+    register_views(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    vecs = emb.repartition(n_parts, "vec_id").select(
+        "vec_id", as_double(F.col("embedding")).alias("e")
+    )
+    init = (
+        emb.orderBy("vec_id")
+        .limit(KMEANS_K)
+        .select("vec_id", as_double(F.col("embedding")).alias("c"))
+        .withColumn("cid", F.row_number().over(W.orderBy("vec_id")) - 1)
+    )
+    cents0 = init.agg(
+        F.array_sort(F.collect_list(F.struct(F.col("cid"), F.col("c")))).alias(
+            "cents"
+        )
+    )
+    a1 = _kmeans_assign(vecs, cents0)
+    c1_long = (
+        a1.select("cid", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cid", "pos")
+        .agg(F.round(F.avg("val"), 6).alias("cval"))
+    )
+    a2 = _kmeans_assign(vecs, _kmeans_cents_row(c1_long))
+    return a2.select("vec_id", F.col("cid").alias("cell")), c1_long
+
+
 def _knn_index(
     spark: SparkSession, sf_dir: str, variant: str = "full"
 ) -> str:
@@ -3878,16 +3918,43 @@ def _knn_index(
             )
         )
         build_buckets = buckets
+    elif variant == "cellrouted":
+        # Semantic-shard variant (round 13): shard = the vector's kmeans
+        # cell (KMEANS_K cells, the kmeans_lloyd_2iter convention), the
+        # same composite-bucket construction as the hash shards — one
+        # standard build pass, per-CELL graphs via the in-shard closure.
+        # The cell map + the centroids it was assigned with persist as
+        # snapshot artifacts: serving routes queries by centroid
+        # distance, so the routing geometry ships WITH the index.
+        vecs = _knn_vecs(spark, sf_dir)
+        prow = _knn_prow(vecs)
+        cells, cents_long = _knn_cells(spark, sf_dir)
+        cells = bounded_persist(cells)
+        buckets = bounded_persist(
+            _knn_buckets(vecs, prow)
+            .join(cells, "vec_id")
+            .select(
+                "vec_id",
+                "tbl",
+                (F.col("bucket") * KMEANS_K + F.col("cell")).alias("bucket"),
+            )
+        )
+        build_buckets = buckets
+        extras = [("cells", cells), ("cents", cents_long)]
     else:
         vecs = _knn_vecs(spark, sf_dir)
         prow = _knn_prow(vecs)
         buckets = bounded_persist(_knn_buckets(vecs, prow))
         build_buckets = buckets
+    if variant != "cellrouted":
+        extras = []
     rounds = _knn_rounds(spark, sf_dir, vecs=vecs, buckets=build_buckets)
     tmp = f"{d}.build-{os.getpid()}"
     try:
         prow.write.mode("overwrite").parquet(os.path.join(tmp, "prow"))
         buckets.write.mode("overwrite").parquet(os.path.join(tmp, "buckets"))
+        for name, df_ in extras:
+            df_.write.mode("overwrite").parquet(os.path.join(tmp, name))
         for r, b in enumerate(rounds):
             b.write.mode("overwrite").parquet(os.path.join(tmp, f"round{r}"))
     except BaseException:
@@ -4106,20 +4173,30 @@ def _knn_buckets_cte(src: str = "knnv") -> str:
       ) knnb12 CROSS JOIN knnp"""
 
 
-def _knn_oracle_ctes(where: str = "", shard_mod: int | None = None) -> str:
+def _knn_oracle_ctes(
+    where: str = "",
+    shard_mod: int | None = None,
+    shard_map: str | None = None,
+) -> str:
     """Shared CTE chain b0..b{KNN_ITERS}: init + unrolled refinement over
     the (optionally filtered) corpus. ``shard_mod`` = S builds the
     SHARDED index instead: candidates cap per (tbl, bucket, vec_id % S)
     and seeding stays within a shard — and because NN-Descent's
     neighbor-of-neighbor closure preserves the shard of every edge, the
     refinement CTEs need no change at all: S independent per-shard
-    graphs fall out of the one chain."""
+    graphs fall out of the one chain. ``shard_map`` names an
+    already-emitted (vec_id, cell) CTE and shards by THAT mapping
+    instead (the semantic/cell-sharded build): the bucket frame gains a
+    joined `shard` column (knnlshbs), the cap partitions by it, and
+    seeding joins on it — same closure argument, per-CELL graphs."""
     shard_part = f", vec_id % {shard_mod}" if shard_mod else ""
     shard_join = (
         f" AND q.vec_id % {shard_mod} = c.vec_id % {shard_mod}"
         if shard_mod
         else ""
     )
+    if shard_map:
+        return _knn_oracle_ctes_mapped(where, shard_map)
     ctes = f"""
     knnv AS (
       SELECT vec_id,
@@ -4146,6 +4223,86 @@ def _knn_oracle_ctes(where: str = "", shard_mod: int | None = None) -> str:
       SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
       FROM knnlshb q
       JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket{shard_join}
+      WHERE q.vec_id <> c.vec_id
+    ), b0 AS MATERIALIZED (
+      SELECT node, nbr, cos6 FROM (
+        SELECT s.node, s.nbr, s.cos6,
+               ROW_NUMBER() OVER (PARTITION BY s.node
+                                  ORDER BY s.cos6 DESC, s.nbr) AS rk
+        FROM (
+          SELECT knninit.node, knninit.nbr,
+                 ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos6
+          FROM knninit JOIN knnv a ON a.vec_id = knninit.node
+                       JOIN knnv c ON c.vec_id = knninit.nbr
+        ) s
+      ) WHERE rk <= {KNN_K}
+    )"""
+    for i in range(1, KNN_ITERS + 1):
+        p = i - 1
+        ctes += f""",
+    u{i} AS MATERIALIZED (
+      SELECT node AS a, nbr AS b FROM b{p}
+      UNION
+      SELECT nbr AS a, node AS b FROM b{p}
+    ), cand{i} AS (
+      SELECT x.a AS node, y.b AS nbr
+      FROM u{i} x JOIN u{i} y ON x.b = y.a
+      WHERE x.a <> y.b
+      UNION
+      SELECT node, nbr FROM b{p}
+    ), b{i} AS MATERIALIZED (
+      SELECT node, nbr, cos6 FROM (
+        SELECT s.node, s.nbr, s.cos6,
+               ROW_NUMBER() OVER (PARTITION BY s.node
+                                  ORDER BY s.cos6 DESC, s.nbr) AS rk
+        FROM (
+          SELECT cand{i}.node, cand{i}.nbr,
+                 ROUND(list_cosine_similarity(a.e, c.e), 6) AS cos6
+          FROM cand{i} JOIN knnv a ON a.vec_id = cand{i}.node
+                       JOIN knnv c ON c.vec_id = cand{i}.nbr
+        ) s
+      ) WHERE rk <= {KNN_K}
+    )"""
+    return ctes
+
+
+def _knn_oracle_ctes_mapped(where: str, shard_map: str) -> str:
+    """The `shard_map` leg of `_knn_oracle_ctes`: identical build chain,
+    but the shard of a vector comes from a JOIN against the named
+    (vec_id, cell) CTE instead of a modulo — the bucket frame gains a
+    `shard` column (knnlshbs), the cap partitions by it, seeding joins
+    on it, and the refinement loop is untouched (the in-shard closure
+    argument is shard-key-agnostic)."""
+    ctes = f"""
+    knnv AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings {where}
+    ), knnn AS (SELECT COUNT(*) AS n FROM knnv),
+    knnp AS (
+      SELECT LEAST(GREATEST({KNN_PLANES_MIN},
+                     CAST(CEIL(LOG2(n / {float(KNN_SEED_BUCKET)})) AS INT)),
+                   {KNN_PLANES_MAX}) AS p
+      FROM knnn
+    ), knnlshb AS MATERIALIZED (
+{_knn_buckets_cte()}
+    ), knnlshbs AS MATERIALIZED (
+      SELECT b.vec_id, b.tbl, b.bucket, m.cell AS shard
+      FROM knnlshb b JOIN {shard_map} m ON m.vec_id = b.vec_id
+    ), knnlshc AS MATERIALIZED (
+      SELECT vec_id, tbl, bucket, shard FROM (
+        SELECT vec_id, tbl, bucket, shard,
+               ROW_NUMBER() OVER (
+                 PARTITION BY tbl, bucket, shard
+                 ORDER BY (vec_id * {KNN_CAP_MIX}) % {KNN_CAP_MOD}, vec_id
+               ) AS rn
+        FROM knnlshbs
+      ) WHERE rn <= {KNN_BUCKET_CAP}
+    ), knninit AS (
+      SELECT DISTINCT q.vec_id AS node, c.vec_id AS nbr
+      FROM knnlshbs q
+      JOIN knnlshc c ON q.tbl = c.tbl AND q.bucket = c.bucket
+                    AND q.shard = c.shard
       WHERE q.vec_id <> c.vec_id
     ), b0 AS MATERIALIZED (
       SELECT node, nbr, cos6 FROM (
@@ -4821,16 +4978,21 @@ def knn_graph_incremental_recall(
 # name \b-renamed with an 'fr' prefix) at the top level instead.
 # --------------------------------------------------------------------------
 def _knn_oracle_ctes_ns(
-    prefix: str, where: str = "", shard_mod: int | None = None
+    prefix: str,
+    where: str = "",
+    shard_mod: int | None = None,
+    shard_map: str | None = None,
 ) -> str:
     """_knn_oracle_ctes with every CTE name prefixed — lets one oracle
     carry the build chain over two different corpus filters (or shard
-    configs) without name collisions."""
+    configs) without name collisions. A ``shard_map`` CTE name is passed
+    through UNprefixed (it is defined by the caller, outside the
+    chain)."""
     import re
 
-    sql = _knn_oracle_ctes(where=where, shard_mod=shard_mod)
+    sql = _knn_oracle_ctes(where=where, shard_mod=shard_mod, shard_map=shard_map)
     names = (
-        ["knnlshb", "knnlshc", "knninit", "knnv", "knnn", "knnp"]
+        ["knnlshbs", "knnlshb", "knnlshc", "knninit", "knnv", "knnn", "knnp"]
         + [f"b{i}" for i in range(KNN_ITERS + 1)]
         + [f"u{i}" for i in range(1, KNN_ITERS + 1)]
         + [f"cand{i}" for i in range(1, KNN_ITERS + 1)]
@@ -7602,6 +7764,218 @@ def ann_graph_search_routed_recall(
             ).crossJoin(F.broadcast(ns))
         )
     return legs[0].unionAll(legs[1])
+
+
+# --------------------------------------------------------------------------
+# SEMANTIC (cell-) sharded serving — the positive counterpart to the
+# hash-routed collapse above: shard by kmeans cell (locality!) and route
+# each query to its P nearest cells by centroid distance, IVF-style. One
+# standard build pass over composite (bucket * KMEANS_K + cell) ids
+# yields per-CELL graphs (the same in-shard closure); the routing
+# geometry (cell map + centroids) ships inside the snapshot. P is the
+# nprobe knob: the recall-vs-P table is what a deployment reads to pick
+# how many shards a query touches — the 100 TB answer to "must every
+# query hit every node?" is NO, if the shard key is semantic.
+# --------------------------------------------------------------------------
+GS_CELL_PROBES = (1, 2, 4)
+
+
+def _gs_cell_probe(spark: SparkSession, sf_dir: str, p: int) -> DataFrame:
+    """(node, cell): each eval query's ``p`` nearest cells by squared L2
+    to the snapshot's stored centroids — EXACTLY the assignment
+    geometry (`_knn_cells`' 6dp rounding, d-then-cid tie-break), so
+    p=1 is the query's own cell."""
+    d = _knn_index(spark, sf_dir, variant="cellrouted")
+    cents_long = spark.read.parquet(os.path.join(d, "cents"))
+    vecs = _knn_vecs(spark, sf_dir)
+    q = vecs.where(F.col("vec_id") < KNN_EVAL_N).select(
+        F.col("vec_id").alias("node"), "e"
+    )
+    dists = F.transform(
+        F.col("cents"),
+        lambda s: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("e"), s.getField("c"), lambda x, y: (x - y) * (x - y)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            ).alias("d"),
+            s.getField("cid").alias("cid"),
+        ),
+    )
+    w = W.partitionBy("node").orderBy("d", "cid")
+    return (
+        q.crossJoin(F.broadcast(_kmeans_cents_row(cents_long)))
+        .select("node", F.explode(dists).alias("dc"))
+        .select("node", F.col("dc.d").alias("d"), F.col("dc.cid").alias("cid"))
+        .withColumn("pr", F.row_number().over(w))
+        .where(F.col("pr") <= p)
+        .select("node", F.col("cid").alias("cell"))
+    )
+
+
+def _gs_cell_routed_visited(
+    spark: SparkSession, sf_dir: str, p: int
+) -> DataFrame:
+    """(node, nbr, cos6): every pair scored when each query probes its
+    ``p`` nearest CELLS — entry joins the query's base bucket against
+    the probed cells' capped members only; hops stay inside probed
+    cells because every edge is in-cell. ONE per-query beam regardless
+    of ``p`` (the legs differ only in entry coverage, so the recall-vs-P
+    table isolates the routing decision from the beam budget)."""
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    vecs = _knn_vecs(spark, sf_dir)
+    d = _knn_index(spark, sf_dir, variant="cellrouted")
+    graph = spark.read.parquet(os.path.join(d, f"round{KNN_ITERS}"))
+    sbkts = spark.read.parquet(os.path.join(d, "buckets"))
+    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    und = bounded_persist(
+        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
+        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
+        .repartition(n_parts, "a")
+        .dropDuplicates(["a", "b"])
+    )
+    base = F.floor(F.col("bucket") / KMEANS_K).alias("base")
+    cell = F.pmod(F.col("bucket"), F.lit(KMEANS_K)).alias("cell")
+    probe = _gs_cell_probe(spark, sf_dir, p)
+    entry = (
+        sbkts.where(F.col("vec_id") < KNN_EVAL_N)
+        .select(F.col("vec_id").alias("node"), "tbl", base)
+        .join(
+            _knn_capped_buckets(sbkts).select(
+                F.col("vec_id").alias("nbr"), "tbl", base, cell
+            ),
+            ["tbl", "base"],
+        )
+        .join(F.broadcast(probe), ["node", "cell"], "left_semi")
+        .where(F.col("node") != F.col("nbr"))
+        .select("node", "nbr")
+        .repartition(n_parts, "node", "nbr")
+        .dropDuplicates(["node", "nbr"])
+    )
+
+    def score(pr):
+        return _knn_score(pr, vecs)
+
+    return _gs_traverse(score(entry), und, score, GS_BEAM)
+
+
+def _gs_cell_routed_oracle() -> str:
+    cm = f"""
+    cmv AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+             CAST(unnest(embedding) AS DOUBLE) AS val
+      FROM embeddings
+    ), cmc0 AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+      FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT {KMEANS_K})
+    ), cmc0v AS (
+      SELECT cmc0.cid, cmv.pos, cmv.val AS cval
+      FROM cmc0 JOIN cmv USING (vec_id)
+    ), cmd1 AS (
+      SELECT v.vec_id, c.cid, ROUND(SUM((v.val - c.cval) ^ 2), 6) AS d
+      FROM cmv v JOIN cmc0v c USING (pos) GROUP BY v.vec_id, c.cid
+    ), cma1 AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cmd1) WHERE rn = 1
+    ), cmc1 AS (
+      SELECT cma1.cid, v.pos, ROUND(AVG(v.val), 6) AS cval
+      FROM cma1 JOIN cmv v USING (vec_id) GROUP BY cma1.cid, v.pos
+    ), cmd2 AS (
+      SELECT v.vec_id, c.cid, ROUND(SUM((v.val - c.cval) ^ 2), 6) AS d
+      FROM cmv v JOIN cmc1 c USING (pos) GROUP BY v.vec_id, c.cid
+    ), cellmap AS MATERIALIZED (
+      SELECT vec_id, cid AS cell FROM (
+        SELECT vec_id, cid,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM cmd2) WHERE rn = 1
+    ), cmqp AS MATERIALIZED (
+      SELECT vec_id AS node, cid AS cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, cid) AS pr
+      FROM cmd2 WHERE vec_id < {KNN_EVAL_N}
+    )"""
+    parts = cm + ",\n    " + _knn_oracle_ctes_ns(
+        "cr", shard_map="cellmap"
+    ).lstrip()
+    legs = []
+    for i, p in enumerate(GS_CELL_PROBES):
+        tag = f"cp{p}t"
+        parts += _gs_oracle_ctes(
+            tag=tag,
+            edges=f"crb{KNN_ITERS}",
+            cand="crknnlshc",
+            und=None if i == 0 else f"cp{GS_CELL_PROBES[0]}tund",
+            entry_where=(
+                f" AND EXISTS (SELECT 1 FROM cmqp pp"
+                f" WHERE pp.node = q.vec_id AND pp.cell = c.shard"
+                f" AND pp.pr <= {p})"
+            ),
+        )
+        legs.append(
+            f"""SELECT CAST({p} AS BIGINT) AS probes,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(hit) AS BIGINT) AS n_hit,
+           ROUND(SUM(hit) * 1.0 / COUNT(*), 4) AS recall,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM {tag}v{GS_ROUNDS})
+             AS n_scored
+    FROM (
+      SELECT CASE WHEN a.nbr IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM gstruth t
+      LEFT JOIN (
+        SELECT node, nbr FROM (
+          SELECT node, nbr,
+                 ROW_NUMBER() OVER (PARTITION BY node
+                                    ORDER BY cos6 DESC, nbr) AS rk
+          FROM {tag}v{GS_ROUNDS}
+        ) WHERE rk <= {KNN_K}
+      ) a ON t.node = a.node AND t.nbr = a.nbr
+    )"""
+        )
+    return f"""
+    WITH {_knn_oracle_ctes()},{parts},
+    gstruth AS ({_KNN_TRUTH_SQL})
+    {" UNION ALL ".join(legs)}
+    """
+
+
+@query("ann_graph_search_cell_routed_recall", oracle=_gs_cell_routed_oracle())
+def ann_graph_search_cell_routed_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """(probes, n_true, n_hit, recall, n_scored): serving quality when
+    each query probes only its P nearest SEMANTIC shards (kmeans cells,
+    P = 1/2/{KMEANS_K}), one fixed beam, against the same brute truth —
+    the IVF-style nprobe table for graph serving. Read beside
+    ann_graph_search_routed_recall: a HASH shard key collapses routed
+    recall to ~1/S, a SEMANTIC key keeps most of it at P=1 because near
+    neighbors co-locate in cells — the pair is the committed case that
+    at 100 TB a query need not touch every index shard, provided the
+    shard key carries locality."""
+    truth = bounded_persist(_knn_truth(spark, sf_dir))
+    legs = []
+    for p in GS_CELL_PROBES:
+        visited = _gs_cell_routed_visited(spark, sf_dir, p)
+        approx = _knn_topk(visited).select("node", "nbr")
+        ns = visited.agg(F.count("*").cast("long").alias("n_scored"))
+        legs.append(
+            _truth_recall_agg(
+                truth,
+                approx,
+                lead=(F.lit(p).cast("long").alias("probes"),),
+            ).crossJoin(F.broadcast(ns))
+        )
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionAll(leg)
+    return out
 
 
 # --------------------------------------------------------------------------

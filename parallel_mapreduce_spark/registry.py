@@ -139,6 +139,7 @@ DRIVER_PRIORITY: list[str] = [
     "ann_graph_search_sharded_topk",
     "stream_ann_serve_topk",
     "ann_graph_search_routed_recall",
+    "ann_graph_search_cell_routed_recall",
 ]
 
 # Queries whose OUTPUT VALUES changed in a given round. A green driver row

@@ -665,6 +665,26 @@ def test_routed_serving_stays_in_home_shard(spark, sf_dir):
     assert leaked == 0
 
 
+def test_cell_routed_stays_in_probed_cells(spark, sf_dir):
+    """Every pair a P=1 cell-routed traversal scores must lie in the
+    query's own (nearest) cell: entry is probe-confined and edges are
+    in-cell, so a candidate outside the probed cell means the semantic
+    routing leaked."""
+    from pyspark.sql import functions as F
+    import os
+
+    d = S._knn_index(spark, sf_dir, variant="cellrouted")
+    cells = spark.read.parquet(os.path.join(d, "cells"))
+    probe = S._gs_cell_probe(spark, sf_dir, 1)
+    leaked = (
+        S._gs_cell_routed_visited(spark, sf_dir, 1)
+        .join(cells.select(F.col("vec_id").alias("nbr"), "cell"), "nbr")
+        .join(probe, ["node", "cell"], "left_anti")
+        .count()
+    )
+    assert leaked == 0
+
+
 def test_snapshot_root_is_user_scoped(monkeypatch):
     import os
 

@@ -166,6 +166,9 @@ SCALE_SENSITIVE = [
     # round-13: routed-vs-fanout recall gap is widest (and the in-shard
     # truth fraction smallest) at the largest corpus
     "ann_graph_search_routed_recall",
+    # round-13: cell sizes skew with the corpus (kmeans cells), so the
+    # per-cell cap + probe ranking arithmetic needs the big-corpus check
+    "ann_graph_search_cell_routed_recall",
 ]
 
 
