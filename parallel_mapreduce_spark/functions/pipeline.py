@@ -120,12 +120,16 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.min("doc_id").alias("doc_id"))
     # Survivors feed TWO consumers — the shingle index and the final
     # keep-one join — and the clustering loop's edge checkpoint would
-    # otherwise re-derive the gate+dedup chain a third time. One reliable
-    # checkpoint materializes them once (measured 4.2s -> 2.6s warm at
-    # sf0.1); at cluster scale this is the standard write-once-intermediate
-    # for a multi-consumer stage, and it doubles as the recovery point for
-    # the iterative phase that follows.
-    s = q.join(keep_e.select("doc_id"), "doc_id").checkpoint(eager=True)
+    # otherwise re-derive the gate+dedup chain a third time. One
+    # materialization serves all three (measured 4.2s -> 2.6s warm at
+    # sf0.1 when this landed as a reliable checkpoint). Round-13
+    # optimization (guide §5): localCheckpoint — same lineage cut and
+    # single compute, without the parquet write + re-read of the text
+    # column per run; the RECOVERY point for the iterative phase stays
+    # the reliable per-round checkpoints inside connected_components
+    # (executor loss there re-derives survivors once, it does not kill
+    # the fixpoint's progress).
+    s = q.join(keep_e.select("doc_id"), "doc_id").localCheckpoint(eager=True)
     # Stage 3: near-dup clustering over survivors; keep cluster representatives.
     shingled = s.select("doc_id", shingles3(F.col("toks")).alias("sh"))
     pairs = jaccard_pairs(shingled).select("doc_a", "doc_b")

@@ -41,7 +41,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from parallel_mapreduce_spark.functions.similarity import as_double
+from parallel_mapreduce_spark.functions.similarity import (
+    as_double,
+    corpus_parts,
+)
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.session import bounded_persist
 from parallel_mapreduce_spark.sources import load_table, register_views
@@ -109,7 +112,11 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_selection.py)."""
     register_views(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings")
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # Scale-adaptive parts (guide §2): each of the K sequential picks is
+    # a TakeOrdered job over this frame — at the test corpus 32-task
+    # waves were pure scheduling overhead (measured ~2.9s -> ~1.6s for
+    # the 12-pick trajectory at sf0.1); a big corpus still spreads.
+    n_parts = corpus_parts(spark, sf_dir)
     vecs = bounded_persist(
         emb.repartition(n_parts, "vec_id").select(
             "vec_id", as_double(F.col("embedding")).alias("e")
@@ -237,7 +244,7 @@ def pipeline_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", F.size(toks).cast("long").alias("n_toks")
     ).where(F.col("n_toks") >= PDS_MIN_TOKS)
     emb = load_table(spark, sf_dir, "embeddings")
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    n_parts = corpus_parts(spark, sf_dir)
     vecs = bounded_persist(
         emb.join(
             surv.select(F.col("doc_id").alias("vec_id")), "vec_id", "left_semi"

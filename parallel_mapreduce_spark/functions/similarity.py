@@ -3477,10 +3477,19 @@ def _knn_vecs(
     )
 
 
-def _knn_score(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
+def _knn_score(
+    pairs: DataFrame, vecs: DataFrame, bcast: bool = False
+) -> DataFrame:
     """(node, nbr) -> (node, nbr, cos6): two id-keyed SHUFFLED HASH
-    joins, one interpreted dot per pair (norms precomputed). Two plan
-    decisions both paid for by measurement:
+    joins, one interpreted dot per pair (norms precomputed). With
+    ``bcast`` (serving paths over a corpus below GS_BCAST_MAX_BYTES —
+    guide §3.1: a broadcast join replaces a shuffle of the large side),
+    both vector sides broadcast instead: zero exchanges per score call,
+    and the pair frame keeps its upstream partitioning (no repartition —
+    the AQE-funnel hazard below only exists on the shuffle path).
+    Results are identical either way; only the exchange count moves.
+    Two plan decisions on the default path, both paid for by
+    measurement:
 
     - the explicit repartition spreads the pair frame across the cluster
       BEFORE the compute-heavy projection: pair rows are 16 bytes each,
@@ -3506,29 +3515,35 @@ def _knn_score(pairs: DataFrame, vecs: DataFrame) -> DataFrame:
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    cos6 = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    ).alias("cos6")
+    if bcast:
+        return (
+            pairs.join(F.broadcast(a), "node")
+            .join(F.broadcast(b), "nbr")
+            .select("node", "nbr", cos6)
+        )
     return (
         pairs.repartition(n_parts, "node", "nbr")
         .join(a.hint("shuffle_hash"), "node")
         .join(b.hint("shuffle_hash"), "nbr")
-        .select(
-            "node",
-            "nbr",
-            F.round(
-                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
-            ).alias("cos6"),
-        )
+        .select("node", "nbr", cos6)
     )
 
 
-def _knn_topk(scored: DataFrame, k: int = KNN_K) -> DataFrame:
+def _knn_topk(
+    scored: DataFrame, k: int = KNN_K, parts: int | None = None
+) -> DataFrame:
     """Keep-best top-K per node. The explicit repartition before the
     window is the same compressed-size lesson as _knn_score's: thin
     (node, nbr, cos6) rows lz4-compress to ~3 bytes each, so AQE's
     byte-based planner handed the 34M-row window sort TWO tasks at the
     30x probe scale; partitioning by node at full parallelism lets the
     window reuse the exchange (no second shuffle) and sort in
-    corpus/parallelism chunks."""
-    n_parts = max(
+    corpus/parallelism chunks. ``parts`` overrides the partition count
+    for query-bounded serving frames (see _gs_parts)."""
+    n_parts = parts or max(
         scored.sparkSession.sparkContext.defaultParallelism, 8
     )
     w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
@@ -5466,6 +5481,89 @@ GS_BEAM = 24    # beam width (candidates expanded per hop). Measured at
                 # same cluster; width buys the diversity extra hops
                 # can't (the HNSW ef>k lesson).
 GS_ROUNDS = 3   # graph hops after the LSH entry
+# Serving-plan sizing (round 13 optimization; guide §2 "scale-adaptive
+# partitioning", §3.1 "pick the join strategy deliberately"). Two facts
+# the optimizer cannot know: (a) the traversal's visited/frontier frames
+# are bounded by Q x per-query budget — corpus-INDEPENDENT — so spreading
+# them over defaultParallelism partitions at a 50-query eval batch pays
+# ~300 scheduled tasks per hop job to move ~32k thin rows (measured
+# 8.8->5.7s for the full serve at sf0.1 from partition sizing alone);
+# (b) whether the corpus-scale sides (vecs, the undirected adjacency)
+# fit a broadcast is a property of the CORPUS, not the query — below the
+# gate the hop joins go broadcast-hash (zero exchanges per score call,
+# measured 8.8->5.6s alone); above it the shuffled-hash plan that
+# survived the 30x probe is kept verbatim. Both knobs are parameterised
+# for clusters (env) with local defaults derived from the data itself.
+GS_BCAST_MAX_BYTES = int(
+    os.environ.get("SPARK_GRAFT_GS_BCAST_MAX_BYTES", str(64 << 20))
+)
+GS_PARTS_ROWS = 10_000  # target visited rows per serving partition
+
+
+def _knn_table_bytes(sf_dir: str, table: str = "embeddings") -> int:
+    """On-disk bytes of a source table (file or directory of parts) —
+    the broadcast-vs-shuffle decision input. Unknown => huge (shuffle)."""
+    p = os.path.join(sf_dir.rstrip("/"), f"{table}.parquet")
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 62
+
+
+def corpus_parts(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str = "embeddings",
+    per_part: int = 4 << 20,
+) -> int:
+    """Scale-adaptive partition count for frames proportional to a source
+    table (guide §2: derive partitioning from input size, not a constant
+    tuned for one box): one partition per ``per_part`` on-disk bytes,
+    clamped to [8, parallelism]. A 17 MB test corpus stops paying
+    32-task stages to move kilobytes; a 100 TB corpus still saturates
+    the cluster (the clamp ceiling is the cores)."""
+    b = _knn_table_bytes(sf_dir, table)
+    return max(
+        8,
+        min(
+            max(spark.sparkContext.defaultParallelism, 8),
+            -(-b // per_part),
+        ),
+    )
+
+
+def _gs_small(sf_dir: str) -> bool:
+    """True when the embedding corpus is small enough that the serving
+    joins' corpus-scale sides (vecs, undirected adjacency) fit a
+    broadcast: parquet bytes under GS_BCAST_MAX_BYTES (~64 MiB default
+    covers both sides comfortably inside the executor/driver budget;
+    the adjacency is 2*K thin rows per vector, always smaller than the
+    vectors themselves)."""
+    return _knn_table_bytes(sf_dir) <= GS_BCAST_MAX_BYTES
+
+
+def _gs_parts(spark: SparkSession, n_queries: int) -> int:
+    """Partition count for the traversal's query-bounded frames: the
+    visited set tops out near Q * GS_BEAM * 3K rows, so size partitions
+    to GS_PARTS_ROWS of those thin rows, clamped to [8, parallelism].
+    A million-query serving batch scales back up to full parallelism."""
+    env = os.environ.get("SPARK_GRAFT_GS_PARTS")
+    if env:
+        return int(env)
+    est = max(1, n_queries) * GS_BEAM * 3 * KNN_K
+    return max(
+        8,
+        min(
+            spark.sparkContext.defaultParallelism,
+            -(-est // GS_PARTS_ROWS),
+        ),
+    )
 GS_FLOOR = 0.7  # pinned mean recall@KNN_K floor vs brute truth — the
                 # verdict's "comparable to the 4-table LSH leg" bar.
                 # Measured: 0.777 at sf0.1, ~0.8+ at sf0.01/sf0.001.
@@ -5519,7 +5617,13 @@ def _gs_visited(
         vecs = _knn_vecs(spark, sf_dir)
     if graph is None:
         graph = _knn_graph_snap(spark, sf_dir)
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    # Round-13 optimization (guide §2/§3.1): the traversal frames are
+    # query-bounded, so partition them by the Q-derived count, and pick
+    # the hop joins' strategy from the corpus size — broadcast-hash below
+    # GS_BCAST_MAX_BYTES, the 30x-probe shuffled-hash plan above it.
+    small = _gs_small(sf_dir)
+    sp = _gs_parts(spark, KNN_EVAL_N)
+    n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
     und = bounded_persist(
         graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
         .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
@@ -5529,7 +5633,9 @@ def _gs_visited(
     # Entry: the bucket frame from the index snapshot (the same rows the
     # build seeded from — entry reuses index state, no new structure);
     # query side = eval nodes, candidate side capped exactly like the
-    # build's seed join.
+    # build's seed join. The query side is Q-bounded (a serving batch),
+    # so it broadcasts and the corpus-scale bucket frame never shuffles
+    # for this join.
     bkts = _knn_buckets_snap(spark, sf_dir)
     cand_src = bkts
     if cand_allowed is not None:
@@ -5548,7 +5654,9 @@ def _gs_visited(
         )
     )
     entry = (
-        q_src.select(F.col("vec_id").alias("node"), "tbl", "bucket")
+        F.broadcast(
+            q_src.select(F.col("vec_id").alias("node"), "tbl", "bucket")
+        )
         .join(
             _knn_capped_buckets(cand_src).select(
                 F.col("vec_id").alias("nbr"), "tbl", "bucket"
@@ -5557,13 +5665,15 @@ def _gs_visited(
         )
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .repartition(n_parts, "node", "nbr")
+        .repartition(sp, "node", "nbr")
         .dropDuplicates(["node", "nbr"])
     )
     if score is None:
         def score(p):
-            return _knn_score(p, vecs)
-    return _gs_traverse(score(entry), und, score, beam)
+            return _knn_score(p, vecs, bcast=small)
+    return _gs_traverse(
+        score(entry), und, score, beam, parts=sp, bcast_und=small
+    )
 
 
 def _gs_traverse(
@@ -5573,6 +5683,8 @@ def _gs_traverse(
     beam: int,
     exclude_self: bool = True,
     beam_by: Column | None = None,
+    parts: int | None = None,
+    bcast_und: bool = False,
 ) -> DataFrame:
     """The shared beam loop every traversal exhibit runs: keep-best
     top-``beam`` frontier, one-hop expand through ``und``, score only
@@ -5586,13 +5698,24 @@ def _gs_traverse(
     self-pair. ``beam_by`` adds a partition column to the FRONTIER
     window — the sharded-serving shape, where each shard runs its own
     top-``beam`` frontier per query (partition (node, shard-of-nbr))
-    and the cross-shard merge happens only at the final cut."""
+    and the cross-shard merge happens only at the final cut.
+
+    ``parts`` sizes the exchanges of the query-bounded frames (default:
+    full parallelism — callers that know their query count pass
+    _gs_parts); ``bcast_und`` broadcasts the adjacency into the hop
+    join (small-corpus serving; guide §3.1). Round-13 optimization: the
+    per-hop materialization is a localCheckpoint — it truncates the 3^t
+    lineage exactly like the reliable checkpoint did, without writing
+    and re-reading parquet per hop (guide §5: localCheckpoint is the
+    cheaper lineage cut when fault tolerance of the intermediate is not
+    critical — a serving request is re-runnable, unlike the build, which
+    keeps its durable checkpoints)."""
     spark = entry_scored.sparkSession
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
-    visited = entry_scored.checkpoint(eager=True)
+    n_parts = parts or max(spark.sparkContext.defaultParallelism, 8)
+    visited = entry_scored.localCheckpoint(eager=True)
     for _ in range(GS_ROUNDS):
         if beam_by is None:
-            front = _knn_topk(visited, k=beam)
+            front = _knn_topk(visited, k=beam, parts=n_parts)
         else:
             wb = W.partitionBy(F.col("node"), beam_by).orderBy(
                 F.desc("cos6"), "nbr"
@@ -5603,7 +5726,9 @@ def _gs_traverse(
                 .where(F.col("rk") <= beam)
                 .select("node", "nbr", "cos6")
             )
-        expand = front.select("node", F.col("nbr").alias("a")).join(und, "a")
+        expand = front.select("node", F.col("nbr").alias("a")).join(
+            F.broadcast(und) if bcast_und else und, "a"
+        )
         if exclude_self:
             expand = expand.where(F.col("b") != F.col("node"))
         expand = (
@@ -5612,7 +5737,7 @@ def _gs_traverse(
             .dropDuplicates(["node", "nbr"])
             .join(visited.select("node", "nbr"), ["node", "nbr"], "left_anti")
         )
-        visited = visited.unionAll(score(expand)).checkpoint(eager=True)
+        visited = visited.unionAll(score(expand)).localCheckpoint(eager=True)
     return visited
 
 
@@ -6400,29 +6525,32 @@ _OOV_Q_SQL = f"""knnq AS (
 
 
 def _gs_score_oov(
-    pairs: DataFrame, qvecs: DataFrame, vecs: DataFrame
+    pairs: DataFrame, qvecs: DataFrame, vecs: DataFrame, bcast: bool = False
 ) -> DataFrame:
     """Score (node, nbr) where the node side is a HELD-OUT query: query
     vectors broadcast (query-batch-sized), candidate side streams with
-    the family's shuffled-hash discipline."""
+    the family's shuffled-hash discipline — or broadcasts too when the
+    corpus is below GS_BCAST_MAX_BYTES (``bcast``; guide §3.1)."""
     n_parts = max(pairs.sparkSession.sparkContext.defaultParallelism, 8)
     c = vecs.select(
         F.col("vec_id").alias("nbr"),
         F.col("e").alias("eb"),
         F.col("nrm").alias("nb"),
     )
+    cos6 = F.round(
+        dot(F.col("qe"), F.col("eb")) / (F.col("qn") * F.col("nb")), 6
+    ).alias("cos6")
+    if bcast:
+        return (
+            pairs.join(F.broadcast(qvecs), "node")
+            .join(F.broadcast(c), "nbr")
+            .select("node", "nbr", cos6)
+        )
     return (
         pairs.repartition(n_parts, "node", "nbr")
         .join(F.broadcast(qvecs), "node")
         .join(c.hint("shuffle_hash"), "nbr")
-        .select(
-            "node",
-            "nbr",
-            F.round(
-                dot(F.col("qe"), F.col("eb")) / (F.col("qn") * F.col("nb")),
-                6,
-            ).alias("cos6"),
-        )
+        .select("node", "nbr", cos6)
     )
 
 
@@ -6434,7 +6562,9 @@ def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_checkpoint_dir(spark)
     vecs = _knn_vecs(spark, sf_dir)
     graph = _knn_graph_snap(spark, sf_dir)
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    small = _gs_small(sf_dir)
+    sp = _gs_parts(spark, GS_OOV_N)
+    n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
     und = bounded_persist(
         graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
         .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
@@ -6449,7 +6579,7 @@ def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         prow,
     )
     entry = (
-        qb.select(F.col("vec_id").alias("node"), "tbl", "bucket")
+        F.broadcast(qb.select(F.col("vec_id").alias("node"), "tbl", "bucket"))
         .join(
             _knn_capped_buckets(bkts).select(
                 F.col("vec_id").alias("nbr"), "tbl", "bucket"
@@ -6460,11 +6590,13 @@ def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["node", "nbr"])
     )
     return _gs_traverse(
-        _gs_score_oov(entry, qvecs, vecs),
+        _gs_score_oov(entry, qvecs, vecs, bcast=small),
         und,
-        lambda p: _gs_score_oov(p, qvecs, vecs),
+        lambda p: _gs_score_oov(p, qvecs, vecs, bcast=small),
         GS_BEAM,
         exclude_self=False,
+        parts=sp,
+        bcast_und=small,
     )
 
 
@@ -6845,13 +6977,14 @@ def _gs_del_frames(vecs: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 
 def _gs_compacted_graph(
-    graph: DataFrame, vecs: DataFrame, tomb: DataFrame
+    graph: DataFrame, vecs: DataFrame, tomb: DataFrame, bcast: bool = False
 ) -> DataFrame:
     """(node, nbr, cos6): the post-compaction adjacency — tombstoned
     nodes dropped, edges into tombstones re-homed through the
     tombstone's own out-list, surviving lists re-ranked to top-K.
     Every join is against the tombstone frame (the small side) or
-    degree-bounded (<= K out-edges per tombstone)."""
+    degree-bounded (<= K out-edges per tombstone). ``bcast`` routes the
+    re-rank scoring through the broadcast path (small corpus)."""
     n_parts = max(graph.sparkSession.sparkContext.defaultParallelism, 8)
     t_node = tomb.select(F.col("vec_id").alias("node"))
     t_nbr = tomb.select(F.col("vec_id").alias("nbr"))
@@ -6879,7 +7012,7 @@ def _gs_compacted_graph(
         .repartition(n_parts, "node", "nbr")
         .dropDuplicates(["node", "nbr"])
     )
-    return _knn_topk(_knn_score(cand, vecs))
+    return _knn_topk(_knn_score(cand, vecs, bcast=bcast))
 
 
 def _gs_del_oracle_ctes() -> str:
@@ -7038,7 +7171,7 @@ def ann_graph_delete_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-rank over the materialized truth snapshot (round 13)
     truth = bounded_persist(_knn_truth(spark, sf_dir, nbr_anti=tomb))
     nt = tomb.agg(F.count("*").cast("long").alias("n_tombstones"))
-    compacted = _gs_compacted_graph(graph, vecs, tomb)
+    compacted = _gs_compacted_graph(graph, vecs, tomb, bcast=_gs_small(sf_dir))
     legs = []
     for kind, visited, cut_tomb in (
         ("tombstone_waypoints", _gs_visited(spark, sf_dir, vecs=vecs), True),
@@ -7297,11 +7430,14 @@ def _knn_vecs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _gs_q_score(pairs: DataFrame, vq: DataFrame) -> DataFrame:
+def _gs_q_score(
+    pairs: DataFrame, vq: DataFrame, bcast: bool = False
+) -> DataFrame:
     """(node, nbr) -> (node, nbr, cos6): QUANTIZED pair scoring — the
     int8 dot rescaled to approximate cosine, same join discipline as
     _knn_score (explicit repartition, shuffled-hash both sides; the
-    quantized rows are 1/4 the float width, which is the point)."""
+    quantized rows are 1/4 the float width, which is the point —
+    ``bcast`` picks broadcast-hash below the corpus gate, guide §3.1)."""
     n_parts = max(pairs.sparkSession.sparkContext.defaultParallelism, 8)
     a = vq.select(
         F.col("vec_id").alias("node"),
@@ -7315,21 +7451,24 @@ def _gs_q_score(pairs: DataFrame, vq: DataFrame) -> DataFrame:
         F.col("qs").alias("sb"),
         F.col("qn").alias("nb"),
     )
+    cos6 = F.round(
+        _int_dot(F.col("qa"), F.col("qb")).cast("double")
+        * F.col("sa")
+        * F.col("sb")
+        / (F.col("na") * F.col("nb")),
+        6,
+    ).alias("cos6")
+    if bcast:
+        return (
+            pairs.join(F.broadcast(a), "node")
+            .join(F.broadcast(b), "nbr")
+            .select("node", "nbr", cos6)
+        )
     return (
         pairs.repartition(n_parts, "node", "nbr")
         .join(a.hint("shuffle_hash"), "node")
         .join(b.hint("shuffle_hash"), "nbr")
-        .select(
-            "node",
-            "nbr",
-            F.round(
-                _int_dot(F.col("qa"), F.col("qb")).cast("double")
-                * F.col("sa")
-                * F.col("sb")
-                / (F.col("na") * F.col("nb")),
-                6,
-            ).alias("cos6"),
-        )
+        .select("node", "nbr", cos6)
     )
 
 
@@ -7411,11 +7550,14 @@ def ann_graph_search_quantized_recall(
         sf_dir,
         vecs=vecs,
         graph=graph,
-        score=lambda p: _gs_q_score(p, vq),
+        score=lambda p: _gs_q_score(p, vq, bcast=_gs_small(sf_dir)),
     )
-    short = _knn_topk(vis_q, k=GS_RERANK).select("node", "nbr")
-    approx_q = _knn_topk(_knn_score(short, vecs)).select("node", "nbr")
-    approx_f = _knn_topk(vis_f).select("node", "nbr")
+    sp = _gs_parts(spark, KNN_EVAL_N)
+    short = _knn_topk(vis_q, k=GS_RERANK, parts=sp).select("node", "nbr")
+    approx_q = _knn_topk(
+        _knn_score(short, vecs, bcast=_gs_small(sf_dir)), parts=sp
+    ).select("node", "nbr")
+    approx_f = _knn_topk(vis_f, parts=sp).select("node", "nbr")
     legs = []
     for kind, approx, vis in (
         ("float_exact", approx_f, vis_f),
@@ -7480,7 +7622,9 @@ def _gs_sharded_visited(
     d = _knn_index(spark, sf_dir, variant=f"sharded{s_count}")
     graph = spark.read.parquet(os.path.join(d, f"round{KNN_ITERS}"))
     sbkts = spark.read.parquet(os.path.join(d, "buckets"))
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    small = _gs_small(sf_dir)
+    sp = _gs_parts(spark, KNN_EVAL_N * s_count)
+    n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
     und = bounded_persist(
         graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
         .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
@@ -7491,10 +7635,13 @@ def _gs_sharded_visited(
     # Entry fan-out: the query's BASE bucket matches every shard's capped
     # members of that bucket (the composite id carries the shard, so the
     # cap is per-shard by construction — each shard admits its own
-    # KNN_BUCKET_CAP members per bucket).
+    # KNN_BUCKET_CAP members per bucket). Query side is batch-bounded —
+    # broadcast it (guide §3.1), the corpus-scale bucket frame stays put.
     entry = (
-        sbkts.where(F.col("vec_id") < KNN_EVAL_N)
-        .select(F.col("vec_id").alias("node"), "tbl", base)
+        F.broadcast(
+            sbkts.where(F.col("vec_id") < KNN_EVAL_N)
+            .select(F.col("vec_id").alias("node"), "tbl", base)
+        )
         .join(
             _knn_capped_buckets(sbkts).select(
                 F.col("vec_id").alias("nbr"), "tbl", base
@@ -7503,12 +7650,12 @@ def _gs_sharded_visited(
         )
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .repartition(n_parts, "node", "nbr")
+        .repartition(sp, "node", "nbr")
         .dropDuplicates(["node", "nbr"])
     )
 
     def score(p):
-        return _knn_score(p, vecs)
+        return _knn_score(p, vecs, bcast=small)
 
     return _gs_traverse(
         score(entry),
@@ -7516,6 +7663,8 @@ def _gs_sharded_visited(
         score,
         GS_BEAM,
         beam_by=F.pmod(F.col("nbr"), F.lit(s_count)),
+        parts=sp,
+        bcast_und=small,
     )
 
 
@@ -7659,7 +7808,9 @@ def _gs_routed_visited(
     d = _knn_index(spark, sf_dir, variant=f"sharded{s_count}")
     graph = spark.read.parquet(os.path.join(d, f"round{KNN_ITERS}"))
     sbkts = spark.read.parquet(os.path.join(d, "buckets"))
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    small = _gs_small(sf_dir)
+    sp = _gs_parts(spark, KNN_EVAL_N)
+    n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
     und = bounded_persist(
         graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
         .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
@@ -7669,8 +7820,10 @@ def _gs_routed_visited(
     base = F.floor(F.col("bucket") / s_count).alias("base")
     shard = F.pmod(F.col("vec_id"), F.lit(s_count)).alias("shard")
     entry = (
-        sbkts.where(F.col("vec_id") < KNN_EVAL_N)
-        .select(F.col("vec_id").alias("node"), "tbl", base, shard)
+        F.broadcast(
+            sbkts.where(F.col("vec_id") < KNN_EVAL_N)
+            .select(F.col("vec_id").alias("node"), "tbl", base, shard)
+        )
         .join(
             _knn_capped_buckets(sbkts).select(
                 F.col("vec_id").alias("nbr"), "tbl", base, shard
@@ -7679,14 +7832,16 @@ def _gs_routed_visited(
         )
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .repartition(n_parts, "node", "nbr")
+        .repartition(sp, "node", "nbr")
         .dropDuplicates(["node", "nbr"])
     )
 
     def score(p):
-        return _knn_score(p, vecs)
+        return _knn_score(p, vecs, bcast=small)
 
-    return _gs_traverse(score(entry), und, score, GS_BEAM)
+    return _gs_traverse(
+        score(entry), und, score, GS_BEAM, parts=sp, bcast_und=small
+    )
 
 
 def _gs_routed_oracle() -> str:
@@ -7834,7 +7989,9 @@ def _gs_cell_routed_visited(
     d = _knn_index(spark, sf_dir, variant="cellrouted")
     graph = spark.read.parquet(os.path.join(d, f"round{KNN_ITERS}"))
     sbkts = spark.read.parquet(os.path.join(d, "buckets"))
-    n_parts = max(spark.sparkContext.defaultParallelism, 8)
+    small = _gs_small(sf_dir)
+    sp = _gs_parts(spark, KNN_EVAL_N)
+    n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
     und = bounded_persist(
         graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
         .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
@@ -7845,8 +8002,10 @@ def _gs_cell_routed_visited(
     cell = F.pmod(F.col("bucket"), F.lit(KMEANS_K)).alias("cell")
     probe = _gs_cell_probe(spark, sf_dir, p)
     entry = (
-        sbkts.where(F.col("vec_id") < KNN_EVAL_N)
-        .select(F.col("vec_id").alias("node"), "tbl", base)
+        F.broadcast(
+            sbkts.where(F.col("vec_id") < KNN_EVAL_N)
+            .select(F.col("vec_id").alias("node"), "tbl", base)
+        )
         .join(
             _knn_capped_buckets(sbkts).select(
                 F.col("vec_id").alias("nbr"), "tbl", base, cell
@@ -7856,14 +8015,16 @@ def _gs_cell_routed_visited(
         .join(F.broadcast(probe), ["node", "cell"], "left_semi")
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .repartition(n_parts, "node", "nbr")
+        .repartition(sp, "node", "nbr")
         .dropDuplicates(["node", "nbr"])
     )
 
     def score(pr):
-        return _knn_score(pr, vecs)
+        return _knn_score(pr, vecs, bcast=small)
 
-    return _gs_traverse(score(entry), und, score, GS_BEAM)
+    return _gs_traverse(
+        score(entry), und, score, GS_BEAM, parts=sp, bcast_und=small
+    )
 
 
 def _gs_cell_routed_oracle() -> str:
