@@ -2318,14 +2318,19 @@ def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus symbol total after applying it."""
     register_views(spark, sf_dir)
     wc = token_df(spark, sf_dir).groupBy("word").agg(F.count("*").alias("cnt"))
-    # Vocabulary-bounded; persisted so the corpus tokenize-and-count runs
-    # once, not once per round-consumer (3 pair censuses + 3 stat rows).
+    # Vocabulary-bounded; MATERIALIZED so the corpus tokenize-and-count
+    # runs once, not once per round-consumer (3 pair censuses + 3 stat
+    # rows). Round-13 optimization (guide §5): localCheckpoint here and
+    # after each merge — the per-round lineage cut keeps every round's
+    # census a one-scan job over the vocabulary-bounded frame instead of
+    # a re-derivation chain the engine must dedup via ReusedExchange
+    # (measured at sf0.1: 2.7-4.1s -> 1.6-2.2s, identical rows).
     syms = wc.select(
         "cnt",
         F.expr(
             "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
         ).alias("s"),
-    ).persist()
+    ).localCheckpoint(eager=True)
     out = None
     for r in range(1, BPE_ROUNDS + 1):
         pairs = syms.select(
@@ -2344,8 +2349,10 @@ def bpe_train_3merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("pair_count"), "a", "b")
             .limit(1)
         )
-        syms = syms.crossJoin(F.broadcast(top)).select(
-            "cnt", F.expr(_BPE_MERGE_EXPR).alias("s")
+        syms = (
+            syms.crossJoin(F.broadcast(top))
+            .select("cnt", F.expr(_BPE_MERGE_EXPR).alias("s"))
+            .localCheckpoint(eager=True)
         )
         stat = syms.agg(
             F.sum(F.col("cnt") * F.size("s")).cast("long").alias("symbols_after")

@@ -80,7 +80,11 @@ def ann_serve_stream_run(
                 (F.col("cos6") + F.lit(0.0)).alias("cosine"),
             )
         )
-        out.write.mode("overwrite").parquet(
+        # One file per micro-batch (guide §6 — output sizing): the batch
+        # answer is Q x KNN_K thin rows; writing it through the window's
+        # 8-partition layout produced 8 tiny files per batch, paying file
+        # open/commit overhead on both the write and the drain-side read.
+        out.coalesce(1).write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch-{batch_id}")
         )
 

@@ -723,3 +723,51 @@ def test_snapshot_gc_bounds_root(tmp_path, monkeypatch):
     assert foreign.name in left, "GC touched a foreign directory"
     kept = [n for n in left if n.startswith("knn_") and ".build-" not in n]
     assert len(kept) == 3, f"LRU bound not enforced: {sorted(kept)}"
+
+
+# --------------------------------------------------------------------------
+# Round-13 optimization contract: the serving traversal's physical-plan
+# knobs (size-gated broadcast scoring, query-bounded partition counts,
+# localCheckpoint lineage cuts) must NEVER change what is computed — the
+# broadcast and shuffled-hash score paths are alternative plans for the
+# same expression, and the partition derivation is clamped and
+# env-overridable for clusters.
+# --------------------------------------------------------------------------
+def test_score_broadcast_path_equals_shuffle_path(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    vecs = S._knn_vecs(spark, sf_dir)
+    pairs = (
+        vecs.select(F.col("vec_id").alias("node"))
+        .where(F.col("node") < 6)
+        .crossJoin(
+            vecs.select(F.col("vec_id").alias("nbr")).where(
+                (F.col("nbr") >= 6) & (F.col("nbr") < 20)
+            )
+        )
+    )
+    a = S._knn_score(pairs, vecs, bcast=False).toPandas()
+    b = S._knn_score(pairs, vecs, bcast=True).toPandas()
+    key = ["node", "nbr"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b), "broadcast scoring diverged from shuffled-hash"
+
+
+def test_gs_parts_is_clamped_and_env_overridable(spark, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_GS_PARTS", raising=False)
+    dp = max(spark.sparkContext.defaultParallelism, 8)
+    assert S._gs_parts(spark, 1) == 8, "floor"
+    big = S._gs_parts(spark, 10_000_000)
+    assert big == spark.sparkContext.defaultParallelism or big == dp, "ceiling"
+    monkeypatch.setenv("SPARK_GRAFT_GS_PARTS", "13")
+    assert S._gs_parts(spark, 50) == 13, "env override"
+
+
+def test_gs_small_gates_on_corpus_bytes(sf_dir, monkeypatch):
+    monkeypatch.delenv("SPARK_GRAFT_GS_BCAST_MAX_BYTES", raising=False)
+    # the test corpora are far below the 64 MiB default gate
+    assert S._gs_small(sf_dir)
+    # unknown table => treated as huge => shuffle path
+    assert S._knn_table_bytes("/nonexistent") == 1 << 62
+    assert not S._gs_small("/nonexistent")
