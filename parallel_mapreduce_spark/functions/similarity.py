@@ -3425,25 +3425,36 @@ KNN_CAP_MIX = 2654435761  # Knuth multiplicative mix for the kept subset
 KNN_CAP_MOD = 2147483648  # 2^31
 
 
-def _knn_capped_buckets(buckets: DataFrame) -> DataFrame:
+def _knn_capped_buckets(
+    buckets: DataFrame, skip_salt: bool = False
+) -> DataFrame:
     """Candidate-side bucket membership, capped to KNN_BUCKET_CAP per
     (tbl, bucket) by hash-mix order (salted two-phase: per-salt top-cap
     is a superset of the global top-cap, then the global rank runs over
-    salt survivors only). The oracle replays it as ONE ROW_NUMBER."""
+    salt survivors only). The oracle replays it as ONE ROW_NUMBER.
+
+    ``skip_salt`` (round-13 optimization, guide §2.4): the salt phase
+    exists so no task ever sorts a corpus-scale degenerate bucket; when
+    the corpus is below the serving broadcast gate the one-window form
+    is used directly — the result is IDENTICAL by construction (any
+    global top-cap member is within its salt's top-cap, so phase 1 only
+    removes rows phase 2 would drop anyway; pinned in
+    tests/test_knn_graph.py::test_capped_buckets_salt_skip_identical)."""
     mx = F.pmod(F.col("vec_id") * F.lit(KNN_CAP_MIX), F.lit(KNN_CAP_MOD))
-    p1 = (
-        buckets.withColumn("mx", mx)
-        .withColumn("salt", F.col("vec_id") % KNN_CAP_SALT)
-        .withColumn(
-            "rn1",
-            F.row_number().over(
-                W.partitionBy("tbl", "bucket", "salt").orderBy(
-                    "mx", "vec_id"
-                )
-            ),
+    p1 = buckets.withColumn("mx", mx)
+    if not skip_salt:
+        p1 = (
+            p1.withColumn("salt", F.col("vec_id") % KNN_CAP_SALT)
+            .withColumn(
+                "rn1",
+                F.row_number().over(
+                    W.partitionBy("tbl", "bucket", "salt").orderBy(
+                        "mx", "vec_id"
+                    )
+                ),
+            )
+            .filter(F.col("rn1") <= KNN_BUCKET_CAP)
         )
-        .filter(F.col("rn1") <= KNN_BUCKET_CAP)
-    )
     return (
         p1.withColumn(
             "rn",
@@ -5658,7 +5669,7 @@ def _gs_visited(
             q_src.select(F.col("vec_id").alias("node"), "tbl", "bucket")
         )
         .join(
-            _knn_capped_buckets(cand_src).select(
+            _knn_capped_buckets(cand_src, skip_salt=small).select(
                 F.col("vec_id").alias("nbr"), "tbl", "bucket"
             ),
             ["tbl", "bucket"],
@@ -6581,7 +6592,7 @@ def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry = (
         F.broadcast(qb.select(F.col("vec_id").alias("node"), "tbl", "bucket"))
         .join(
-            _knn_capped_buckets(bkts).select(
+            _knn_capped_buckets(bkts, skip_salt=small).select(
                 F.col("vec_id").alias("nbr"), "tbl", "bucket"
             ),
             ["tbl", "bucket"],
@@ -7643,7 +7654,7 @@ def _gs_sharded_visited(
             .select(F.col("vec_id").alias("node"), "tbl", base)
         )
         .join(
-            _knn_capped_buckets(sbkts).select(
+            _knn_capped_buckets(sbkts, skip_salt=small).select(
                 F.col("vec_id").alias("nbr"), "tbl", base
             ),
             ["tbl", "base"],
@@ -7825,7 +7836,7 @@ def _gs_routed_visited(
             .select(F.col("vec_id").alias("node"), "tbl", base, shard)
         )
         .join(
-            _knn_capped_buckets(sbkts).select(
+            _knn_capped_buckets(sbkts, skip_salt=small).select(
                 F.col("vec_id").alias("nbr"), "tbl", base, shard
             ),
             ["tbl", "base", "shard"],
@@ -8007,7 +8018,7 @@ def _gs_cell_routed_visited(
             .select(F.col("vec_id").alias("node"), "tbl", base)
         )
         .join(
-            _knn_capped_buckets(sbkts).select(
+            _knn_capped_buckets(sbkts, skip_salt=small).select(
                 F.col("vec_id").alias("nbr"), "tbl", base, cell
             ),
             ["tbl", "base"],

@@ -771,3 +771,15 @@ def test_gs_small_gates_on_corpus_bytes(sf_dir, monkeypatch):
     # unknown table => treated as huge => shuffle path
     assert S._knn_table_bytes("/nonexistent") == 1 << 62
     assert not S._gs_small("/nonexistent")
+
+
+def test_capped_buckets_salt_skip_identical(spark, sf_dir):
+    """The salt phase only pre-filters rows the global cut drops anyway,
+    so skip_salt must change nothing but the plan."""
+    bkts = S._knn_buckets_snap(spark, sf_dir)
+    a = S._knn_capped_buckets(bkts).toPandas()
+    b = S._knn_capped_buckets(bkts, skip_salt=True).toPandas()
+    key = ["tbl", "bucket", "vec_id"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
