@@ -39,7 +39,11 @@ from parallel_mapreduce_spark.session import (
     bounded_persist,
     ensure_checkpoint_dir,
 )
-from parallel_mapreduce_spark.sources import load_table, register_views
+from parallel_mapreduce_spark.sources import (
+    corpus_cut,
+    load_table,
+    register_views,
+)
 
 JACCARD_THRESHOLD = 0.5
 N_PERMUTATIONS = 16
@@ -327,9 +331,18 @@ def neardup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _digest_groups) — no per-group array anywhere, so even a corpus-sized
     # copy group costs one counter; only the emit-all-pairs expansion is
     # inherently quadratic (see within_group_pairs' scale note).
-    members = exact_dup_members(docs)
+    #
+    # Round-14 optimization (guide §5): the collapse/shingle chain feeds
+    # MANY consumers (the index self-join's two sides, the eligible filter,
+    # and members' four join legs), and the joins run broadcast at this
+    # scale, so no ReusedExchange ever dedups the subtrees — the committed
+    # plan re-scanned documents 12x. corpus_cut materializes each shared
+    # frame once; every consumer reads the cut.
+    members = corpus_cut(exact_dup_members(docs), sf_dir)
     reps = _rep_texts(docs, n)
-    shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
+    shingled = corpus_cut(
+        reps.select("doc_id", shingles3(tokens("text")).alias("sh")), sf_dir
+    )
     eligible = shingled.filter(F.size("sh") > 0).select(F.col("doc_id").alias("rep"))
     rep_pairs = jaccard_pairs(shingled)
     cross = expand_rep_pairs(rep_pairs, members, "jaccard")
@@ -376,9 +389,14 @@ def neardup_jaccard_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
-    members = exact_dup_members(docs)
+    # Same round-14 corpus_cut as neardup_jaccard_pairs; the freq-cap
+    # census adds a THIRD consumer of the shingle frame, so the cut pays
+    # off even harder here.
+    members = corpus_cut(exact_dup_members(docs), sf_dir)
     reps = _rep_texts(docs, n)
-    shingled = reps.select("doc_id", shingles3(tokens("text")).alias("sh"))
+    shingled = corpus_cut(
+        reps.select("doc_id", shingles3(tokens("text")).alias("sh")), sf_dir
+    )
     eligible = shingled.filter(F.size("sh") > 0).select(F.col("doc_id").alias("rep"))
     rep_pairs = jaccard_pairs(shingled, freq_cap=SHINGLE_FREQ_CAP)
     cross = expand_rep_pairs(rep_pairs, members, "jaccard")
@@ -577,8 +595,15 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
     n = max(spark.sparkContext.defaultParallelism, 8)
-    members = exact_dup_members(docs)
-    rep_sigs = _minhash_of(_rep_texts(docs, n))
+    # Round-14 corpus_cut (guide §5): members feeds four join legs and
+    # rep_sigs feeds both band-join sides plus the eligible filter; the
+    # broadcast joins at this scale leave no exchange to reuse, so without
+    # the cut each consumer re-ran the scan -> digest -> minhash chain
+    # (measured 1.67 -> 1.50s at sf0.1, interleaved A/B, equality pinned;
+    # cross-session comparisons of this query swing +-30% and first read
+    # as a regression — probes/ab_neardup_cut.py is the methodology).
+    members = corpus_cut(exact_dup_members(docs), sf_dir)
+    rep_sigs = corpus_cut(_minhash_of(_rep_texts(docs, n)), sf_dir)
     bands = _lsh_bands(rep_sigs)
     a = bands.alias("a")
     b = bands.alias("b")

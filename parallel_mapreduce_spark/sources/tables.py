@@ -125,6 +125,67 @@ def read_json(
     return reader.json(paths)
 
 
+# Gate for executor-pinned (localCheckpoint) materialization of
+# corpus-derived intermediates, in ON-DISK source-table bytes. Below it a
+# multi-consumer frame is cheap to pin on executors; above it the frame is
+# corpus-scale, where executor-pinned blocks are storage pressure plus a
+# fault cliff (a lost executor kills the job instead of recomputing), so
+# the cut goes through the reliable checkpoint directory instead. NOTE the
+# in-memory expansion multiple: decompressed row data runs ~4-8x the
+# parquet bytes, so 192 MiB on disk is of order 1 GiB pinned.
+def _local_cut_max_bytes() -> int:
+    import os
+
+    return int(
+        os.environ.get("SPARK_GRAFT_LOCAL_CKPT_MAX_BYTES", str(192 << 20))
+    )
+
+
+def table_bytes(sf_dir: str, name: str) -> int:
+    """On-disk bytes of one source table (single file or directory of part
+    files). Unknown (non-local path, listing error) => huge, so size gates
+    fail toward the durable / shuffle plan, never toward pinning."""
+    import os
+
+    p = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    try:
+        if os.path.isdir(p):
+            return sum(
+                os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(p)
+                for f in fs
+            )
+        return os.path.getsize(p)
+    except OSError:
+        return 1 << 62
+
+
+def corpus_cut(df: DataFrame, sf_dir: str, table: str = "documents") -> DataFrame:
+    """Materialize a corpus-derived frame ONCE for its multiple consumers
+    (guide §5: cache/cut when a frame is reused and recompute is expensive)
+    with the lineage-cut flavor picked by corpus size:
+
+    - below the gate: ``localCheckpoint`` — no parquet round-trip, blocks
+      pinned on executors (tiny here by the gate's definition; a lost
+      executor merely fails a re-runnable query);
+    - above it: reliable ``checkpoint`` — one write+read instead of N
+      recomputes of a corpus-scale chain, recoverable on executor loss,
+      and no corpus-scale block pinned in executor storage.
+
+    Values are identical either way; only materialization strategy moves.
+    """
+    if table_bytes(sf_dir, table) <= _local_cut_max_bytes():
+        # Lazy: consumers share ONE RDD, so upstream shuffle stages dedup
+        # by shuffle id inside the first action (no per-consumer replans)
+        # and the blocks cache for everything after — without the eager
+        # form's extra sequential materialization job per cut.
+        return df.localCheckpoint(eager=False)
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(df.sparkSession)
+    return df.checkpoint(eager=True)
+
+
 _SINK_ROOT: str | None = None
 
 

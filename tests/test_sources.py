@@ -387,3 +387,38 @@ def test_python_stream_source_multibatch_and_replay(spark):
         rows, off = r.read(off)
         paced.extend(rows)
     assert list(r.readBetweenOffsets({"i": 0}, off)) == paced
+
+
+def test_corpus_cut_gates_on_table_bytes(spark, sf_dir, monkeypatch):
+    """corpus_cut picks its lineage-cut flavor from on-disk corpus bytes:
+    localCheckpoint (executor-pinned RDD) below the gate, reliable
+    checkpoint above it — and an unknown table reads as huge, so the gate
+    fails toward the durable plan, never toward pinning."""
+    from parallel_mapreduce_spark.sources import corpus_cut, load_table, table_bytes
+
+    monkeypatch.delenv("SPARK_GRAFT_LOCAL_CKPT_MAX_BYTES", raising=False)
+    assert table_bytes("/nonexistent", "documents") == 1 << 62
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # Below the gate (test corpora are KB-MB): LogicalRDD, no checkpoint file.
+    small = corpus_cut(docs, sf_dir)
+    assert "LogicalRDD" in small._jdf.queryExecution().optimizedPlan().toString()
+    assert not small.rdd.isCheckpointed()  # local, not reliable
+    assert small.collect() == docs.collect()
+    # Above the gate (forced with a 0-byte ceiling): reliable checkpoint —
+    # eager, so new files appear under the checkpoint directory.
+    import os
+
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_CKPT_MAX_BYTES", "0")
+    from parallel_mapreduce_spark.session import ensure_checkpoint_dir
+
+    ensure_checkpoint_dir(spark)
+    ckpt_dir = spark.sparkContext._jsc.sc().getCheckpointDir().get()
+    if ckpt_dir.startswith("file:"):
+        ckpt_dir = ckpt_dir[len("file:"):]
+    before = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
+    big = corpus_cut(docs, sf_dir)
+    after = sum(len(fs) for _, _, fs in os.walk(ckpt_dir))
+    assert after > before
+    assert sorted(r.doc_id for r in big.collect()) == sorted(
+        r.doc_id for r in docs.collect()
+    )
