@@ -39,7 +39,11 @@ from parallel_mapreduce_spark.functions.text import (
     tokens,
 )
 from parallel_mapreduce_spark.registry import query
-from parallel_mapreduce_spark.sources import load_table, register_views
+from parallel_mapreduce_spark.sources import (
+    corpus_cut,
+    load_table,
+    register_views,
+)
 
 PIPELINE_QUALITY_MIN = 0.5
 
@@ -122,14 +126,17 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keep-one join — and the clustering loop's edge checkpoint would
     # otherwise re-derive the gate+dedup chain a third time. One
     # materialization serves all three (measured 4.2s -> 2.6s warm at
-    # sf0.1 when this landed as a reliable checkpoint). Round-13
-    # optimization (guide §5): localCheckpoint — same lineage cut and
-    # single compute, without the parquet write + re-read of the text
-    # column per run; the RECOVERY point for the iterative phase stays
-    # the reliable per-round checkpoints inside connected_components
-    # (executor loss there re-derives survivors once, it does not kill
-    # the fixpoint's progress).
-    s = q.join(keep_e.select("doc_id"), "doc_id").localCheckpoint(eager=True)
+    # sf0.1 when this landed as a reliable checkpoint). Round-13 made it
+    # a localCheckpoint (no parquet round-trip of the text column);
+    # round 14 SIZE-GATES that choice via corpus_cut (verdict item): the
+    # survivors frame carries corpus-scale text, and pinning it to
+    # executor storage at 100 TB is memory pressure plus a fault cliff,
+    # so above the gate the cut goes back through the reliable
+    # checkpoint directory. The RECOVERY point for the iterative phase
+    # stays the per-round checkpoints inside connected_components either
+    # way (executor loss there re-derives survivors once below the gate,
+    # re-reads them above it; it never kills the fixpoint's progress).
+    s = corpus_cut(q.join(keep_e.select("doc_id"), "doc_id"), sf_dir)
     # Stage 3: near-dup clustering over survivors; keep cluster representatives.
     shingled = s.select("doc_id", shingles3(F.col("toks")).alias("sh"))
     pairs = jaccard_pairs(shingled).select("doc_a", "doc_b")
