@@ -5509,6 +5509,22 @@ GS_BCAST_MAX_BYTES = int(
     os.environ.get("SPARK_GRAFT_GS_BCAST_MAX_BYTES", str(64 << 20))
 )
 GS_PARTS_ROWS = 10_000  # target visited rows per serving partition
+# Round-14 (verdict items): the QUERY-side broadcasts are gated on the
+# actual batch size, not assumed small. GS_QBCAST_MAX bounds the entry
+# query-bucket broadcast (rows ~ Q x tables — ~10-20 MB framed at the
+# default); GS_VIS_BCAST_ROWS bounds broadcasting the visited frame into
+# the per-hop anti-join (rows ~ Q x GS_BEAM x 3K thin (node, nbr) pairs).
+# A serving batch above either gate falls back to the shuffled plan.
+GS_QBCAST_MAX = int(os.environ.get("SPARK_GRAFT_GS_QBCAST_MAX", "100000"))
+GS_VIS_BCAST_ROWS = int(
+    os.environ.get("SPARK_GRAFT_GS_VIS_BCAST_ROWS", "1000000")
+)
+
+
+def _gs_vis_bcast(n_queries: int) -> bool:
+    """May the per-hop visited anti-join build side broadcast? Estimated
+    from the same Q-budget bound _gs_parts uses."""
+    return max(1, n_queries) * GS_BEAM * 3 * KNN_K <= GS_VIS_BCAST_ROWS
 
 
 def _knn_table_bytes(sf_dir: str, table: str = "embeddings") -> int:
@@ -5586,6 +5602,17 @@ GS_FLOOR = 0.7  # pinned mean recall@KNN_K floor vs brute truth — the
                 # which is the whole point of serving from a graph.
 
 
+def _gs_und(graph: DataFrame, n_parts: int) -> DataFrame:
+    """Persisted undirected adjacency (a, b) over a (node, nbr) edge frame
+    — the hop-expansion side every traversal shares."""
+    return bounded_persist(
+        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
+        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
+        .repartition(n_parts, "a")
+        .dropDuplicates(["a", "b"])
+    )
+
+
 def _gs_visited(
     spark: SparkSession,
     sf_dir: str,
@@ -5596,6 +5623,9 @@ def _gs_visited(
     cand_blocked: DataFrame | None = None,
     score=None,
     q_ids: DataFrame | None = None,
+    n_queries: int | None = None,
+    und: DataFrame | None = None,
+    entry_cands: DataFrame | None = None,
 ) -> DataFrame:
     """(node, nbr, cos6): every (query, candidate) pair the beam search
     scored, after GS_ROUNDS hops — the frame both outputs cut from.
@@ -5618,7 +5648,13 @@ def _gs_visited(
     default eval-node query predicate — the streaming-serving shape,
     where each micro-batch of arriving queries traverses independently
     (beams are per query, so a per-batch run unions to the full-set
-    run)."""
+    run). ``n_queries`` is the ACTUAL batch size bound the query-side
+    gates and partition sizing derive from (default: the eval batch;
+    the streaming path passes its per-micro-batch count — round-14
+    verdict item). ``und`` / ``entry_cands`` let a caller that serves
+    MANY batches against one static index (the streaming drain) build
+    the undirected adjacency and the capped entry-candidate frame once
+    and reuse them across batches (the stream-static hoist)."""
     from parallel_mapreduce_spark.session import ensure_checkpoint_dir
 
     ensure_checkpoint_dir(spark)
@@ -5633,30 +5669,29 @@ def _gs_visited(
     # the hop joins' strategy from the corpus size — broadcast-hash below
     # GS_BCAST_MAX_BYTES, the 30x-probe shuffled-hash plan above it.
     small = _gs_small(sf_dir)
-    sp = _gs_parts(spark, KNN_EVAL_N)
+    nq = KNN_EVAL_N if n_queries is None else n_queries
+    sp = _gs_parts(spark, nq)
     n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
-    und = bounded_persist(
-        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
-        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
-        .repartition(n_parts, "a")
-        .dropDuplicates(["a", "b"])
-    )
+    if und is None:
+        und = _gs_und(graph, n_parts)
     # Entry: the bucket frame from the index snapshot (the same rows the
     # build seeded from — entry reuses index state, no new structure);
     # query side = eval nodes, candidate side capped exactly like the
-    # build's seed join. The query side is Q-bounded (a serving batch),
-    # so it broadcasts and the corpus-scale bucket frame never shuffles
-    # for this join.
+    # build's seed join. The query side is batch-bounded, so below
+    # GS_QBCAST_MAX it broadcasts and the corpus-scale bucket frame never
+    # shuffles for this join (above the gate the planner decides).
     bkts = _knn_buckets_snap(spark, sf_dir)
-    cand_src = bkts
-    if cand_allowed is not None:
-        cand_src = cand_src.join(
-            F.broadcast(cand_allowed.select("vec_id")), "vec_id", "left_semi"
-        )
-    if cand_blocked is not None:
-        cand_src = cand_src.join(
-            F.broadcast(cand_blocked.select("vec_id")), "vec_id", "left_anti"
-        )
+    if entry_cands is None or cand_allowed is not None or cand_blocked is not None:
+        cand_src = bkts
+        if cand_allowed is not None:
+            cand_src = cand_src.join(
+                F.broadcast(cand_allowed.select("vec_id")), "vec_id", "left_semi"
+            )
+        if cand_blocked is not None:
+            cand_src = cand_src.join(
+                F.broadcast(cand_blocked.select("vec_id")), "vec_id", "left_anti"
+            )
+        entry_cands = _knn_capped_buckets(cand_src, skip_salt=small)
     q_src = (
         bkts.where(F.col("vec_id") < KNN_EVAL_N)
         if q_ids is None
@@ -5664,26 +5699,36 @@ def _gs_visited(
             F.broadcast(q_ids.select("vec_id")), "vec_id", "left_semi"
         )
     )
+    q_side = q_src.select(F.col("vec_id").alias("node"), "tbl", "bucket")
+    if nq <= GS_QBCAST_MAX:
+        q_side = F.broadcast(q_side)
+    # Entry dedup keyed by node only: hash(node) clusters (node, nbr), so
+    # the aggregate shares this one exchange AND everything downstream on
+    # the broadcast path (scoring, the hop-1 frontier window) inherits the
+    # partitioning the traversal wants (see _gs_traverse).
     entry = (
-        F.broadcast(
-            q_src.select(F.col("vec_id").alias("node"), "tbl", "bucket")
-        )
-        .join(
-            _knn_capped_buckets(cand_src, skip_salt=small).select(
+        q_side.join(
+            entry_cands.select(
                 F.col("vec_id").alias("nbr"), "tbl", "bucket"
             ),
             ["tbl", "bucket"],
         )
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .repartition(sp, "node", "nbr")
+        .repartition(sp, "node")
         .dropDuplicates(["node", "nbr"])
     )
     if score is None:
         def score(p):
             return _knn_score(p, vecs, bcast=small)
     return _gs_traverse(
-        score(entry), und, score, beam, parts=sp, bcast_und=small
+        score(entry),
+        und,
+        score,
+        beam,
+        parts=sp,
+        bcast_und=small,
+        bcast_visited=small and _gs_vis_bcast(nq),
     )
 
 
@@ -5696,6 +5741,7 @@ def _gs_traverse(
     beam_by: Column | None = None,
     parts: int | None = None,
     bcast_und: bool = False,
+    bcast_visited: bool = False,
 ) -> DataFrame:
     """The shared beam loop every traversal exhibit runs: keep-best
     top-``beam`` frontier, one-hop expand through ``und``, score only
@@ -5720,7 +5766,22 @@ def _gs_traverse(
     and re-reading parquet per hop (guide §5: localCheckpoint is the
     cheaper lineage cut when fault tolerance of the intermediate is not
     critical — a serving request is re-runnable, unlike the build, which
-    keeps its durable checkpoints)."""
+    keeps its durable checkpoints).
+
+    Round-14 optimization (guide §2.4 "remove shuffles outright"): on the
+    broadcast path the hop now pays ONE exchange (the frontier window's
+    repartition) instead of three. The expansion keeps the frontier's
+    hash(node) partitioning through the broadcast adjacency join, and
+    hash(node) clusters (node, nbr), so the expansion dedup aggregates in
+    place — no second exchange. ``bcast_visited`` (gated on the
+    query-batch bound, _gs_vis_bcast) broadcasts the visited keys into
+    the anti-join — the build side is Q-bounded — removing the third;
+    above the gate the shuffled anti-join keeps the explicit (node, nbr)
+    repartition it needs for co-partitioning. (A bare window over the
+    checkpointed union was measured and rejected: localCheckpoint yields
+    UnknownPartitioning in Spark 4.1, so EnsureRequirements would insert
+    an uncontrolled exchange at session shuffle partitions — the
+    AQE-funnel hazard _knn_topk's explicit repartition exists to avoid.)"""
     spark = entry_scored.sparkSession
     n_parts = parts or max(spark.sparkContext.defaultParallelism, 8)
     visited = entry_scored.localCheckpoint(eager=True)
@@ -5742,11 +5803,15 @@ def _gs_traverse(
         )
         if exclude_self:
             expand = expand.where(F.col("b") != F.col("node"))
-        expand = (
-            expand.select("node", F.col("b").alias("nbr"))
-            .repartition(n_parts, "node", "nbr")
-            .dropDuplicates(["node", "nbr"])
-            .join(visited.select("node", "nbr"), ["node", "nbr"], "left_anti")
+        expand = expand.select("node", F.col("b").alias("nbr"))
+        if not (bcast_und and bcast_visited):
+            expand = expand.repartition(n_parts, "node", "nbr")
+        expand = expand.dropDuplicates(["node", "nbr"])
+        vis_keys = visited.select("node", "nbr")
+        expand = expand.join(
+            F.broadcast(vis_keys) if bcast_visited else vis_keys,
+            ["node", "nbr"],
+            "left_anti",
         )
         visited = visited.unionAll(score(expand)).localCheckpoint(eager=True)
     return visited
@@ -6576,12 +6641,7 @@ def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
     small = _gs_small(sf_dir)
     sp = _gs_parts(spark, GS_OOV_N)
     n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
-    und = bounded_persist(
-        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
-        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
-        .repartition(n_parts, "a")
-        .dropDuplicates(["a", "b"])
-    )
+    und = _gs_und(graph, n_parts)
     prow = _knn_prow_snap(spark, sf_dir)
     bkts = _knn_buckets_snap(spark, sf_dir)
     qvecs = bounded_persist(_gs_oov_queries(spark, sf_dir))
@@ -6598,6 +6658,7 @@ def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
             ["tbl", "bucket"],
         )
         .select("node", "nbr")
+        .repartition(sp, "node")
         .dropDuplicates(["node", "nbr"])
     )
     return _gs_traverse(
@@ -6608,6 +6669,7 @@ def _gs_oov_visited(spark: SparkSession, sf_dir: str) -> DataFrame:
         exclude_self=False,
         parts=sp,
         bcast_und=small,
+        bcast_visited=small and _gs_vis_bcast(GS_OOV_N),
     )
 
 
@@ -7636,12 +7698,7 @@ def _gs_sharded_visited(
     small = _gs_small(sf_dir)
     sp = _gs_parts(spark, KNN_EVAL_N * s_count)
     n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
-    und = bounded_persist(
-        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
-        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
-        .repartition(n_parts, "a")
-        .dropDuplicates(["a", "b"])
-    )
+    und = _gs_und(graph, n_parts)
     base = F.floor(F.col("bucket") / s_count).alias("base")
     # Entry fan-out: the query's BASE bucket matches every shard's capped
     # members of that bucket (the composite id carries the shard, so the
@@ -7661,7 +7718,7 @@ def _gs_sharded_visited(
         )
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .repartition(sp, "node", "nbr")
+        .repartition(sp, "node")
         .dropDuplicates(["node", "nbr"])
     )
 
@@ -7676,6 +7733,7 @@ def _gs_sharded_visited(
         beam_by=F.pmod(F.col("nbr"), F.lit(s_count)),
         parts=sp,
         bcast_und=small,
+        bcast_visited=small and _gs_vis_bcast(KNN_EVAL_N * s_count),
     )
 
 
@@ -7822,12 +7880,7 @@ def _gs_routed_visited(
     small = _gs_small(sf_dir)
     sp = _gs_parts(spark, KNN_EVAL_N)
     n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
-    und = bounded_persist(
-        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
-        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
-        .repartition(n_parts, "a")
-        .dropDuplicates(["a", "b"])
-    )
+    und = _gs_und(graph, n_parts)
     base = F.floor(F.col("bucket") / s_count).alias("base")
     shard = F.pmod(F.col("vec_id"), F.lit(s_count)).alias("shard")
     entry = (
@@ -7843,7 +7896,7 @@ def _gs_routed_visited(
         )
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .repartition(sp, "node", "nbr")
+        .repartition(sp, "node")
         .dropDuplicates(["node", "nbr"])
     )
 
@@ -7851,7 +7904,13 @@ def _gs_routed_visited(
         return _knn_score(p, vecs, bcast=small)
 
     return _gs_traverse(
-        score(entry), und, score, GS_BEAM, parts=sp, bcast_und=small
+        score(entry),
+        und,
+        score,
+        GS_BEAM,
+        parts=sp,
+        bcast_und=small,
+        bcast_visited=small and _gs_vis_bcast(KNN_EVAL_N),
     )
 
 
@@ -8003,12 +8062,7 @@ def _gs_cell_routed_visited(
     small = _gs_small(sf_dir)
     sp = _gs_parts(spark, KNN_EVAL_N)
     n_parts = sp if small else max(spark.sparkContext.defaultParallelism, 8)
-    und = bounded_persist(
-        graph.select(F.col("node").alias("a"), F.col("nbr").alias("b"))
-        .union(graph.select(F.col("nbr").alias("a"), F.col("node").alias("b")))
-        .repartition(n_parts, "a")
-        .dropDuplicates(["a", "b"])
-    )
+    und = _gs_und(graph, n_parts)
     base = F.floor(F.col("bucket") / KMEANS_K).alias("base")
     cell = F.pmod(F.col("bucket"), F.lit(KMEANS_K)).alias("cell")
     probe = _gs_cell_probe(spark, sf_dir, p)
@@ -8026,7 +8080,7 @@ def _gs_cell_routed_visited(
         .join(F.broadcast(probe), ["node", "cell"], "left_semi")
         .where(F.col("node") != F.col("nbr"))
         .select("node", "nbr")
-        .repartition(sp, "node", "nbr")
+        .repartition(sp, "node")
         .dropDuplicates(["node", "nbr"])
     )
 
@@ -8034,7 +8088,13 @@ def _gs_cell_routed_visited(
         return _knn_score(pr, vecs, bcast=small)
 
     return _gs_traverse(
-        score(entry), und, score, GS_BEAM, parts=sp, bcast_und=small
+        score(entry),
+        und,
+        score,
+        GS_BEAM,
+        parts=sp,
+        bcast_und=small,
+        bcast_visited=small and _gs_vis_bcast(KNN_EVAL_N),
     )
 
 

@@ -50,6 +50,24 @@ def ann_serve_stream_run(
     # Ensure the snapshots exist BEFORE the stream starts: first-touch
     # builds belong to the build cadence, not to a request batch.
     sim._knn_index(spark, sf_dir)
+    # Stream-static hoist (round-14 verdict item; guide §5 reuse the
+    # multi-consumer intermediate): the vector frame, the persisted
+    # undirected adjacency and the capped entry-candidate frame are
+    # INDEX state — identical for every micro-batch — so they are built
+    # once here and passed into each batch's traversal instead of being
+    # re-derived inside foreachBatch.
+    small = sim._gs_small(sf_dir)
+    vecs = sim._knn_vecs(spark, sf_dir)
+    graph = sim._knn_graph_snap(spark, sf_dir)
+    n_parts = (
+        sim._gs_parts(spark, sim.KNN_EVAL_N)
+        if small
+        else max(spark.sparkContext.defaultParallelism, 8)
+    )
+    und = sim._gs_und(graph, n_parts)
+    entry_cands = sim._knn_capped_buckets(
+        sim._knn_buckets_snap(spark, sf_dir), skip_salt=small
+    )
     # The corpus table is a single file at the testdata SFs but a
     # DIRECTORY of part files everywhere Spark wrote it (the scale-probe
     # replicas; any production corpus) — stream the directory itself in
@@ -68,7 +86,21 @@ def ann_serve_stream_run(
 
     def serve_batch(batch: DataFrame, batch_id: int) -> None:
         ids = batch.select("vec_id").distinct()
-        visited = sim._gs_visited(spark, sf_dir, q_ids=ids)
+        # The REAL batch size drives the query-side gates and partition
+        # sizing (round-14 verdict item: a micro-batch much larger than
+        # the eval constant must not under-partition or over-broadcast).
+        # The count is a bounded driver scalar over the arrived batch.
+        n_q = ids.count()
+        visited = sim._gs_visited(
+            spark,
+            sf_dir,
+            vecs=vecs,
+            graph=graph,
+            q_ids=ids,
+            n_queries=n_q,
+            und=und,
+            entry_cands=entry_cands,
+        )
         w = W.partitionBy("node").orderBy(F.desc("cos6"), "nbr")
         out = (
             visited.withColumn("rk", F.row_number().over(w).cast("long"))
@@ -84,7 +116,10 @@ def ann_serve_stream_run(
         # answer is Q x KNN_K thin rows; writing it through the window's
         # 8-partition layout produced 8 tiny files per batch, paying file
         # open/commit overhead on both the write and the drain-side read.
-        out.coalesce(1).write.mode("overwrite").parquet(
+        # Gated on batch size (round-13 advice): a huge serving batch
+        # keeps its write-stage parallelism.
+        writer = out.coalesce(1) if n_q <= 100_000 else out
+        writer.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch-{batch_id}")
         )
 

@@ -783,3 +783,37 @@ def test_capped_buckets_salt_skip_identical(spark, sf_dir):
     a = a.sort_values(key).reset_index(drop=True)
     b = b.sort_values(key).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_gs_query_side_gates_are_q_bounded(spark, sf_dir):
+    """Round-14 verdict item: the entry query-side broadcast and the
+    per-hop visited anti-join broadcast are gated on the ACTUAL batch
+    size, and a batch above every gate produces identical output through
+    the shuffled plans."""
+    assert S._gs_vis_bcast(S.KNN_EVAL_N)
+    assert not S._gs_vis_bcast(10**9)
+    a = S._gs_visited(spark, sf_dir).toPandas()
+    b = S._gs_visited(spark, sf_dir, n_queries=10**9).toPandas()
+    key = ["node", "nbr"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_gs_visited_accepts_hoisted_static_frames(spark, sf_dir):
+    """The stream-static hoist (round 14): passing a prebuilt undirected
+    adjacency and capped entry-candidate frame must change nothing but
+    where those frames are constructed."""
+    graph = S._knn_graph_snap(spark, sf_dir)
+    und = S._gs_und(graph, 8)
+    cands = S._knn_capped_buckets(
+        S._knn_buckets_snap(spark, sf_dir), skip_salt=S._gs_small(sf_dir)
+    )
+    a = S._gs_visited(spark, sf_dir).toPandas()
+    b = S._gs_visited(
+        spark, sf_dir, und=und, entry_cands=cands, n_queries=S.KNN_EVAL_N
+    ).toPandas()
+    key = ["node", "nbr"]
+    a = a.sort_values(key).reset_index(drop=True)
+    b = b.sort_values(key).reset_index(drop=True)
+    assert a.equals(b)
