@@ -48,8 +48,31 @@ from parallel_mapreduce_spark.functions.similarity import (
 from parallel_mapreduce_spark.registry import query
 from parallel_mapreduce_spark.session import bounded_persist
 from parallel_mapreduce_spark.sources import load_table, register_views
+from parallel_mapreduce_spark.sources.tables import (
+    _local_cut_max_bytes,
+    table_bytes,
+)
 
 KC_K = 12  # selected coreset size (k centers, seed included)
+
+
+def _md_cut(md, sf_dir: str):
+    """Per-pick materialization of the running min-distance frame.
+
+    Round-14 optimization (guide §5, §7.3 "planning time itself can
+    become the bottleneck"): bounded_persist alone does NOT cut the
+    LOGICAL plan — each pick's frame nested the previous one's, so by
+    pick 10 analysis+optimization and the TakeOrdered head had grown
+    from ~0.17s to ~0.8s per pick (measured; the Gonzalez loop is
+    sequential by definition, so plan growth is pure driver-side drag).
+    Below the corpus gate the frame localCheckpoints (plan resets to a
+    LogicalRDD every pick, constant per-pick cost); above it the
+    committed persist stands — corpus-scale blocks stay evictable and
+    recomputable, and a durable checkpoint per pick would write the
+    corpus K times."""
+    if table_bytes(sf_dir, "embeddings") <= _local_cut_max_bytes():
+        return md.localCheckpoint(eager=False)
+    return bounded_persist(md)
 
 
 def _kc_oracle() -> str:
@@ -144,12 +167,13 @@ def kcenter_coreset_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rank == KC_K - 1:
             break
         center_id = int(top["vec_id"])
-        md = bounded_persist(
+        md = _md_cut(
             md.select(
                 "vec_id",
                 "e",
                 F.least(F.col("md"), _dist6_to(top["e"])).alias("md"),
-            )
+            ),
+            sf_dir,
         )
     # Everything above ran eagerly, so release the corpus frame's cache
     # before returning: its plan is byte-identical to kmeans_lloyd_2iter's
@@ -262,12 +286,13 @@ def pipeline_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         if rank == PDS_K - 1:
             break
         center_id = int(top["vec_id"])
-        md = bounded_persist(
+        md = _md_cut(
             md.select(
                 "vec_id",
                 "e",
                 F.least(F.col("md"), _dist6_to(top["e"])).alias("md"),
-            )
+            ),
+            sf_dir,
         )
     vecs.unpersist()
     picks = spark.createDataFrame(
