@@ -2271,6 +2271,12 @@ def substring_run_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrence kept) and reassembling the survivors in order."""
     register_views(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents")
+    # Round-14 NEGATIVE result (probes/ab_bigram_substr_cut.py): cutting
+    # working (doc_id + raw text, three consumers) measured SLOWER at
+    # sf0.1 — 2.41s lazy vs 3.70s cut, interleaved min-of-6, equality
+    # asserted. The three re-derivations are cheap fused parquet scans;
+    # the expensive shared piece (the shingle-digest stream) is already
+    # persisted inside _substr_run_rows. Left lazy on purpose.
     working = _substr_working(docs)
     kept = _substr_removal_kept(working)
     reb = kept.groupBy("doc_id").agg(

@@ -162,6 +162,21 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0),
             ),
         )
+        # Round-14 optimization (guide §5 / §3.3 "materialising an
+        # intermediate truncates the plan"): base is referenced TWICE per
+        # iteration (contribution join + rank update), and the lazy form
+        # compounded into a 190-Exchange / 56-SortMergeJoin final plan
+        # whose tiny 25-row joins were planned from corpus-scale
+        # estimates (the round-13 broadcast-hint attempt broke
+        # ReusedExchange dedup and measured SLOWER — the fix is to
+        # materialize, not to hint). The frame is |V|-bounded by
+        # construction (the aggregated nation graph), so the per-round
+        # cut is a one-task job; with real runtime stats AQE picks the
+        # broadcast itself. Measured 2.83 -> 1.68s at sf0.1 interleaved
+        # same-session A/B, bit-identical output (exact integer ranks).
+        # A billion-vertex graph keeps rank frames distributed (module
+        # docstring) — there the cut would be a reliable checkpoint.
+        base = base.localCheckpoint(eager=True)
         contribs = (
             base.join(edges, base.nk == edges.src)
             .groupBy("dst")

@@ -103,7 +103,11 @@ GLOBAL_WINDOW_WHITELIST = {
     "events_type_share",
     "kmeans_lloyd_2iter",
     "monthly_revenue_growth",
-    "pagerank_trade_graph",
+    # pagerank_trade_graph's dangling-mass global window (25-row bounded,
+    # justified in operators/graph.py) still runs, but since the round-14
+    # per-iteration localCheckpoint it executes inside the eager cut during
+    # DataFrame construction, so the RETURNED plan no longer prints it —
+    # the audit sees only the post-cut LogicalRDD.
     "price_weighted_median_by_flag",
     "semdedup_cluster_report",
     "sorted_neighborhood_multipass_pairs",
