@@ -1310,13 +1310,22 @@ def kmeans_lloyd_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("val"), 6).alias("cval"))
     )
     a2 = _kmeans_assign(vecs, _kmeans_cents_row(c1_long))
-    sizes = a2.groupBy("cid").agg(F.count("*").alias("n"))
-    c2 = (
+    # Round-14 (guide §2.3 "don't compute things twice"): the cluster size
+    # and the per-dimension mean come out of ONE (cid, pos) aggregation —
+    # every vector contributes exactly one posexploded row per pos, so
+    # count per (cid, pos) IS the cluster size. The previous form derived
+    # `sizes` from a second consumer of a2 (a full extra assignment pass +
+    # its own shuffle) and joined it back. Equality pinned by
+    # probes/ab_kmeans_fold.py (exceptAll = 0 both ways, schema equal).
+    return (
         a2.select("cid", F.posexplode("e").alias("pos", "val"))
         .groupBy("cid", "pos")
-        .agg((F.round(F.avg("val"), 4) + F.lit(0.0)).alias("center"))
+        .agg(
+            (F.round(F.avg("val"), 4) + F.lit(0.0)).alias("center"),
+            F.count("*").alias("n"),
+        )
+        .select("cid", "pos", "center", "n")
     )
-    return c2.join(F.broadcast(sizes), "cid").select("cid", "pos", "center", "n")
 
 
 # --------------------------------------------------------------------------
